@@ -1,0 +1,65 @@
+"""PageRank as iterative DataFrame joins.
+
+Reference: ``algo.pageRank`` (``/root/reference/src/procedures/
+proc_pagerank.c:202``, backed by LAGraph's matrix pagerank). Spark-native:
+the classic power-iteration with out-degree normalization; each iteration
+is one join + one aggregation, both on the node-id key, so at cluster
+scale the shuffle is stable across iterations and AQE can reuse the
+exchange partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redisgraph_spark.cypher import ast as A
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 20,
+             damping: float = 0.85) -> DataFrame:
+    """nodes: (_id), edges: (_src,_dst) → (_id, score)."""
+    n_count = nodes.count()
+    if n_count == 0:
+        return nodes.select(F.col("_id"), F.lit(0.0).alias("score"))
+    base = 1.0 / n_count
+    deg = edges.groupBy("_src").agg(F.count("*").alias("__deg"))
+    ranks = nodes.select(F.col("_id"), F.lit(base).alias("score"))
+    e = edges.select("_src", "_dst").join(deg, "_src")
+    for _ in range(iterations):
+        contrib = e.join(ranks, e["_src"] == ranks["_id"], "inner") \
+            .select(F.col("_dst").alias("_id"),
+                    (F.col("score") / F.col("__deg")).alias("c"))
+        sums = contrib.groupBy("_id").agg(F.sum("c").alias("s"))
+        ranks = nodes.select("_id").join(sums, "_id", "left").select(
+            F.col("_id"),
+            (F.lit((1 - damping) * base)
+             + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+             ).alias("score"))
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_proc(planner, args: list[A.Expr]):
+    """CALL algo.pageRank(label, relType) YIELD node, score — signature
+    parity with proc_pagerank.c."""
+    g = planner.graph
+
+    def _s(e):
+        if isinstance(e, A.Literal):
+            return e.value
+        if isinstance(e, A.Parameter):
+            return planner.params[e.name]
+        raise ValueError("algo.pageRank args must be literals")
+
+    label = _s(args[0]) if args else None
+    rel = _s(args[1]) if len(args) > 1 else None
+    nodes = g.nodes([label] if label else None)
+    edges = g.edges([rel] if rel else None)
+    pr = pagerank(nodes.select("_id"), edges.select("_src", "_dst"))
+    node_struct = nodes.select(
+        F.struct(*[F.col(c) for c in nodes.columns]).alias("node"),
+        F.col("_id").alias("__prid"))
+    out = pr.join(node_struct, pr["_id"] == F.col("__prid"), "inner") \
+        .select("node", "score")
+    return out, ["node", "score"]

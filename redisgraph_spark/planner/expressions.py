@@ -1,0 +1,492 @@
+"""Cypher expression → Spark Column compiler.
+
+Implements the semantics of the reference's arithmetic-expression tree
+(``/root/reference/src/arithmetic/arithmetic_expression.c``) and its
+function registry (``src/arithmetic/funcs.c``; per-family files cited in
+the registry below) on top of ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen-friendly; no Python UDFs anywhere in this module.
+
+Type-dependent dispatch (``+`` is addition / string concat / list concat;
+``x[i]`` is list index / map lookup) resolves operand types by probing the
+analyzed schema of the current DataFrame — the planner-time analog of
+``SIValue`` tag dispatch (``src/value.h:81-96``).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from redisgraph_spark.cypher import ast as A
+
+_NUMERIC_INT = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+class VarInfo:
+    """What a bound Cypher variable is: node/edge struct, path struct, or
+    plain scalar column (≈ the Record entry kinds of
+    ``src/execution_plan/record.h:34-41``)."""
+
+    def __init__(self, kind: str, fields: tuple[str, ...] = ()) -> None:
+        self.kind = kind  # 'node' | 'edge' | 'path' | 'scalar'
+        self.fields = fields
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"VarInfo({self.kind})"
+
+
+class CompileError(ValueError):
+    pass
+
+
+class ExprCompiler:
+    def __init__(self, df: DataFrame | None,
+                 variables: dict[str, VarInfo],
+                 params: dict[str, object],
+                 query_time_ms: int | None = None) -> None:
+        self.df = df
+        self.vars = variables
+        self.params = params
+        self.query_time_ms = query_time_ms or int(time.time() * 1000)
+
+    # ------------------------------------------------------------ type probe
+    def dtype(self, col: Column) -> T.DataType:
+        df = self.df
+        if df is None:
+            raise CompileError("no DataFrame in scope for type probing")
+        return df.select(col.alias("_t")).schema[0].dataType
+
+    def _is_string(self, col: Column) -> bool:
+        try:
+            return isinstance(self.dtype(col), T.StringType)
+        except Exception:
+            return False
+
+    def _is_array(self, col: Column) -> bool:
+        try:
+            return isinstance(self.dtype(col), T.ArrayType)
+        except Exception:
+            return False
+
+    # -------------------------------------------------------------- dispatch
+    def compile(self, e: A.Expr) -> Column:
+        m = getattr(self, "_c_" + type(e).__name__, None)
+        if m is None:
+            raise CompileError(f"Unsupported expression {type(e).__name__}")
+        return m(e)
+
+    # ---------------------------------------------------------------- leaves
+    def _c_Literal(self, e: A.Literal) -> Column:
+        if e.value is None:
+            return F.lit(None)
+        return F.lit(e.value)
+
+    def _c_Parameter(self, e: A.Parameter) -> Column:
+        if e.name not in self.params:
+            raise CompileError(f"Missing parameter ${e.name}")
+        v = self.params[e.name]
+        if isinstance(v, (list, tuple)):
+            return F.array(*[F.lit(x) for x in v])
+        return F.lit(v)
+
+    def _c_Variable(self, e: A.Variable) -> Column:
+        if e.name not in self.vars:
+            raise CompileError(f"Unknown variable `{e.name}`")
+        return F.col(e.name)
+
+    def _c_ListLiteral(self, e: A.ListLiteral) -> Column:
+        return F.array(*[self.compile(x) for x in e.items])
+
+    def _c_MapLiteral(self, e: A.MapLiteral) -> Column:
+        return F.struct(*[self.compile(v).alias(k) for k, v in e.items])
+
+    # ------------------------------------------------------------- accessors
+    def _c_Property(self, e: A.Property) -> Column:
+        if isinstance(e.subject, A.Variable) and e.subject.name in self.vars:
+            info = self.vars[e.subject.name]
+            if info.kind in ("node", "edge"):
+                if e.key in info.fields:
+                    return F.col(e.subject.name).getField(e.key)
+                # missing property → null (schemaless semantics,
+                # src/graph/entities/graph_entity.h:48-58)
+                return F.lit(None)
+        subject = self.compile(e.subject)
+        return subject.getField(e.key)
+
+    def _c_Subscript(self, e: A.Subscript) -> Column:
+        subject = self.compile(e.subject)
+        idx = self.compile(e.index)
+        if self._is_array(subject):
+            # Cypher is 0-based with negative wrap; element_at is 1-based
+            # with negative-from-end.
+            return F.when(idx >= 0, F.element_at(subject, (idx + 1).cast("int"))) \
+                    .otherwise(F.element_at(subject, idx.cast("int")))
+        try:
+            dt = self.dtype(subject)
+        except Exception:
+            dt = None
+        if isinstance(dt, T.MapType):
+            return F.element_at(subject, idx)
+        if isinstance(dt, T.StructType) and isinstance(e.index, A.Literal) \
+                and isinstance(e.index.value, str):
+            return subject.getField(e.index.value)
+        return F.element_at(subject, idx)
+
+    def _c_Slice(self, e: A.Slice) -> Column:
+        subject = self.compile(e.subject)
+        start = self.compile(e.start) if e.start is not None else F.lit(0)
+        if e.end is not None:
+            end = self.compile(e.end)
+        else:
+            end = F.size(subject)
+        # negative bounds wrap from the end, Cypher-style
+        n = F.size(subject)
+        start = F.when(start < 0, start + n).otherwise(start)
+        end = F.when(end < 0, end + n).otherwise(end)
+        length = F.greatest(end - start, F.lit(0))
+        return F.slice(subject, (start + 1).cast("int"), length.cast("int"))
+
+    # ------------------------------------------------------------- operators
+    def _c_Unary(self, e: A.Unary) -> Column:
+        operand = self.compile(e.operand)
+        if e.op == "-":
+            return -operand
+        if e.op == "NOT":
+            return ~operand.cast("boolean")
+        return operand
+
+    def _c_Binary(self, e: A.Binary) -> Column:
+        op = e.op
+        if op in ("AND", "OR", "XOR"):
+            l = self.compile(e.left).cast("boolean")
+            r = self.compile(e.right).cast("boolean")
+            if op == "AND":
+                return l & r
+            if op == "OR":
+                return l | r
+            return (l & ~r) | (~l & r)
+        l = self.compile(e.left)
+        r = self.compile(e.right)
+        if op == "+":
+            # addition / string concat / list concat, by operand type
+            # (reference: SIValue_Add, src/value.h:176-187 + string concat)
+            if self._is_array(l) or self._is_array(r):
+                if not self._is_array(l):
+                    l = F.array(l)
+                if not self._is_array(r):
+                    r = F.array(r)
+                return F.concat(l, r)
+            if self._is_string(l) or self._is_string(r):
+                return F.concat(l.cast("string"), r.cast("string"))
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            # division is always floating point in the reference
+            # (src/value.h:181-187); DuckDB agrees, so oracles line up.
+            lt, rt = self.dtype(l), self.dtype(r)
+            if isinstance(lt, _NUMERIC_INT) and isinstance(rt, _NUMERIC_INT):
+                return l.cast("double") / r.cast("double")
+            return l / r
+        if op == "%":
+            return l % r
+        if op == "^":
+            return F.pow(l, r)
+        raise CompileError(f"Unknown binary op {op}")
+
+    def _c_Comparison(self, e: A.Comparison) -> Column:
+        out: Column | None = None
+        left = self.compile(e.first)
+        for op, right_ast in e.rest:
+            right = self.compile(right_ast)
+            if op == "=":
+                c = left == right
+            elif op == "<>":
+                c = left != right
+            elif op == "<":
+                c = left < right
+            elif op == "<=":
+                c = left <= right
+            elif op == ">":
+                c = left > right
+            else:
+                c = left >= right
+            out = c if out is None else (out & c)
+            left = right
+        assert out is not None
+        return out
+
+    def _c_IsNull(self, e: A.IsNull) -> Column:
+        c = self.compile(e.operand)
+        return c.isNotNull() if e.negated else c.isNull()
+
+    def _c_In(self, e: A.In) -> Column:
+        needle = self.compile(e.needle)
+        haystack = self.compile(e.haystack)
+        return F.array_contains(haystack, needle)
+
+    def _c_StringOp(self, e: A.StringOp) -> Column:
+        l = self.compile(e.left)
+        r = self.compile(e.right)
+        if e.op == "STARTS WITH":
+            return l.startswith(r)
+        if e.op == "ENDS WITH":
+            return l.endswith(r)
+        if e.op == "CONTAINS":
+            return l.contains(r)
+        if e.op == "=~":
+            return l.rlike(self._literal_str(e.right))
+        raise CompileError(e.op)
+
+    def _literal_str(self, e: A.Expr) -> str:
+        if isinstance(e, A.Literal) and isinstance(e.value, str):
+            return e.value
+        if isinstance(e, A.Parameter):
+            return str(self.params[e.name])
+        raise CompileError("regex pattern must be a literal or parameter")
+
+    def _c_CaseExpr(self, e: A.CaseExpr) -> Column:
+        out = None
+        for cond_ast, val_ast in e.whens:
+            if e.test is not None:
+                cond = self.compile(e.test) == self.compile(cond_ast)
+            else:
+                cond = self.compile(cond_ast).cast("boolean")
+            val = self.compile(val_ast)
+            out = F.when(cond, val) if out is None else out.when(cond, val)
+        if out is None:
+            raise CompileError("CASE with no WHEN branches")
+        if e.default is not None:
+            out = out.otherwise(self.compile(e.default))
+        return out
+
+    # --------------------------------------------- higher-order list support
+    def _lambda1(self, var: str, body: A.Expr):
+        """Compile a 1-arg lambda body where `var` is the lambda variable.
+
+        Spark higher-order functions give us a Column for the element; we
+        temporarily map the variable onto it via a nested compiler.
+        """
+        outer = self
+
+        def fn(elem: Column) -> Column:
+            sub = _LambdaCompiler(outer, {var: elem})
+            return sub.compile(body)
+
+        return fn
+
+    def _c_ListComprehension(self, e: A.ListComprehension) -> Column:
+        source = self.compile(e.source)
+        if e.where is not None:
+            pred = self._lambda1(e.var, e.where)
+            source = F.filter(source, lambda x: pred(x).cast("boolean"))
+        if e.projection is not None:
+            proj = self._lambda1(e.var, e.projection)
+            source = F.transform(source, proj)
+        return source
+
+    def _c_Quantifier(self, e: A.Quantifier) -> Column:
+        source = self.compile(e.source)
+        pred = self._lambda1(e.var, e.where)
+        wrapped = lambda x: pred(x).cast("boolean")  # noqa: E731
+        if e.kind == "any":
+            return F.exists(source, wrapped)
+        if e.kind == "all":
+            return F.forall(source, wrapped)
+        if e.kind == "none":
+            return ~F.exists(source, wrapped)
+        # single: exactly one element satisfies
+        return F.size(F.filter(source, wrapped)) == 1
+
+    def _c_Reduce(self, e: A.Reduce) -> Column:
+        source = self.compile(e.source)
+        init = self.compile(e.init)
+        outer = self
+
+        def merge(acc: Column, x: Column) -> Column:
+            sub = _LambdaCompiler(outer, {e.acc: acc, e.var: x})
+            return sub.compile(e.expr)
+
+        return F.aggregate(source, init, merge)
+
+    # ------------------------------------------------------------- functions
+    def _c_CountStar(self, e: A.CountStar) -> Column:  # handled by planner
+        raise CompileError("count(*) outside aggregation context")
+
+    def _c_FuncCall(self, e: A.FuncCall) -> Column:
+        name = e.name
+        fn = getattr(self, "_fn_" + name, None)
+        if fn is not None:
+            return fn(e)
+        builder = _SIMPLE_FUNCS.get(name)
+        if builder is None:
+            raise CompileError(f"Unknown function {name}()")
+        args = [self.compile(a) for a in e.args]
+        return builder(*args)
+
+    # function implementations that need type info or special handling ------
+    def _fn_substring(self, e: A.FuncCall) -> Column:
+        # Cypher substring(str, start, [len]) is 0-based
+        # (src/arithmetic/string_funcs/string_funcs.c)
+        s = self.compile(e.args[0])
+        start = self.compile(e.args[1]) + 1
+        if len(e.args) > 2:
+            return s.substr(start.cast("int"), self.compile(e.args[2]).cast("int"))
+        return s.substr(start.cast("int"), F.length(s))
+
+    def _fn_size(self, e: A.FuncCall) -> Column:
+        c = self.compile(e.args[0])
+        if self._is_string(c):
+            return F.length(c).cast("long")
+        return F.size(c).cast("long")
+
+    def _fn_length(self, e: A.FuncCall) -> Column:
+        # length() of a path = number of edges (src/arithmetic/path_funcs/
+        # path_funcs.c:266-289); of a string = chars.
+        if isinstance(e.args[0], A.Variable):
+            info = self.vars.get(e.args[0].name)
+            if info is not None and info.kind == "path":
+                return F.size(F.col(e.args[0].name).getField("edges")).cast("long")
+        c = self.compile(e.args[0])
+        if self._is_string(c):
+            return F.length(c).cast("long")
+        return F.size(c).cast("long")
+
+    def _fn_id(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).getField("_id")
+
+    def _fn_labels(self, e: A.FuncCall) -> Column:
+        return F.array(self.compile(e.args[0]).getField("_label"))
+
+    def _fn_type(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).getField("_rel")
+
+    def _fn_startnode(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).getField("_src")
+
+    def _fn_endnode(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).getField("_dst")
+
+    def _fn_exists(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).isNotNull()
+
+    def _fn_properties(self, e: A.FuncCall) -> Column:
+        if isinstance(e.args[0], A.Variable):
+            info = self.vars.get(e.args[0].name)
+            if info is not None and info.kind in ("node", "edge"):
+                c = F.col(e.args[0].name)
+                return F.struct(*[c.getField(f).alias(f) for f in info.fields])
+        return self.compile(e.args[0])
+
+    def _fn_timestamp(self, e: A.FuncCall) -> Column:
+        # fixed per query via QueryCtx (src/arithmetic/time_funcs/
+        # time_funcs.c:22)
+        return F.lit(self.query_time_ms)
+
+    def _fn_nodes(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).getField("nodes")
+
+    def _fn_relationships(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).getField("edges")
+
+    def _fn_point(self, e: A.FuncCall) -> Column:
+        m = self.compile(e.args[0])
+        return F.struct(m.getField("latitude").cast("double").alias("latitude"),
+                        m.getField("longitude").cast("double").alias("longitude"))
+
+    def _fn_distance(self, e: A.FuncCall) -> Column:
+        # haversine, matching src/arithmetic/point_funcs/point_funcs.c
+        p1 = self.compile(e.args[0])
+        p2 = self.compile(e.args[1])
+        lat1 = F.radians(p1.getField("latitude"))
+        lat2 = F.radians(p2.getField("latitude"))
+        dlat = lat2 - lat1
+        dlon = F.radians(p2.getField("longitude")) - F.radians(p1.getField("longitude"))
+        a = F.sin(dlat / 2) ** 2 + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) ** 2
+        return F.lit(2 * 6378140.0) * F.asin(F.sqrt(a))
+
+    def _fn_tointeger(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).cast("long")
+
+    def _fn_tofloat(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).cast("double")
+
+    def _fn_toboolean(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).cast("boolean")
+
+    def _fn_tostring(self, e: A.FuncCall) -> Column:
+        return self.compile(e.args[0]).cast("string")
+
+
+class _LambdaCompiler(ExprCompiler):
+    """ExprCompiler with extra lambda-bound variables mapped to Columns."""
+
+    def __init__(self, parent: ExprCompiler,
+                 bindings: dict[str, Column]) -> None:
+        super().__init__(parent.df, parent.vars, parent.params,
+                         parent.query_time_ms)
+        self.bindings = dict(bindings)
+        if isinstance(parent, _LambdaCompiler):
+            for k, v in parent.bindings.items():
+                self.bindings.setdefault(k, v)
+
+    def _c_Variable(self, e: A.Variable) -> Column:
+        if e.name in self.bindings:
+            return self.bindings[e.name]
+        return super()._c_Variable(e)
+
+
+# Registry of functions that are a direct pyspark.sql.functions mapping.
+# Reference registrations: string_funcs.c:249-324, numeric_funcs.c:144-203,
+# list_funcs.c:222-263, conditional_funcs.c:83-88, map_funcs.c:49.
+_SIMPLE_FUNCS = {
+    "abs": F.abs,
+    "ceil": lambda c: F.ceil(c).cast("double"),
+    "floor": lambda c: F.floor(c).cast("double"),
+    "rand": lambda: F.rand(),
+    "round": lambda c: F.round(c, 0),
+    "sign": lambda c: F.signum(c).cast("long"),
+    "sqrt": F.sqrt,
+    "e": lambda: F.lit(2.718281828459045),
+    "exp": F.exp,
+    "log": F.log,
+    "log10": F.log10,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "cot": lambda c: F.lit(1.0) / F.tan(c),
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "atan2": F.atan2,
+    "pi": lambda: F.lit(3.141592653589793),
+    "degrees": F.degrees,
+    "radians": F.radians,
+    "haversin": lambda c: (F.lit(1.0) - F.cos(c)) / 2,
+    "left": lambda s, n: s.substr(F.lit(1), n.cast("int")),
+    "right": lambda s, n: s.substr(F.length(s) - n.cast("int") + 1, n.cast("int")),
+    "ltrim": F.ltrim,
+    "rtrim": F.rtrim,
+    "trim": F.trim,
+    "reverse": F.reverse,
+    "tolower": F.lower,
+    "toupper": F.upper,
+    "tojson": F.to_json,
+    "split": F.split,
+    "replace": lambda s, a, b: F.replace(s, a, b),
+    "randomuuid": lambda: F.expr("uuid()"),
+    "coalesce": F.coalesce,
+    "head": lambda c: F.element_at(c, 1),
+    "last": lambda c: F.element_at(c, -1),
+    "tail": lambda c: F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0))),
+    "range": lambda a, b, *step: F.sequence(
+        a.cast("long"), b.cast("long"),
+        (step[0].cast("long") if step else F.lit(1).cast("long"))),
+    "keys": lambda c: F.map_keys(c),
+    "tomap": lambda c: c,
+}

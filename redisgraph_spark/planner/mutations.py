@@ -1,0 +1,286 @@
+"""Graph mutations: CREATE / MERGE / SET / DELETE as table rewrites.
+
+Reference semantics: mutations buffer during consume and commit atomically
+under the single writer lock (``/root/reference/src/execution_plan/ops/
+op_create.c:21,49-116``, ``op_update.c:66-100``, ``op_delete.c``,
+``op_merge.c:24-64``; lock discipline ``src/commands/cmd_query.c:214-233``).
+Spark-native: each mutation derives new node/edge DataFrames and swaps
+them into the Graph atomically at the end of the query — the DataFrame
+immutability gives us the buffered-commit semantics for free; at cluster
+scale the swap would be a Delta/Iceberg transactional commit.
+
+Mutation statistics mirror ``src/resultset/resultset_statistics.h:12-20``.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redisgraph_spark.cypher import ast as A
+from redisgraph_spark.planner.expressions import VarInfo
+
+_id_counter = itertools.count(10_000_000_000_000_000)
+
+
+def _fresh_ids(n: int) -> list[int]:
+    return [next(_id_counter) for _ in range(n)]
+
+
+def apply_mutation(planner, ctx, clause) -> DataFrame | None:
+    if isinstance(clause, A.CreateClause):
+        return _create(planner, ctx, clause)
+    if isinstance(clause, A.SetClause):
+        return _set(planner, ctx, clause)
+    if isinstance(clause, A.DeleteClause):
+        return _delete(planner, ctx, clause)
+    if isinstance(clause, A.MergeClause):
+        return _merge(planner, ctx, clause)
+    raise ValueError(type(clause).__name__)
+
+
+# ---------------------------------------------------------------- CREATE
+def _eval_props(planner, ctx, props: list[tuple[str, A.Expr]]) -> dict:
+    comp = planner.compiler(ctx)
+    out = {}
+    for k, v in props:
+        if isinstance(v, A.Literal):
+            out[k] = v.value
+        elif isinstance(v, A.Parameter):
+            out[k] = planner.params[v.name]
+        else:
+            raise ValueError(
+                "CREATE property values must be literals or parameters "
+                "when creating outside a MATCH context")
+    return out
+
+
+def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
+    g = planner.graph
+    spark = g.spark
+    if ctx.df is not None:
+        return _create_bound(planner, ctx, clause)
+    nodes_created = 0
+    edges_created = 0
+    pending_nodes: dict[str, tuple[str, dict]] = {}  # var -> (label, props)
+    for path in clause.paths:
+        els = path.elements
+        # first pass: nodes
+        for el in els[::2]:
+            var = el.var or planner.sym("cn")
+            label = el.labels[0] if el.labels else ""
+            pending_nodes[var] = (label, _eval_props(planner, ctx, el.props))
+        # assign ids & append node rows per label
+        ids = dict(zip(pending_nodes, _fresh_ids(len(pending_nodes))))
+        by_label: dict[str, list[dict]] = {}
+        for var, (label, props) in pending_nodes.items():
+            row = {"_id": ids[var], **props}
+            by_label.setdefault(label, []).append(row)
+        for label, rows in by_label.items():
+            df = spark.createDataFrame(rows)
+            g.node_tables[label] = (
+                g.node_tables[label].unionByName(df, allowMissingColumns=True)
+                if label in g.node_tables else df)
+            nodes_created += len(rows)
+        # second pass: edges
+        i = 1
+        while i < len(els):
+            rel: A.RelPattern = els[i]
+            src_var = els[i - 1].var or list(pending_nodes)[0]
+            dst_var = els[i + 1].var
+            rtype = rel.types[0] if rel.types else "RELATED"
+            props = _eval_props(planner, ctx, rel.props)
+            src_id = ids.get(src_var)
+            dst_id = ids.get(dst_var)
+            if rel.direction == "in":
+                src_id, dst_id = dst_id, src_id
+            row = {"_id": _fresh_ids(1)[0], "_src": src_id, "_dst": dst_id,
+                   **props}
+            df = spark.createDataFrame([row])
+            g.edge_tables[rtype] = (
+                g.edge_tables[rtype].unionByName(df, allowMissingColumns=True)
+                if rtype in g.edge_tables else df)
+            edges_created += 1
+            i += 2
+    planner.stats["nodes_created"] = \
+        planner.stats.get("nodes_created", 0) + nodes_created
+    planner.stats["relationships_created"] = \
+        planner.stats.get("relationships_created", 0) + edges_created
+    return None
+
+
+def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
+    """CREATE after MATCH: new edges between matched nodes, or new nodes
+    per input row."""
+    g = planner.graph
+    comp = planner.compiler(ctx)
+    edges_created = 0
+    for path in clause.paths:
+        els = path.elements
+        if len(els) == 1:
+            np = els[0]
+            label = np.labels[0] if np.labels else ""
+            cols = [F.lit(None).cast("long").alias("_id")] + [
+                comp.compile(v).alias(k) for k, v in np.props]
+            rows = ctx.df.select(cols)
+            # deterministic ids: hash of row content offset into the
+            # mutation namespace
+            rows = rows.withColumn(
+                "_id", F.abs(F.xxhash64(*[c for c in rows.columns
+                                          if c != "_id"])) +
+                F.lit(20_000_000_000_000_000))
+            g.node_tables[label] = (
+                g.node_tables[label].unionByName(
+                    rows, allowMissingColumns=True)
+                if label in g.node_tables else rows)
+            planner.stats["nodes_created"] = \
+                planner.stats.get("nodes_created", 0) + rows.count()
+            continue
+        i = 1
+        while i < len(els):
+            rel: A.RelPattern = els[i]
+            src_np, dst_np = els[i - 1], els[i + 1]
+            if src_np.var is None or src_np.var not in ctx.vars or \
+                    dst_np.var is None or dst_np.var not in ctx.vars:
+                raise ValueError(
+                    "CREATE edges require both endpoints bound by MATCH")
+            rtype = rel.types[0] if rel.types else "RELATED"
+            src_c = F.col(f"{src_np.var}._id")
+            dst_c = F.col(f"{dst_np.var}._id")
+            if rel.direction == "in":
+                src_c, dst_c = dst_c, src_c
+            cols = [src_c.alias("_src"), dst_c.alias("_dst")] + [
+                comp.compile(v).alias(k) for k, v in rel.props]
+            rows = ctx.df.select(cols)
+            rows = rows.withColumn(
+                "_id", F.abs(F.xxhash64("_src", "_dst")) +
+                F.lit(21_000_000_000_000_000))
+            cnt = rows.count()
+            g.edge_tables[rtype] = (
+                g.edge_tables[rtype].unionByName(
+                    rows, allowMissingColumns=True)
+                if rtype in g.edge_tables else rows)
+            edges_created += cnt
+            i += 2
+    if edges_created:
+        planner.stats["relationships_created"] = \
+            planner.stats.get("relationships_created", 0) + edges_created
+    return None
+
+
+# ------------------------------------------------------------------- SET
+def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
+    """SET n.prop = expr — rewrite the affected label tables: matched rows
+    get the new value, others keep theirs (reference buffers then commits
+    all-at-once: ``ops/op_update.c:66-100``). ``SET p = NULL`` removes the
+    property (``docs/cypher_support.md:66-68``)."""
+    g = planner.graph
+    comp = planner.compiler(ctx)
+    props_set = 0
+    for item in clause.items:
+        if not isinstance(item.target, A.Property) or \
+                not isinstance(item.target.subject, A.Variable):
+            raise ValueError("SET supports n.prop = expr")
+        var = item.target.subject.name
+        key = item.target.key
+        info = ctx.vars[var]
+        # updates keyed by entity id
+        upd = ctx.df.select(
+            F.col(f"{var}._id").alias("__uid"),
+            comp.compile(item.value).alias("__uval")).dropDuplicates(["__uid"])
+        upd_cnt = upd.count()
+        if info.kind == "node":
+            tables = g.node_tables
+        else:
+            tables = g.edge_tables
+        for name, tbl in list(tables.items()):
+            joined = tbl.join(
+                F.broadcast(upd), tbl["_id"] == upd["__uid"], "left")
+            if key in tbl.columns:
+                newcol = F.when(F.col("__uid").isNotNull(), F.col("__uval")) \
+                    .otherwise(F.col(key))
+            else:
+                newcol = F.when(F.col("__uid").isNotNull(), F.col("__uval"))
+            out = joined.withColumn(key, newcol).drop("__uid", "__uval")
+            tables[name] = out.localCheckpoint(eager=True)
+        props_set += upd_cnt
+    planner.stats["properties_set"] = \
+        planner.stats.get("properties_set", 0) + props_set
+    return None
+
+
+# ----------------------------------------------------------------- DELETE
+def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
+    """DETACH DELETE semantics: node deletion cascades to incident edges
+    (reference ``ops/op_delete.c``, ``Graph_BulkDelete``
+    ``src/graph/graph.h:172-181``) — expressed as anti-joins."""
+    g = planner.graph
+    nodes_deleted = 0
+    edges_deleted = 0
+    for e in clause.exprs:
+        if not isinstance(e, A.Variable):
+            raise ValueError("DELETE expects variables")
+        var = e.name
+        info = ctx.vars[var]
+        ids = ctx.df.select(
+            F.col(f"{var}._id").alias("__did")).dropDuplicates()
+        idc = ids.count()
+        if info.kind == "edge":
+            for name, tbl in list(g.edge_tables.items()):
+                g.edge_tables[name] = tbl.join(
+                    F.broadcast(ids), tbl["_id"] == ids["__did"],
+                    "left_anti").localCheckpoint(eager=True)
+            edges_deleted += idc
+        else:
+            for name, tbl in list(g.node_tables.items()):
+                g.node_tables[name] = tbl.join(
+                    F.broadcast(ids), tbl["_id"] == ids["__did"],
+                    "left_anti").localCheckpoint(eager=True)
+            # cascade: remove incident edges
+            for name, tbl in list(g.edge_tables.items()):
+                before = tbl.count()
+                kept = tbl.join(F.broadcast(ids),
+                                tbl["_src"] == ids["__did"], "left_anti")
+                kept = kept.join(F.broadcast(ids),
+                                 kept["_dst"] == ids["__did"], "left_anti")
+                kept = kept.localCheckpoint(eager=True)
+                edges_deleted += before - kept.count()
+                g.edge_tables[name] = kept
+            nodes_deleted += idc
+    planner.stats["nodes_deleted"] = \
+        planner.stats.get("nodes_deleted", 0) + nodes_deleted
+    planner.stats["relationships_deleted"] = \
+        planner.stats.get("relationships_deleted", 0) + edges_deleted
+    return None
+
+
+# ------------------------------------------------------------------ MERGE
+def _merge(planner, ctx, clause: A.MergeClause) -> DataFrame | None:
+    """MERGE = match-else-create with ON MATCH / ON CREATE hooks
+    (reference 3-stream design ``ops/op_merge.c:24-64``). Round-1 scope:
+    single-node patterns."""
+    from redisgraph_spark.planner.planner import Ctx
+
+    els = clause.path.elements
+    if len(els) != 1:
+        raise NotImplementedError("MERGE on multi-element patterns: "
+                                  "round-2 scope")
+    np: A.NodePattern = els[0]
+    probe = Ctx()
+    planner._compile_path(probe, A.PatternPath(None, [np]), [])
+    exists = not probe.df.isEmpty()
+    if exists:
+        if np.var:
+            planner._compile_path(ctx, clause.path, [])
+        if clause.on_match:
+            _set(planner, ctx if ctx.df is not None else probe,
+                 A.SetClause(clause.on_match))
+    else:
+        _create(planner, Ctx(), A.CreateClause([clause.path]))
+        if np.var:
+            planner._compile_path(ctx, clause.path, [])
+        if clause.on_create:
+            _set(planner, ctx, A.SetClause(clause.on_create))
+    return None

@@ -1,0 +1,797 @@
+"""Cypher AST → DataFrame plan compiler.
+
+The Spark-first replacement for the reference's execution-plan builder
+(``/root/reference/src/execution_plan/execution_plan.c:280-304`` and
+``execution_plan_build/``):
+
+- node/edge pattern → pruned table scan + equi-joins
+  (ConditionalTraverse ``ops/op_conditional_traverse.c`` ⇒ hash join on
+  ``_src``/``_dst``; ExpandInto ``ops/op_expand_into.c`` ⇒ join + endpoint
+  filter),
+- WHERE ⇒ ``df.filter`` (Catalyst pushes it down — the reference's
+  filter-placement pass ``execution_plan.c:258`` is free),
+- pattern predicates ⇒ semi/anti joins (SemiApply family,
+  ``ops/op_semi_apply.h:13-31``; ``reduce_to_apply.c:64-110``),
+- WITH/RETURN ⇒ project / groupBy-agg / sort / limit chain
+  (``build_projection_ops.c:160-231``),
+- OPTIONAL MATCH ⇒ left outer join (``ops/op_optional.h:12-30``),
+- UNWIND ⇒ ``explode`` (``ops/op_unwind.c:39-49``),
+- UNION ⇒ ``unionByName`` (+ ``dropDuplicates``) (``ops/op_join.c:12-18``),
+- var-len patterns ⇒ iterative frontier joins
+  (``redisgraph_spark.algorithms.traversal``).
+
+Catalyst supplies what the reference implements by hand in
+``src/execution_plan/optimizations/`` (filter compaction, index usage ⇒
+parquet pushdown, join selection, limit pushdown, top-k sort).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from redisgraph_spark.cypher import ast as A
+from redisgraph_spark.planner.expressions import (CompileError, ExprCompiler,
+                                                  VarInfo)
+from redisgraph_spark.algorithms import traversal as TRAV
+
+AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect", "stdev",
+             "stdevp", "percentiledisc", "percentilecont"}
+
+
+@dataclass
+class Ctx:
+    df: DataFrame | None = None
+    vars: dict[str, VarInfo] = field(default_factory=dict)
+
+
+def _walk(e):
+    """Yield every AST node under `e` (incl. itself)."""
+    yield e
+    if hasattr(e, "__dataclass_fields__"):
+        for f in e.__dataclass_fields__:
+            v = getattr(e, f)
+            if isinstance(v, A.Expr) or hasattr(v, "__dataclass_fields__"):
+                yield from _walk(v)
+            elif isinstance(v, list):
+                for item in v:
+                    if hasattr(item, "__dataclass_fields__"):
+                        yield from _walk(item)
+                    elif isinstance(item, tuple):
+                        for x in item:
+                            if hasattr(x, "__dataclass_fields__"):
+                                yield from _walk(x)
+
+
+def _has_agg(e: A.Expr) -> bool:
+    for n in _walk(e):
+        if isinstance(n, A.CountStar):
+            return True
+        if isinstance(n, A.FuncCall) and n.name in AGG_FUNCS:
+            return True
+    return False
+
+
+def _deparse(e: A.Expr) -> str:
+    if isinstance(e, A.Variable):
+        return e.name
+    if isinstance(e, A.Property):
+        return f"{_deparse(e.subject)}.{e.key}"
+    if isinstance(e, A.CountStar):
+        return "count(*)"
+    if isinstance(e, A.FuncCall):
+        inner = ", ".join(_deparse(a) for a in e.args)
+        d = "DISTINCT " if e.distinct else ""
+        return f"{e.name}({d}{inner})"
+    if isinstance(e, A.Literal):
+        return repr(e.value)
+    return "expr"
+
+
+class PlanError(ValueError):
+    pass
+
+
+def _colref(name: str) -> Column:
+    """Column reference that survives dots in generated aliases."""
+    return F.col("`" + name + "`") if ("." in name or "(" in name) \
+        else F.col(name)
+
+
+class CypherPlanner:
+    def __init__(self, graph, params: dict | None = None) -> None:
+        self.graph = graph
+        self.params = dict(params or {})
+        self._gensym = itertools.count()
+        self.stats: dict[str, int] = {}
+
+    # ---------------------------------------------------------------- helpers
+    def sym(self, prefix: str) -> str:
+        return f"__{prefix}{next(self._gensym)}"
+
+    def compiler(self, ctx: Ctx) -> ExprCompiler:
+        df = ctx.df if ctx.df is not None else self._unit_df()
+        return ExprCompiler(df, ctx.vars, self.params)
+
+    def _unit_df(self) -> DataFrame:
+        return self.graph.spark.range(1).select(F.lit(0).alias("__unit"))
+
+    def _node_scan(self, labels: list[str] | None) -> tuple[DataFrame, tuple[str, ...]]:
+        flat = self.graph.nodes(labels if labels else None)
+        props = tuple(c for c in flat.columns if c not in ("_id", "_label"))
+        return flat, props
+
+    def _edge_flat(self, types: list[str] | None) -> tuple[DataFrame, tuple[str, ...]]:
+        flat = self.graph.edges(types if types else None)
+        props = tuple(c for c in flat.columns
+                      if c not in ("_id", "_src", "_dst", "_rel"))
+        return flat, props
+
+    def _const_int(self, e: A.Expr | None) -> int | None:
+        if e is None:
+            return None
+        if isinstance(e, A.Literal) and isinstance(e.value, int):
+            return e.value
+        if isinstance(e, A.Parameter):
+            return int(self.params[e.name])
+        raise PlanError("SKIP/LIMIT must be an integer literal or parameter")
+
+    # ------------------------------------------------------------------ plan
+    def plan(self, q: A.Query) -> DataFrame:
+        dfs = [self.plan_single(p) for p in q.parts]
+        out = dfs[0]
+        for df in dfs[1:]:
+            if out.columns != df.columns:
+                raise PlanError("UNION parts must project the same columns")
+            out = out.unionByName(df)
+        if len(dfs) > 1 and not all(q.union_all):
+            out = out.dropDuplicates()
+        return out
+
+    def plan_single(self, q: A.SingleQuery) -> DataFrame:
+        ctx = Ctx()
+        result: DataFrame | None = None
+        for clause in q.clauses:
+            if isinstance(clause, A.MatchClause):
+                self._clause_match(ctx, clause)
+            elif isinstance(clause, A.UnwindClause):
+                self._clause_unwind(ctx, clause)
+            elif isinstance(clause, A.WithClause):
+                self._clause_with(ctx, clause)
+            elif isinstance(clause, A.ReturnClause):
+                result = self._clause_return(ctx, clause)
+            elif isinstance(clause, A.CallClause):
+                self._clause_call(ctx, clause)
+            elif isinstance(clause, (A.CreateClause, A.MergeClause,
+                                     A.SetClause, A.DeleteClause)):
+                from redisgraph_spark.planner.mutations import apply_mutation
+                result = apply_mutation(self, ctx, clause)
+            else:
+                raise PlanError(f"Unsupported clause {type(clause).__name__}")
+        if result is None:
+            # mutation-only query: return statistics frame
+            result = self._stats_df()
+        return result
+
+    def _stats_df(self) -> DataFrame:
+        spark = self.graph.spark
+        items = list(self.stats.items()) or [("noop", 0)]
+        return spark.createDataFrame(items, ["stat", "value"])
+
+    # ----------------------------------------------------------------- MATCH
+    def _clause_match(self, ctx: Ctx, clause: A.MatchClause) -> None:
+        if clause.optional:
+            self._optional_match(ctx, clause)
+            return
+        edge_uniq: list[str] = []
+        for path in clause.paths:
+            self._compile_path(ctx, path, edge_uniq)
+        if clause.where is not None:
+            self._apply_where(ctx, clause.where)
+
+    def _apply_where(self, ctx: Ctx, where: A.Expr) -> None:
+        """Split top-level conjuncts; pure pattern predicates become
+        semi/anti joins (SemiApply / AntiSemiApply); everything else is a
+        filter, with embedded pattern predicates turned into boolean flag
+        columns via left joins (ApplyMultiplexer analog,
+        ``ops/op_apply_multiplexer.c:11-33``)."""
+        conjuncts = self._split_and(where)
+        residual: list[A.Expr] = []
+        for c in conjuncts:
+            if isinstance(c, A.PatternPredicate):
+                self._pattern_join(ctx, c.pattern, anti=False)
+            elif isinstance(c, A.Unary) and c.op == "NOT" and \
+                    isinstance(c.operand, A.PatternPredicate):
+                self._pattern_join(ctx, c.operand.pattern, anti=True)
+            else:
+                residual.append(c)
+        if residual:
+            rewritten = [self._rewrite_pattern_flags(ctx, r) for r in residual]
+            comp = self.compiler(ctx)
+            cond = None
+            for r in rewritten:
+                col = comp.compile(r).cast("boolean")
+                cond = col if cond is None else (cond & col)
+            ctx.df = ctx.df.filter(cond)
+
+    def _split_and(self, e: A.Expr) -> list[A.Expr]:
+        if isinstance(e, A.Binary) and e.op == "AND":
+            return self._split_and(e.left) + self._split_and(e.right)
+        return [e]
+
+    def _pattern_subplan(self, ctx: Ctx, pattern: A.PatternPath
+                         ) -> tuple[DataFrame, list[str], Ctx]:
+        """Compile a pattern standalone; return (df, shared_vars, subctx)."""
+        sub = Ctx()
+        self._compile_path(sub, pattern, [])
+        shared = [v for v in sub.vars
+                  if v in ctx.vars and not v.startswith("__")
+                  and ctx.vars[v].kind in ("node", "edge")
+                  and sub.vars[v].kind == ctx.vars[v].kind]
+        if not shared:
+            raise PlanError(
+                "pattern predicate must share at least one bound variable")
+        return sub.df, shared, sub
+
+    def _pattern_join(self, ctx: Ctx, pattern: A.PatternPath,
+                      anti: bool) -> None:
+        sub_df, shared, _ = self._pattern_subplan(ctx, pattern)
+        keys = [self.sym("pk") for _ in shared]
+        key_df = sub_df.select(
+            *[F.col(f"{v}._id").alias(k) for v, k in zip(shared, keys)]
+        ).dropDuplicates()
+        cond = None
+        for v, k in zip(shared, keys):
+            c = F.col(f"{v}._id") == F.col(k)
+            cond = c if cond is None else (cond & c)
+        how = "left_anti" if anti else "left_semi"
+        ctx.df = ctx.df.join(key_df, cond, how)
+
+    def _rewrite_pattern_flags(self, ctx: Ctx, e: A.Expr) -> A.Expr:
+        """Replace embedded PatternPredicate nodes with boolean flag
+        columns computed by distinct-key left joins."""
+        preds = [n for n in _walk(e) if isinstance(n, A.PatternPredicate)]
+        if not preds:
+            return e
+        mapping: dict[int, A.Expr] = {}
+        for p in preds:
+            sub_df, shared, _ = self._pattern_subplan(ctx, p.pattern)
+            keys = [self.sym("pk") for _ in shared]
+            flag = self.sym("ppflag")
+            key_df = sub_df.select(
+                *[F.col(f"{v}._id").alias(k) for v, k in zip(shared, keys)]
+            ).dropDuplicates().withColumn(flag, F.lit(True))
+            cond = None
+            for v, k in zip(shared, keys):
+                c = F.col(f"{v}._id") == F.col(k)
+                cond = c if cond is None else (cond & c)
+            ctx.df = ctx.df.join(key_df, cond, "left") \
+                           .drop(*keys)
+            ctx.vars[flag] = VarInfo("scalar")
+            mapping[id(p)] = A.FuncCall(
+                "coalesce", [A.Variable(flag), A.Literal(False)])
+        return _substitute(e, mapping)
+
+    # ------------------------------------------------------ pattern compile
+    def _compile_path(self, ctx: Ctx, path: A.PatternPath,
+                      edge_uniq: list[str]) -> None:
+        if path.shortest is not None:
+            from redisgraph_spark.algorithms.shortest_path import \
+                compile_shortest_path
+            compile_shortest_path(self, ctx, path)
+            return
+        elements = path.elements
+        prev = self._bind_node(ctx, elements[0])
+        path_edge_arrays: list[str] = []
+        path_node_ids: list[Column] = [F.col(f"{prev}._id")]
+        i = 1
+        while i < len(elements):
+            rel: A.RelPattern = elements[i]
+            node: A.NodePattern = elements[i + 1]
+            if rel.min_hops is not None:
+                tgt = self._var_len_hop(ctx, prev, rel, node)
+                if rel.var is not None:
+                    path_edge_arrays.append(rel.var)
+            else:
+                tgt = self._single_hop(ctx, prev, rel, node, edge_uniq)
+            prev = tgt
+            path_node_ids.append(F.col(f"{prev}._id"))
+            i += 2
+        if path.var is not None:
+            # path value: node ids + edges (edge structs for fixed hops)
+            edge_cols = []
+            for el in elements:
+                if isinstance(el, A.RelPattern) and el.var is not None:
+                    if el.min_hops is not None:
+                        edge_cols.append(F.col(el.var))
+                    else:
+                        edge_cols.append(F.array(F.col(el.var)))
+            if edge_cols:
+                edges_arr = F.concat(*edge_cols) if len(edge_cols) > 1 \
+                    else edge_cols[0]
+            else:
+                edges_arr = F.array().cast("array<struct<_id:bigint>>")
+            ctx.df = ctx.df.withColumn(
+                path.var, F.struct(
+                    F.array(*path_node_ids).alias("nodes"),
+                    edges_arr.alias("edges")))
+            ctx.vars[path.var] = VarInfo("path")
+
+    def _bind_node(self, ctx: Ctx, np: A.NodePattern) -> str:
+        name = np.var or self.sym("n")
+        if name in ctx.vars:
+            # already bound: add label / property constraints
+            if ctx.vars[name].kind != "node":
+                raise PlanError(f"Variable `{name}` is not a node")
+            comp = self.compiler(ctx)
+            if np.labels:
+                ctx.df = ctx.df.filter(
+                    F.col(f"{name}._label").isin(list(np.labels)))
+            for k, v in np.props:
+                if k in ctx.vars[name].fields:
+                    ctx.df = ctx.df.filter(
+                        F.col(name).getField(k) == comp.compile(v))
+                else:
+                    ctx.df = ctx.df.filter(F.lit(False))
+            return name
+        flat, props = self._node_scan(np.labels or None)
+        struct = F.struct(*[F.col(c) for c in flat.columns]).alias(name)
+        sdf = flat.select(struct)
+        if ctx.df is None:
+            ctx.df = sdf
+        else:
+            ctx.df = ctx.df.crossJoin(sdf)
+        ctx.vars[name] = VarInfo("node", props)
+        if np.props:
+            comp = self.compiler(ctx)
+            for k, v in np.props:
+                if k in props:
+                    ctx.df = ctx.df.filter(
+                        F.col(name).getField(k) == comp.compile(v))
+                else:
+                    ctx.df = ctx.df.filter(F.lit(False))
+        return name
+
+    def _oriented_edge_sel(self, rel: A.RelPattern,
+                           from_c: str, to_c: str
+                           ) -> tuple[DataFrame, tuple[str, ...]]:
+        flat, props = self._edge_flat(rel.types or None)
+        oriented = TRAV.oriented_edges(flat, rel.direction, from_c, to_c)
+        return oriented, props
+
+    def _single_hop(self, ctx: Ctx, prev: str, rel: A.RelPattern,
+                    node: A.NodePattern, edge_uniq: list[str]) -> str:
+        e_name = rel.var or self.sym("e")
+        if e_name in ctx.vars:
+            raise PlanError(f"Edge variable `{e_name}` reused")
+        from_c, to_c = self.sym("from"), self.sym("to")
+        oriented, props = self._oriented_edge_sel(rel, from_c, to_c)
+        base_cols = [c for c in oriented.columns if c not in (from_c, to_c)]
+        e_sel = oriented.select(
+            F.struct(*[F.col(c) for c in base_cols]).alias(e_name),
+            F.col(from_c), F.col(to_c))
+        ctx.df = ctx.df.join(
+            e_sel, F.col(f"{prev}._id") == F.col(from_c), "inner")
+        ctx.vars[e_name] = VarInfo("edge", props)
+        comp = self.compiler(ctx)
+        for k, v in rel.props:
+            if k in props:
+                ctx.df = ctx.df.filter(
+                    F.col(e_name).getField(k) == comp.compile(v))
+            else:
+                ctx.df = ctx.df.filter(F.lit(False))
+        # edge-uniqueness within one MATCH (relationship isomorphism;
+        # reference: docs/known_limitations.md:3-24)
+        for other in edge_uniq:
+            ctx.df = ctx.df.filter(
+                F.col(f"{e_name}._id") != F.col(f"{other}._id"))
+        edge_uniq.append(e_name)
+
+        # target node
+        tgt = node.var or self.sym("n")
+        if tgt in ctx.vars:
+            if ctx.vars[tgt].kind != "node":
+                raise PlanError(f"Variable `{tgt}` is not a node")
+            ctx.df = ctx.df.filter(
+                F.col(to_c) == F.col(f"{tgt}._id")).drop(from_c, to_c)
+            comp = self.compiler(ctx)
+            if node.labels:
+                ctx.df = ctx.df.filter(
+                    F.col(f"{tgt}._label").isin(list(node.labels)))
+            for k, v in node.props:
+                if k in ctx.vars[tgt].fields:
+                    ctx.df = ctx.df.filter(
+                        F.col(tgt).getField(k) == comp.compile(v))
+                else:
+                    ctx.df = ctx.df.filter(F.lit(False))
+            return tgt
+        flat, nprops = self._node_scan(node.labels or None)
+        nid = self.sym("nid")
+        n_sel = flat.select(
+            F.struct(*[F.col(c) for c in flat.columns]).alias(tgt),
+            F.col("_id").alias(nid))
+        ctx.df = ctx.df.join(n_sel, F.col(to_c) == F.col(nid), "inner") \
+                       .drop(from_c, to_c, nid)
+        ctx.vars[tgt] = VarInfo("node", nprops)
+        comp = self.compiler(ctx)
+        for k, v in node.props:
+            if k in nprops:
+                ctx.df = ctx.df.filter(
+                    F.col(tgt).getField(k) == comp.compile(v))
+            else:
+                ctx.df = ctx.df.filter(F.lit(False))
+        return tgt
+
+    def _var_len_hop(self, ctx: Ctx, prev: str, rel: A.RelPattern,
+                     node: A.NodePattern) -> str:
+        from_c, to_c = "__vlf", "__vlt"
+        oriented, props = self._oriented_edge_sel(rel, from_c, to_c)
+        comp = self.compiler(ctx)
+        # push edge-property constraints inside the loop
+        # (filterVariableLengthEdges,
+        #  optimizations/filter_variable_length_edges.c)
+        for k, v in rel.props:
+            if k in props:
+                oriented = oriented.filter(F.col(k) == comp.compile(v))
+            else:
+                oriented = oriented.filter(F.lit(False))
+        out_id = self.sym("vlid")
+        out_edges = rel.var  # carry full edge structs only if named
+        base_cols = [c for c in oriented.columns if c not in (from_c, to_c)]
+        struct = F.struct(*[F.col(c) for c in base_cols])
+        ctx.df = TRAV.var_len_expand(
+            ctx.df, F.col(f"{prev}._id"), oriented,
+            rel.min_hops, rel.max_hops, out_id, out_edges,
+            from_col=from_c, to_col=to_c, edge_struct=struct)
+        if rel.var is not None:
+            ctx.vars[rel.var] = VarInfo("scalar")
+        tgt = node.var or self.sym("n")
+        if tgt in ctx.vars:
+            ctx.df = ctx.df.filter(
+                F.col(out_id) == F.col(f"{tgt}._id")).drop(out_id)
+            if node.labels:
+                ctx.df = ctx.df.filter(
+                    F.col(f"{tgt}._label").isin(list(node.labels)))
+            return tgt
+        flat, nprops = self._node_scan(node.labels or None)
+        nid = self.sym("nid")
+        n_sel = flat.select(
+            F.struct(*[F.col(c) for c in flat.columns]).alias(tgt),
+            F.col("_id").alias(nid))
+        ctx.df = ctx.df.join(n_sel, F.col(out_id) == F.col(nid), "inner") \
+                       .drop(out_id, nid)
+        ctx.vars[tgt] = VarInfo("node", nprops)
+        comp = self.compiler(ctx)
+        for k, v in node.props:
+            if k in nprops:
+                ctx.df = ctx.df.filter(
+                    F.col(tgt).getField(k) == comp.compile(v))
+            else:
+                ctx.df = ctx.df.filter(F.lit(False))
+        return tgt
+
+    # -------------------------------------------------------- OPTIONAL MATCH
+    def _optional_match(self, ctx: Ctx, clause: A.MatchClause) -> None:
+        if ctx.df is None:
+            # leading OPTIONAL MATCH behaves like MATCH that may be empty
+            self._clause_match(
+                ctx, A.MatchClause(clause.paths, False, clause.where))
+            return
+        sub = Ctx()
+        edge_uniq: list[str] = []
+        for path in clause.paths:
+            self._compile_path(sub, path, edge_uniq)
+        if clause.where is not None:
+            self._apply_where(sub, clause.where)
+        shared = [v for v in sub.vars if v in ctx.vars
+                  and not v.startswith("__")]
+        if not shared:
+            raise PlanError(
+                "OPTIONAL MATCH must share a variable with the prior scope")
+        public = [v for v in sub.vars
+                  if not v.startswith("__") and v in sub.df.columns]
+        sub_df = sub.df.select([F.col(v) for v in public])
+        renames = {v: self.sym("opt") for v in shared}
+        for v, r in renames.items():
+            sub_df = sub_df.withColumnRenamed(v, r)
+        cond = None
+        for v, r in renames.items():
+            if ctx.vars[v].kind in ("node", "edge"):
+                c = F.col(f"{v}._id") == F.col(f"{r}._id")
+            else:
+                c = F.col(v) == F.col(r)
+            cond = c if cond is None else (cond & c)
+        ctx.df = ctx.df.join(sub_df, cond, "left").drop(*renames.values())
+        for v, info in sub.vars.items():
+            if v not in ctx.vars:
+                ctx.vars[v] = info
+
+    # ---------------------------------------------------------------- UNWIND
+    def _clause_unwind(self, ctx: Ctx, clause: A.UnwindClause) -> None:
+        if ctx.df is None:
+            ctx.df = self._unit_df()
+        comp = self.compiler(ctx)
+        col = comp.compile(clause.expr)
+        ctx.df = ctx.df.select("*", F.explode(col).alias(clause.alias))
+        if "__unit" in ctx.df.columns:
+            ctx.df = ctx.df.drop("__unit")
+        ctx.vars[clause.alias] = VarInfo("scalar")
+
+    # ------------------------------------------------------------------ CALL
+    def _clause_call(self, ctx: Ctx, clause: A.CallClause) -> None:
+        from redisgraph_spark.functions.procedures import run_procedure
+        proc_df, default_cols = run_procedure(self, clause)
+        if clause.yields:
+            sel = []
+            for col_name, alias in clause.yields:
+                if col_name not in proc_df.columns:
+                    raise PlanError(
+                        f"Procedure {clause.proc} has no column {col_name}")
+                sel.append(F.col(col_name).alias(alias or col_name))
+            proc_df = proc_df.select(sel)
+            out_names = [alias or c for c, alias in clause.yields]
+        else:
+            out_names = default_cols
+        if ctx.df is None:
+            ctx.df = proc_df
+        else:
+            ctx.df = ctx.df.crossJoin(proc_df)
+        for n in out_names:
+            ctx.vars[n] = VarInfo("scalar")
+        if clause.where is not None:
+            self._apply_where(ctx, clause.where)
+
+    # ----------------------------------------------------------- WITH/RETURN
+    def _clause_with(self, ctx: Ctx, clause: A.WithClause) -> None:
+        out_df, out_vars = self._project(
+            ctx, clause.items, clause.star, clause.distinct,
+            clause.order_by, clause.skip, clause.limit)
+        ctx.df = out_df
+        ctx.vars = out_vars
+        if clause.where is not None:
+            self._apply_where(ctx, clause.where)
+
+    def _clause_return(self, ctx: Ctx, clause: A.ReturnClause) -> DataFrame:
+        out_df, _ = self._project(
+            ctx, clause.items, clause.star, clause.distinct,
+            clause.order_by, clause.skip, clause.limit)
+        return out_df
+
+    def _project(self, ctx: Ctx, items: list[A.ProjectionItem], star: bool,
+                 distinct: bool, order_by: list[A.OrderItem],
+                 skip: A.Expr | None, limit: A.Expr | None
+                 ) -> tuple[DataFrame, dict[str, VarInfo]]:
+        if ctx.df is None:
+            ctx.df = self._unit_df()
+        all_items: list[A.ProjectionItem] = []
+        if star:
+            for v, info in ctx.vars.items():
+                if not v.startswith("__"):
+                    all_items.append(A.ProjectionItem(A.Variable(v), v))
+        all_items.extend(items)
+        if not all_items:
+            raise PlanError("empty projection")
+
+        aliases: list[str] = []
+        for it in all_items:
+            aliases.append(it.alias or _deparse(it.expr))
+
+        has_agg = any(_has_agg(it.expr) for it in all_items)
+        comp = self.compiler(ctx)
+
+        out_vars: dict[str, VarInfo] = {}
+        for it, alias in zip(all_items, aliases):
+            out_vars[alias] = self._infer_kind(ctx, it.expr)
+
+        if not has_agg:
+            cols = [comp.compile(it.expr).alias(a)
+                    for it, a in zip(all_items, aliases)]
+            out_df = ctx.df.select(cols)
+        else:
+            out_df = self._project_agg(ctx, all_items, aliases, comp)
+
+        if distinct:
+            out_df = out_df.dropDuplicates()
+
+        if order_by:
+            out_df = self._order(ctx, out_df, out_vars, order_by, has_agg,
+                                 all_items, aliases, distinct)
+
+        n_skip = self._const_int(skip)
+        n_limit = self._const_int(limit)
+        if n_skip:
+            out_df = out_df.offset(n_skip)
+        if n_limit is not None:
+            out_df = out_df.limit(n_limit)
+        return out_df, out_vars
+
+    def _infer_kind(self, ctx: Ctx, e: A.Expr) -> VarInfo:
+        if isinstance(e, A.Variable) and e.name in ctx.vars:
+            return ctx.vars[e.name]
+        return VarInfo("scalar")
+
+    def _project_agg(self, ctx: Ctx, items: list[A.ProjectionItem],
+                     aliases: list[str], comp: ExprCompiler) -> DataFrame:
+        """Implicit Cypher grouping: non-aggregate projection items are the
+        group key (reference hash-aggregate ``ops/op_aggregate.c:53-137``);
+        Spark does partial/final aggregation automatically."""
+        key_items = [(it, a) for it, a in zip(items, aliases)
+                     if not _has_agg(it.expr)]
+        agg_items = [(it, a) for it, a in zip(items, aliases)
+                     if _has_agg(it.expr)]
+
+        key_cols = [comp.compile(it.expr).alias(a) for it, a in key_items]
+
+        # collect distinct aggregate subexpressions
+        agg_nodes: list[A.Expr] = []
+        for it, _ in agg_items:
+            for n in _walk(it.expr):
+                if isinstance(n, A.CountStar) or (
+                        isinstance(n, A.FuncCall) and n.name in AGG_FUNCS):
+                    agg_nodes.append(n)
+        agg_aliases: dict[int, str] = {}
+        agg_pairs: list[tuple[A.Expr, str]] = []
+        agg_cols = []
+        for i, n in enumerate(agg_nodes):
+            name = f"__agg{i}"
+            agg_aliases[id(n)] = name
+            agg_pairs.append((n, name))
+            agg_cols.append(self._compile_agg(n, comp).alias(name))
+
+        if key_cols:
+            gdf = ctx.df.groupBy(*key_cols).agg(*agg_cols)
+        else:
+            gdf = ctx.df.agg(*agg_cols)
+
+        post = _PostAggCompiler(
+            gdf, {a: VarInfo("scalar") for _, a in key_items},
+            self.params, key_exprs=[(it.expr, _colref(a))
+                                    for it, a in key_items],
+            agg_map=agg_aliases, agg_pairs=agg_pairs)
+        out_cols: list[Column] = []
+        for it, a in zip(items, aliases):
+            if (it, a) in key_items:
+                out_cols.append(_colref(a))
+            else:
+                out_cols.append(post.compile(it.expr).alias(a))
+        return gdf.select(out_cols)
+
+    def _compile_agg(self, n: A.Expr, comp: ExprCompiler) -> Column:
+        if isinstance(n, A.CountStar):
+            return F.count(F.lit(1))
+        assert isinstance(n, A.FuncCall)
+        args = [comp.compile(a) for a in n.args]
+        name = n.name
+        if name == "count":
+            return F.countDistinct(args[0]) if n.distinct else F.count(args[0])
+        if name == "sum":
+            return F.sum_distinct(args[0]) if n.distinct else F.sum(args[0])
+        if name == "avg":
+            if n.distinct:
+                raise PlanError("avg(DISTINCT) not supported")
+            return F.avg(args[0])
+        if name == "min":
+            return F.min(args[0])
+        if name == "max":
+            return F.max(args[0])
+        if name == "collect":
+            return F.collect_set(args[0]) if n.distinct \
+                else F.collect_list(args[0])
+        if name == "stdev":
+            return F.stddev_samp(args[0])
+        if name == "stdevp":
+            return F.stddev_pop(args[0])
+        if name == "percentilecont":
+            return F.percentile(args[0], args[1])
+        if name == "percentiledisc":
+            # discrete percentile: element at ceil(p·n) of the sorted list
+            # (src/arithmetic/aggregate_funcs/agg_funcs.c:442)
+            lst = F.sort_array(F.collect_list(args[0]))
+            idx = F.greatest(
+                F.ceil(args[1] * F.size(lst)).cast("int"), F.lit(1))
+            return F.element_at(lst, idx)
+        raise PlanError(f"Unknown aggregate {name}")
+
+    def _order(self, ctx: Ctx, out_df: DataFrame,
+               out_vars: dict[str, VarInfo], order_by: list[A.OrderItem],
+               has_agg: bool, items, aliases, distinct: bool) -> DataFrame:
+        post = ExprCompiler(out_df, out_vars, self.params)
+        sort_cols: list[Column] = []
+        pre_needed: list[A.OrderItem] = []
+        for oi in order_by:
+            try:
+                c = post.compile(oi.expr)
+                # Cypher null ordering: nulls sort last ascending
+                sort_cols.append(c.asc_nulls_last() if oi.ascending
+                                 else c.desc_nulls_first())
+            except CompileError:
+                pre_needed.append(oi)
+        if not pre_needed:
+            return out_df.orderBy(sort_cols)
+        if has_agg or distinct:
+            raise PlanError(
+                "ORDER BY references non-projected variables after "
+                "aggregation/DISTINCT")
+        # recompute projection carrying hidden sort columns
+        comp = self.compiler(ctx)
+        hidden = []
+        sort_cols = []
+        for k, oi in enumerate(order_by):
+            name = self.sym("ord")
+            hidden.append(comp.compile(oi.expr).alias(name))
+            c = F.col(name)
+            sort_cols.append(c.asc_nulls_last() if oi.ascending
+                             else c.desc_nulls_first())
+        cols = [comp.compile(it.expr).alias(a)
+                for it, a in zip(items, aliases)]
+        wide = ctx.df.select(cols + hidden)
+        return wide.orderBy(sort_cols).select([_colref(a) for a in aliases])
+
+
+class _PostAggCompiler(ExprCompiler):
+    """Compiles mixed items after groupBy: aggregate subtrees map to their
+    agg output columns, group-key subtrees map to key columns."""
+
+    def __init__(self, df, variables, params, key_exprs, agg_map,
+                 agg_pairs) -> None:
+        super().__init__(df, variables, params)
+        self.key_exprs = key_exprs
+        self.agg_map = agg_map
+        self.agg_pairs = agg_pairs
+
+    def compile(self, e: A.Expr) -> Column:
+        if id(e) in self.agg_map:
+            return F.col(self.agg_map[id(e)])
+        for k_ast, k_col in self.key_exprs:
+            if e == k_ast:
+                return k_col
+        for a_ast, name in self.agg_pairs:
+            if e == a_ast:
+                return F.col(name)
+        return super().compile(e)
+
+    def _c_Variable(self, e: A.Variable) -> Column:
+        if e.name in self.vars:
+            return F.col(e.name)
+        raise CompileError(
+            f"Variable `{e.name}` must be a grouping key to appear here")
+
+
+def _substitute(e: A.Expr, mapping: dict[int, A.Expr]) -> A.Expr:
+    """Rebuild expression tree with id-based node substitutions."""
+    if id(e) in mapping:
+        return mapping[id(e)]
+    if not hasattr(e, "__dataclass_fields__"):
+        return e
+    import dataclasses
+    kwargs = {}
+    changed = False
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, A.Expr):
+            nv = _substitute(v, mapping)
+            changed |= nv is not v
+            kwargs[f.name] = nv
+        elif isinstance(v, list):
+            nl = []
+            for item in v:
+                if isinstance(item, A.Expr):
+                    ni = _substitute(item, mapping)
+                    changed |= ni is not item
+                    nl.append(ni)
+                elif isinstance(item, tuple) and len(item) == 2 and \
+                        isinstance(item[1], A.Expr):
+                    ni = _substitute(item[1], mapping)
+                    changed |= ni is not item[1]
+                    nl.append((item[0], ni))
+                else:
+                    nl.append(item)
+            kwargs[f.name] = nl
+        else:
+            kwargs[f.name] = v
+    if not changed:
+        return e
+    return type(e)(**kwargs)
