@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps one entry per implemented operator family from
+SURVEY.md §2 to a callable (spark, sf_dir) -> DataFrame; `oracle_sql()`
+gives the DuckDB-equivalent SQL over the raw parquet views. Graph
+queries run through the full Cypher engine (`redisgraph_spark`) on the
+tpch-graph projection (FIXTURES.md §4); pipeline queries exercise the
+training-data operators on documents/embeddings/events.
+
+Determinism notes (driver compares row-count + schema + value-hash):
+- money aggregates go through exact DECIMAL accumulation
+  (`todecimal(x,4)`) then cast to double — order-independent, so Spark
+  and DuckDB agree bit-for-bit;
+- collect() results are wrapped in sort() (F.sort_array) and the oracle
+  uses list_sort(list(...));
+- float stddev/ratios are rounded to a coarse grid.
 """
 
 from __future__ import annotations
@@ -12,27 +21,587 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GRAPHS: dict[tuple[int, str], object] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    from redisgraph_spark import Graph
+    key = (id(spark), sf_dir)
+    if key not in _GRAPHS:
+        _GRAPHS[key] = Graph.from_tpch(spark, sf_dir)
+    return _GRAPHS[key]
+
+
+def _cypher(q: str, params: dict | None = None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _graph(spark, sf_dir).query(q, params)
+    return run
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # nanos-precision parquet timestamps arrive as long (see session.py);
+    # truncate to microseconds exactly like DuckDB does
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-hop pattern + revenue aggregation on sf0.001."""
+    g = _graph(spark, "/root/testdata/sf0.001")
+    return g.query(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part) "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n_lines, "
+        "tofloat(sum(todecimal(l.l_extendedprice, 4) "
+        "* (1 - todecimal(l.l_discount, 4)))) AS revenue "
+        "ORDER BY seg")
+
+
+# ---------------------------------------------------------------------------
+# Graph (Cypher) queries — operator coverage per SURVEY.md §2.1/§2.3
+# ---------------------------------------------------------------------------
+
+GRAPH_QUERIES: dict[str, tuple[str, str]] = {
+    # name: (cypher, oracle_sql)
+
+    # AllNodeScan→Filter→Project→Sort→Limit spine
+    "q_scan_filter_sort": (
+        "MATCH (c:Customer) WHERE c.c_acctbal > 5000 "
+        "RETURN c.c_custkey AS k, c.c_name AS name, c.c_acctbal AS bal "
+        "ORDER BY k LIMIT 50",
+        "SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal "
+        "FROM customer WHERE c_acctbal > 5000 ORDER BY k LIMIT 50"),
+
+    # NodeByLabelScan + reduceCount shortcut shape
+    "q_label_count": (
+        "MATCH (p:Part) RETURN count(*) AS n",
+        "SELECT count(*) AS n FROM part"),
+
+    # expression library: string/numeric scalar functions
+    "q_expr_project": (
+        "MATCH (p:Part) WHERE p.p_size >= 48 "
+        "RETURN p.p_partkey AS k, toupper(p.p_name) AS uname, "
+        "substring(p.p_type, 0, 5) AS ty5, "
+        "tofloat(round(p.p_retailprice)) AS rp, "
+        "p.p_size % 7 AS szmod, abs(p.p_size - 25) AS dist "
+        "ORDER BY k",
+        "SELECT p_partkey AS k, upper(p_name) AS uname, "
+        "substr(p_type, 1, 5) AS ty5, "
+        "CAST(round(p_retailprice, 0) AS DOUBLE) AS rp, "
+        "p_size % 7 AS szmod, abs(p_size - 25) AS dist "
+        "FROM part WHERE p_size >= 48 ORDER BY k"),
+
+    # ConditionalTraverse (single hop) + Aggregate
+    "q_single_hop_agg": (
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "RETURN c.c_mktsegment AS seg, count(o) AS cnt, "
+        "tofloat(sum(todecimal(o.o_totalprice, 4))) AS total "
+        "ORDER BY seg",
+        "SELECT c_mktsegment AS seg, count(*) AS cnt, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY seg"),
+
+    # multi-hop chain + edge-property aggregation (flagship shape)
+    "q_two_hop_revenue": (
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part) "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n_lines, "
+        "tofloat(sum(todecimal(l.l_extendedprice, 4) "
+        "* (1 - todecimal(l.l_discount, 4)))) AS revenue ORDER BY seg",
+        "SELECT c_mktsegment AS seg, count(*) AS n_lines, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY c_mktsegment ORDER BY seg"),
+
+    # edge property filter inside pattern (utilizeIndices analog:
+    # predicate reaches the parquet scan)
+    "q_edge_prop_filter": (
+        "MATCH (o:Order)-[l:CONTAINS]->(p:Part) "
+        "WHERE l.l_returnflag = 'R' AND l.l_quantity > 45 "
+        "RETURN p.p_brand AS brand, count(*) AS cnt, "
+        "tofloat(sum(todecimal(l.l_quantity, 4))) AS qty "
+        "ORDER BY brand",
+        "SELECT p_brand AS brand, count(*) AS cnt, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE l_returnflag = 'R' AND l_quantity > 45 "
+        "GROUP BY p_brand ORDER BY brand"),
+
+    # shared-node pattern = ValueHashJoin shape (two branches meet at n)
+    "q_shared_node_join": (
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)"
+        "<-[:IN_NATION]-(s:Supplier) "
+        "RETURN n.n_name AS nation, count(*) AS pairs ORDER BY nation",
+        "SELECT n_name AS nation, count(*) AS pairs FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN supplier ON s_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"),
+
+    # ExpandInto: both endpoints bound by earlier clauses
+    "q_expand_into": (
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]"
+        "->(r:Region) WHERE r.r_name = 'ASIA' "
+        "RETURN n.n_name AS nation, count(c) AS custs ORDER BY nation",
+        "SELECT n_name AS nation, count(*) AS custs FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+
+    # OPTIONAL MATCH (left outer join; count skips nulls)
+    "q_optional_match": (
+        "MATCH (n:Nation) OPTIONAL MATCH (c:Customer)-[:IN_NATION]->(n) "
+        "RETURN n.n_name AS nation, count(c) AS custs ORDER BY nation",
+        "SELECT n_name AS nation, count(c_custkey) AS custs FROM nation "
+        "LEFT JOIN customer ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"),
+
+    # SemiApply: WHERE (pattern)
+    "q_semi_apply": (
+        "MATCH (p:Part) WHERE (p)<-[:CONTAINS]-(:Order) "
+        "RETURN count(*) AS parts_ordered",
+        "SELECT count(*) AS parts_ordered FROM part WHERE EXISTS "
+        "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"),
+
+    # AntiSemiApply: WHERE NOT (pattern)
+    "q_anti_semi_apply": (
+        "MATCH (p:Part) WHERE NOT (p)<-[:CONTAINS]-(:Order) "
+        "RETURN count(*) AS parts_never_ordered",
+        "SELECT count(*) AS parts_never_ordered FROM part "
+        "WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"),
+
+    # ApplyMultiplexer: pattern predicate OR scalar predicate
+    "q_apply_multiplexer": (
+        "MATCH (c:Customer) "
+        "WHERE (c)-[:PLACED]->() OR c.c_acctbal < 0 "
+        "RETURN count(*) AS n",
+        "SELECT count(*) AS n FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "OR c_acctbal < 0"),
+
+    # Distinct
+    "q_distinct": (
+        "MATCH (o:Order)-[l:CONTAINS]->(p:Part) "
+        "RETURN DISTINCT p.p_brand AS brand, l.l_returnflag AS flag "
+        "ORDER BY brand, flag",
+        "SELECT DISTINCT p_brand AS brand, l_returnflag AS flag "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "ORDER BY p_brand, l_returnflag"),
+
+    # Skip + Limit + multi-key Sort (desc)
+    "q_skip_limit": (
+        "MATCH (c:Customer) RETURN c.c_acctbal AS bal, c.c_custkey AS k "
+        "ORDER BY bal DESC, k ASC SKIP 10 LIMIT 20",
+        "SELECT c_acctbal AS bal, c_custkey AS k FROM customer "
+        "ORDER BY bal DESC, k ASC LIMIT 20 OFFSET 10"),
+
+    # CartesianProduct (disconnected patterns)
+    "q_cartesian": (
+        "MATCH (r:Region), (n:Nation) "
+        "RETURN count(*) AS combos",
+        "SELECT (SELECT count(*) FROM region) * "
+        "(SELECT count(*) FROM nation) AS combos"),
+
+    # Unwind (explode) joined against data
+    "q_unwind": (
+        "UNWIND [1, 2, 3, 4, 5] AS x RETURN x * 10 AS v ORDER BY v",
+        "SELECT x * 10 AS v FROM (SELECT unnest([1,2,3,4,5]) AS x) "
+        "ORDER BY v"),
+
+    # UNION (distinct) of two label scans
+    "q_union": (
+        "MATCH (r:Region) RETURN r.r_name AS name "
+        "UNION MATCH (n:Nation) RETURN n.n_name AS name",
+        "SELECT r_name AS name FROM region "
+        "UNION SELECT n_name AS name FROM nation"),
+
+    # UNION ALL
+    "q_union_all": (
+        "MATCH (r:Region) RETURN r.r_name AS name "
+        "UNION ALL MATCH (n:Nation) RETURN n.n_name AS name",
+        "SELECT r_name AS name FROM region "
+        "UNION ALL SELECT n_name AS name FROM nation"),
+
+    # aggregate function registry: min/max/avg/stdev/percentiles
+    "q_aggregates": (
+        "MATCH (c:Customer) RETURN "
+        "count(*) AS n, "
+        "tofloat(min(c.c_acctbal)) AS mn, "
+        "tofloat(max(c.c_acctbal)) AS mx, "
+        "tofloat(sum(todecimal(c.c_acctbal, 4))) AS total, "
+        "round(stdev(c.c_acctbal) * 10000) / 10000 AS sd",
+        "SELECT count(*) AS n, "
+        "CAST(min(c_acctbal) AS DOUBLE) AS mn, "
+        "CAST(max(c_acctbal) AS DOUBLE) AS mx, "
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total, "
+        "round(stddev_samp(c_acctbal) * 10000) / 10000 AS sd "
+        "FROM customer"),
+
+    "q_percentiles": (
+        "MATCH (p:Part) RETURN "
+        "tofloat(percentileCont(p.p_size, 0.5)) AS med, "
+        "tofloat(percentileDisc(p.p_size, 0.9)) AS p90",
+        "SELECT CAST(quantile_cont(p_size, 0.5) AS DOUBLE) AS med, "
+        "CAST(quantile_disc(p_size, 0.9) AS DOUBLE) AS p90 FROM part"),
+
+    # collect() with deterministic ordering
+    "q_collect": (
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.r_name AS region, sort(collect(n.n_name)) AS nations "
+        "ORDER BY region",
+        "SELECT r_name AS region, list_sort(list(n_name)) AS nations "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name"),
+
+    # count(DISTINCT)
+    "q_count_distinct": (
+        "MATCH (o:Order)-[l:CONTAINS]->(p:Part) "
+        "RETURN count(DISTINCT p.p_brand) AS brands, "
+        "count(DISTINCT l.l_returnflag) AS flags",
+        "SELECT count(DISTINCT p_brand) AS brands, "
+        "count(DISTINCT l_returnflag) AS flags "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey"),
+
+    # CASE expression + boolean ops
+    "q_case": (
+        "MATCH (c:Customer) RETURN "
+        "CASE WHEN c.c_acctbal < 0 THEN 'neg' "
+        "WHEN c.c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket, "
+        "count(*) AS cnt ORDER BY bucket",
+        "SELECT CASE WHEN c_acctbal < 0 THEN 'neg' "
+        "WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket, "
+        "count(*) AS cnt FROM customer GROUP BY 1 ORDER BY bucket"),
+
+    # string operators: STARTS WITH / CONTAINS / IN list
+    "q_string_ops": (
+        "MATCH (p:Part) WHERE p.p_name STARTS WITH 'red' "
+        "AND p.p_type CONTAINS 'a' "
+        "AND p.p_brand IN ['Brand#1', 'Brand#2', 'Brand#3'] "
+        "RETURN count(*) AS n",
+        "SELECT count(*) AS n FROM part WHERE p_name LIKE 'red%' "
+        "AND p_type LIKE '%a%' "
+        "AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')"),
+
+    # WITH pipeline (projection segmentation) + HAVING shape
+    "q_with_having": (
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c, count(o) AS n_orders WHERE n_orders >= 15 "
+        "RETURN c.c_custkey AS k, n_orders ORDER BY n_orders DESC, k "
+        "LIMIT 20",
+        "SELECT o_custkey AS k, count(*) AS n_orders FROM orders "
+        "GROUP BY o_custkey HAVING count(*) >= 15 "
+        "ORDER BY n_orders DESC, k LIMIT 20"),
+
+    # parameters + arithmetic semantics (int division → double)
+    "q_params_arith": (
+        "MATCH (s:Supplier) WHERE s.s_acctbal > $minbal "
+        "RETURN s.s_suppkey AS k, "
+        "tofloat(s.s_suppkey / 4) AS quarter, s.s_suppkey % 4 AS rem "
+        "ORDER BY k",
+        "SELECT s_suppkey AS k, s_suppkey / 4 AS quarter, "
+        "s_suppkey % 4 AS rem FROM supplier WHERE s_acctbal > 1000 "
+        "ORDER BY k"),
+
+    # null semantics: IS NULL / coalesce over left-join misses
+    "q_null_handling": (
+        "MATCH (p:Part) OPTIONAL MATCH (p)<-[l:CONTAINS]-(o:Order) "
+        "WITH p, l RETURN "
+        "sum(CASE WHEN l IS NULL THEN 1 ELSE 0 END) AS never_ordered_rows, "
+        "count(l) AS ordered_rows",
+        "SELECT sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS never_ordered_rows, count(l_orderkey) AS ordered_rows "
+        "FROM part LEFT JOIN lineitem ON l_partkey = p_partkey"),
+
+    # list comprehension + reduce + quantifier (higher-order exprs)
+    "q_list_exprs": (
+        "UNWIND [1, 2, 3, 4, 5, 6] AS x "
+        "WITH collect(x) AS xs "
+        "RETURN [y IN xs WHERE y % 2 = 0 | y * y] AS even_sq, "
+        "reduce(s = 0, y IN xs | s + y) AS total, "
+        "size([y IN xs WHERE y > 3]) AS n_big",
+        "SELECT [y * y FOR y IN [1,2,3,4,5,6] IF y % 2 = 0] AS even_sq, "
+        "21 AS total, 3 AS n_big"),
+
+    # var-len traversal [*1..2] — iterative frontier joins
+    "q_var_len": (
+        "MATCH (c:Customer)-[*1..2]->(x) "
+        "RETURN labels(x)[0] AS lbl, count(*) AS cnt ORDER BY lbl",
+        """
+        WITH edges AS (
+          SELECT c_custkey + 3000000000000 AS src,
+                 c_nationkey + 2000000000000 AS dst FROM customer
+          UNION ALL SELECT s_suppkey + 4000000000000,
+                 s_nationkey + 2000000000000 FROM supplier
+          UNION ALL SELECT n_nationkey + 2000000000000,
+                 n_regionkey + 1000000000000 FROM nation
+          UNION ALL SELECT o_custkey + 3000000000000,
+                 o_orderkey + 6000000000000 FROM orders
+          UNION ALL SELECT l_orderkey + 6000000000000,
+                 l_partkey + 5000000000000 FROM lineitem
+          UNION ALL SELECT DISTINCT l_partkey + 5000000000000,
+                 l_suppkey + 4000000000000 FROM lineitem
+        ), nodes AS (
+          SELECT c_custkey + 3000000000000 AS id, 'Customer' AS lbl
+            FROM customer
+          UNION ALL SELECT n_nationkey + 2000000000000, 'Nation' FROM nation
+          UNION ALL SELECT r_regionkey + 1000000000000, 'Region' FROM region
+          UNION ALL SELECT s_suppkey + 4000000000000, 'Supplier'
+            FROM supplier
+          UNION ALL SELECT p_partkey + 5000000000000, 'Part' FROM part
+          UNION ALL SELECT o_orderkey + 6000000000000, 'Order' FROM orders
+        ), starts AS (
+          SELECT c_custkey + 3000000000000 AS id FROM customer
+        ), hop1 AS (
+          SELECT e.dst FROM starts s JOIN edges e ON e.src = s.id
+        ), hop2 AS (
+          SELECT e2.dst FROM starts s
+          JOIN edges e1 ON e1.src = s.id
+          JOIN edges e2 ON e2.src = e1.dst
+        ), allhops AS (
+          SELECT dst FROM hop1 UNION ALL SELECT dst FROM hop2
+        )
+        SELECT n.lbl AS lbl, count(*) AS cnt
+        FROM allhops a JOIN nodes n ON n.id = a.dst
+        GROUP BY n.lbl ORDER BY lbl
+        """),
+
+    # shortestPath BFS
+    "q_shortest_path": (
+        "MATCH p = shortestPath((c:Customer {c_custkey: 1})-[*..4]->"
+        "(r:Region)) RETURN length(p) AS len",
+        # customer→nation→region is always the unique shortest route
+        "SELECT CAST(2 AS BIGINT) AS len"),
+
+    # procedure call surface
+    "q_call_labels": (
+        "CALL db.labels() YIELD label RETURN label ORDER BY label",
+        "SELECT label FROM (VALUES ('Customer'),('Nation'),('Order'),"
+        "('Part'),('Region'),('Supplier')) t(label) ORDER BY label"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Pipeline queries — dedup / similarity / text / events operators
+# ---------------------------------------------------------------------------
+
+def _p_dedup_exact(spark, sf_dir):
+    from redisgraph_spark.pipeline.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _p_ngram_jaccard(spark, sf_dir):
+    from redisgraph_spark.pipeline.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3) \
+        .select("doc_a", "doc_b",
+                (F.round(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")) \
+        .orderBy("doc_a", "doc_b")
+
+
+def _p_minhash_lsh(spark, sf_dir):
+    from redisgraph_spark.pipeline.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5) \
+        .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+
+
+def _p_simhash(spark, sf_dir):
+    from redisgraph_spark.pipeline.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8) \
+        .orderBy("doc_a", "doc_b")
+
+
+def _p_cosine_topk(spark, sf_dir):
+    from redisgraph_spark.pipeline.similarity import cosine_topk
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5) \
+        .select("query_id", "neighbor_id", "rank") \
+        .orderBy("query_id", "rank")
+
+
+def _p_cosine_topk_lsh(spark, sf_dir):
+    from redisgraph_spark.pipeline.similarity import cosine_topk_lsh
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, k=5) \
+        .select("query_id", "neighbor_id", "rank") \
+        .orderBy("query_id", "rank")
+
+
+def _p_text_stats(spark, sf_dir):
+    from redisgraph_spark.pipeline import text as TXT
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.char_count(t).alias("n_chars"),
+        (F.round(TXT.stopword_ratio(t) * 1e6) / 1e6).alias("sw_ratio"),
+        TXT.fingerprint(t).alias("fp"),
+    ).orderBy("doc_id")
+
+
+def _p_lang_guess(spark, sf_dir):
+    from redisgraph_spark.pipeline.text import lang_guess
+    return _docs(spark, sf_dir).select(
+        lang_guess(F.col("text")).alias("lang_guess"),
+        F.col("lang").alias("lang_true")) \
+        .groupBy("lang_guess", "lang_true") \
+        .agg(F.count(F.lit(1)).alias("n")) \
+        .orderBy("lang_guess", "lang_true")
+
+
+def _p_events_rollup(spark, sf_dir):
+    from redisgraph_spark.pipeline.events import hourly_rollup
+    return hourly_rollup(_events(spark, sf_dir)) \
+        .orderBy("event_type", "hour")
+
+
+def _p_sessions(spark, sf_dir):
+    from redisgraph_spark.pipeline.events import session_stats
+    return session_stats(_events(spark, sf_dir), gap_minutes=30) \
+        .orderBy("user_id", "session_seq")
+
+
+def _p_top_users(spark, sf_dir):
+    from redisgraph_spark.pipeline.events import top_users_by_type
+    return top_users_by_type(_events(spark, sf_dir), "click", k=10)
+
+
+PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "p_dedup_exact": (_p_dedup_exact,
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
+        "FROM documents GROUP BY text ORDER BY doc_id"),
+
+    "p_ngram_jaccard": (_p_ngram_jaccard, """
+        WITH series AS (
+          SELECT unnest(generate_series(1,
+            (SELECT max(length(text)) FROM documents))) AS i
+        ), sh AS (
+          SELECT DISTINCT doc_id, substr(text, i, 3) AS shingle
+          FROM documents JOIN series ON i <= length(text) - 2
+          WHERE length(substr(text, i, 3)) = 3
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(1e6 * (inter * 1.0 / (sa.sz + sb.sz - inter))) / 1e6
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+        ORDER BY doc_a, doc_b
+        """),
+
+    # LSH/SimHash candidates depend on hash internals → rows-only check
+    "p_minhash_lsh": (_p_minhash_lsh, None),
+    "p_simhash": (_p_simhash, None),
+
+    "p_cosine_topk": (_p_cosine_topk, """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, c.embedding) AS cos
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """),
+
+    # approximate ANN — rows-only (recall measured in tests)
+    "p_cosine_topk_lsh": (_p_cosine_topk_lsh, None),
+
+    "p_text_stats": (_p_text_stats, """
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+          length(text) AS n_chars,
+          round(1e6 * (len(list_filter(
+              string_split_regex(lower(trim(text)), '\\s+'),
+              t -> list_contains(['the','a','and','of','to','in','is','it'],
+                                 t))) * 1.0
+            / len(string_split_regex(lower(trim(text)), '\\s+')))) / 1e6
+            AS sw_ratio,
+          md5(text) AS fp
+        FROM documents ORDER BY doc_id
+        """),
+
+    "p_lang_guess": (_p_lang_guess, None),  # heuristic vs truth: rows-only
+
+    "p_events_rollup": (_p_events_rollup, """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, hour
+        """),
+
+    "p_sessions": (_p_sessions, """
+        WITH g AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                 WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM g
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               count(*) AS n_events,
+               CAST(max(floor(epoch(ts))) AS BIGINT)
+                 - CAST(min(floor(epoch(ts))) AS BIGINT) AS span_seconds,
+               round(sum(value), 2) AS total_value
+        FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq
+        """),
+
+    "p_top_users": (_p_top_users, """
+        SELECT user_id, count(*) AS n FROM events
+        WHERE event_type = 'click'
+        GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10
+        """),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (cypher, _) in GRAPH_QUERIES.items():
+        params = {"minbal": 1000} if name == "q_params_arith" else None
+        out[name] = _cypher(cypher, params)
+    for name, (fn, _) in PIPELINE_QUERIES.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, (_, sql) in GRAPH_QUERIES.items():
+        if sql is not None:
+            out[name] = sql
+    for name, (_, sql) in PIPELINE_QUERIES.items():
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -651,7 +651,7 @@ class Parser:
             return A.ListLiteral([])
         # lookahead for comprehension: name IN ...
         if (self.tok.kind == "name" and self.peek().kind == "kw"
-                and self.peek().value == "in"):
+                and str(self.peek().value).lower() == "in"):
             var = self.name()
             self.eat_kw("in")
             source = self.parse_expr()

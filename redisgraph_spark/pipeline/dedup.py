@@ -1,0 +1,222 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (JVM-side, codegen-
+friendly; no Python UDFs), designed so every stage is a key-partitioned
+shuffle that scales linearly:
+
+- exact:          hash-groupBy on content
+- n-gram Jaccard: shingle explode → pair join on shingle → count ratio
+- MinHash + LSH:  shingle → k minhashes → band buckets → bucket join
+- SimHash:        token bit-votes → 64-bit signature → pigeonhole-block
+                  join → Hamming filter
+
+At 100 TB: the shingle/bucket joins shuffle on (shingle|bucket) keys —
+hot shingles are the skew risk, mitigated by dropping top-frequency
+shingles (`max_shingle_freq`) exactly like stopword removal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- exact
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical text. Returns (doc_id, n_dups)."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_dups"),
+    ).select(id_col, "n_dups")
+
+
+# ------------------------------------------------------------- shingles
+def char_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct character n-grams per document: (id, shingle).
+
+    `sequence+transform` keeps generation JVM-side; `explode` then
+    `distinct` gives the shingle set.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(
+        F.length(F.col(text_col)) - (n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(n)))
+    return docs.select(F.col(id_col), F.explode(sh).alias("shingle")) \
+               .filter(F.length("shingle") == n) \
+               .distinct()
+
+
+def word_shingles(docs: DataFrame, n: int = 2, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-grams per document."""
+    toks = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(
+        F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(toks, i + 1, n)))
+    return docs.select(F.col(id_col), F.explode(grams).alias("shingle")) \
+               .distinct()
+
+
+# -------------------------------------------------------- n-gram Jaccard
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (a < b, sim ≥ threshold).
+
+    Pair generation joins on the shingle key; |A∩B| is a count over the
+    join, |A∪B| = |A|+|B|−|A∩B|. Returns (doc_a, doc_b, jaccard).
+    """
+    sh = char_shingles(docs, n, text_col, id_col)
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("shingle").count() \
+            .filter(F.col("count") > max_shingle_freq).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = a.join(b, "shingle") \
+        .filter(F.col("doc_a") < F.col("doc_b")) \
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b") \
+        .withColumn("jaccard",
+                    F.col("inter")
+                    / (F.col("sza") + F.col("szb") - F.col("inter"))) \
+        .filter(F.col("jaccard") >= threshold) \
+        .select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------- MinHash + LSH
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """k-permutation MinHash via xxhash64(shingle, seed): (id, sig array)."""
+    sh = char_shingles(docs, n, text_col, id_col)
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
+                      n: int = 3, threshold: float | None = None,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    bands=8 × rows=4 over 32 hashes ⇒ collision prob ≈ 1-(1-s^4)^8
+    (s = true Jaccard). With `threshold`, candidates are verified by
+    estimated similarity (fraction of matching minhashes ≥ threshold).
+    Returns (doc_a, doc_b, est_jaccard).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    banded = sig.select(
+        id_col, "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(*[F.element_at("sig", bi * rows + ri + 1)
+                                  for ri in range(rows)]).alias("bucket"))
+            for bi in range(bands)])).alias("bb"))
+    left = banded.select(F.col(id_col).alias("doc_a"),
+                         F.col("sig").alias("sig_a"), "bb")
+    right = banded.select(F.col(id_col).alias("doc_b"),
+                          F.col("sig").alias("sig_b"), "bb")
+    cand = left.join(right, ["bb"]) \
+        .filter(F.col("doc_a") < F.col("doc_b")) \
+        .select("doc_a", "doc_b", "sig_a", "sig_b").dropDuplicates(
+            ["doc_a", "doc_b"])
+    est = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda m: m)) / F.size("sig_a")
+    out = cand.withColumn("est_jaccard", est)
+    if threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    return out.select("doc_a", "doc_b", "est_jaccard")
+
+
+# --------------------------------------------------------------- SimHash
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: (id, simhash bigint).
+
+    Per token: 64 bit-votes (+1/−1 by hash bit); signature bit b is the
+    sign of the vote sum. Pure higher-order-function pipeline.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    # one ±1 vote column per bit (static shifts; stays in codegen),
+    # summed map-side by the partial aggregation
+    vote_aggs = [
+        F.sum(F.when(F.shiftright(F.col("th"), b)
+                     .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+              ).alias(f"v{b}")
+        for b in range(64)]
+    summed = h.groupBy(id_col).agg(*vote_aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0,
+                   F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return summed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: split 64 bits into (max_hamming+1) blocks — any
+    pair within distance k agrees on ≥1 block, so the candidate join is
+    an equi-join on (block_idx, block_value), never a cross join.
+    Returns (doc_a, doc_b, hamming).
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sig = simhash_signatures(docs, text_col, id_col)
+    blocks = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftrightunsigned(
+                    F.col("simhash"), bi * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+            for bi in range(nblocks)])).alias("bb"))
+    left = blocks.select(F.col(id_col).alias("doc_a"),
+                         F.col("simhash").alias("sh_a"), "bb")
+    right = blocks.select(F.col(id_col).alias("doc_b"),
+                          F.col("simhash").alias("sh_b"), "bb")
+    cand = left.join(right, ["bb"]) \
+        .filter(F.col("doc_a") < F.col("doc_b")) \
+        .dropDuplicates(["doc_a", "doc_b"])
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham) \
+        .filter(F.col("hamming") <= max_hamming) \
+        .select("doc_a", "doc_b", "hamming")
+
+
+# ------------------------------------------- embedding cosine near-dup
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold (brute force O(n²) —
+    the exact baseline; LSH-bucketed variant in similarity.py scales)."""
+    from redisgraph_spark.pipeline.similarity import cosine_sim
+    a = emb.select(F.col(id_col).alias("doc_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("doc_b"),
+                   F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    return pairs.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb"))) \
+        .filter(F.col("cosine") >= threshold) \
+        .select("doc_a", "doc_b", "cosine")

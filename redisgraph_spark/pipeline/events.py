@@ -1,0 +1,62 @@
+"""Event-stream analytics: time rollups, sessionization, top-k.
+
+The reference has no streaming/temporal surface (Redis request/response
+only — SURVEY.md §2.5); these are the additive operators a training-data
+pipeline needs over event logs. Batch forms here; streaming variants in
+``redisgraph_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Count + value stats per (event_type, hour).
+    SQL: date_trunc('hour', ts), count(*), sum/avg(value)."""
+    return events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour")) \
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Assign session ids per user: a session breaks after `gap_minutes`
+    of inactivity. Window-function form (lag + cumulative sum) — one
+    shuffle on user_id; at scale this is the standard sessionization
+    plan and AQE handles hot users."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with_gap = events.withColumn(
+        "__prev", F.lag("ts").over(w)) \
+        .withColumn(
+        "__new_session",
+        F.when(F.col("__prev").isNull(), 1).when(
+            F.col("ts").cast("long") - F.col("__prev").cast("long")
+            > gap_minutes * 60, 1).otherwise(0))
+    return with_gap.withColumn(
+        "session_seq", F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))) \
+        .drop("__prev", "__new_session")
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session aggregates: events, span seconds, total value."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long"))
+         - F.min(F.col("ts").cast("long"))).alias("span_seconds"),
+        F.round(F.sum("value"), 2).alias("total_value"))
+
+
+def top_users_by_type(events: DataFrame, event_type: str, k: int = 10
+                      ) -> DataFrame:
+    """Top-k users by event count for one type — count + orderBy.limit
+    (Spark plans TakeOrderedAndProject: the reference's bounded top-k
+    heap, ``ops/op_sort.c:52-67``, for free)."""
+    return events.filter(F.col("event_type") == event_type) \
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")) \
+        .orderBy(F.col("n").desc(), F.col("user_id").asc()) \
+        .limit(k)

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns.
+
+- `cosine_topk`: exact brute-force top-k (the correctness baseline) —
+  cross join + per-query top-k via window rank. O(n·q) but fully
+  distributed; right for small query sets / reranking.
+- `cosine_topk_lsh`: random-hyperplane LSH bucketing — the 100 TB path:
+  queries only compare against same-bucket candidates (multi-probe via
+  several tables), turning the cross join into an equi-join on
+  (table, bucket).
+
+Dot products use `F.zip_with` + `F.aggregate` — JVM higher-order
+functions, no Python UDF, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "vec_id", q_vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), excluding self-matches.
+    The corpus side stays distributed; the (small) query side is
+    broadcast, so the scan is one pass over the corpus.
+    """
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       F.col(q_vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id").isNotNull()
+                    & (F.col("neighbor_id") != F.col("query_id")), "inner") \
+        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def _rh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i)."""
+    bits = []
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec,
+                       F.array(*[F.lit(float(x)) for x in p]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def _planes(dim: int, nbits: int, seed: int) -> list[list[float]]:
+    # deterministic pseudo-random hyperplanes (LCG; no numpy dependency
+    # at plan time keeps this serializable-trivial)
+    state = seed * 6364136223846793005 + 1442695040888963407
+    planes = []
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005
+                     + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    nbits: int = 8, ntables: int = 4, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    Candidates = vectors sharing a bucket with the query in any table;
+    exact cosine + rank on candidates only. At scale the bucket join
+    shuffles on (table, bucket) — no cross join anywhere.
+    """
+    tables = []
+    for t in range(ntables):
+        planes = _planes(dim, nbits, seed=1000 + t)
+        tables.append((t, planes))
+
+    def bucketize(df: DataFrame, idc: str, vcol: str, side: str
+                  ) -> DataFrame:
+        parts = []
+        for t, planes in tables:
+            parts.append(df.select(
+                F.col(idc).alias(f"{side}_id"),
+                F.col(vcol).alias(f"{side}_v"),
+                F.lit(t).alias("tbl"),
+                _rh_bucket(F.col(vcol), planes).alias("bucket")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    cb = bucketize(emb, id_col, vec_col, "n")
+    qb = bucketize(queries, id_col, vec_col, "q")
+    cand = cb.join(qb, ["tbl", "bucket"]) \
+        .filter(F.col("n_id") != F.col("q_id")) \
+        .dropDuplicates(["q_id", "n_id"])
+    scored = cand.withColumn("cosine",
+                             cosine_sim(F.col("q_v"), F.col("n_v")))
+    w = Window.partitionBy("q_id") \
+        .orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select(F.col("q_id").alias("query_id"),
+                F.col("n_id").alias("neighbor_id"), "cosine", "rank")

@@ -1,0 +1,131 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+Every formula here is expressible in ANSI SQL so the DuckDB oracle can
+verify it exactly — each function documents its SQL equivalent. All
+JVM-side built-ins; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# minimal per-language stopword markers for the n-gram/stopword-ratio
+# heuristic (documents fixture languages: en fr es de zh)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "de", "que"],
+    "de": ["der", "und", "die"],
+    "zh": ["的", "是", "了"],
+}
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count.
+    SQL: len(string_split_regex(trim(text), '\\s+'))"""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of `needle`:
+    SQL: (length(text) - length(replace(text, needle, ''))) / length(needle)
+    """
+    return ((F.length(text) - F.length(F.replace(
+        text, F.lit(needle), F.lit("")))) / len(needle)).cast("long")
+
+
+def stopword_ratio(text: Column,
+                   stopwords: list[str] = STOPWORDS_EN) -> Column:
+    """Fraction of tokens that are (english) stopwords.
+    SQL: len(list_filter(string_split_regex(lower(text),'\\s+'),
+         t -> list_contains([...], t))) / len(...)"""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (hits.cast("double") / F.size(toks)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]:
+      0.4·min(tokens/50, 1) + 0.3·(1 − punct_ratio·5 clamped)
+      + 0.3·mean_token_len/8 clamped.
+    Deterministic, SQL-expressible (documented per-part above)."""
+    toks = token_count(text)
+    length_part = F.least(toks.cast("double") / 50.0, F.lit(1.0))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(F.length(text), F.lit(1))
+    punct_part = F.greatest(F.lit(0.0),
+                            F.lit(1.0) - punct_ratio * 5.0)
+    mean_tok = (F.length(text).cast("double")
+                / F.greatest(toks, F.lit(1)))
+    len_part = F.least(mean_tok / 8.0, F.lit(1.0))
+    return (F.lit(0.4) * length_part + F.lit(0.3) * punct_part
+            + F.lit(0.3) * len_part)
+
+
+def lang_guess(text: Column) -> Column:
+    """Marker-token language ID: pick the language whose marker words
+    occur most (ties → lexicographically first language code).
+
+    SQL-expressible: per-language score via the replace-count trick,
+    then a CASE over greatest().
+    """
+    scores: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = _count_occurrences(F.concat(F.lit(" "), F.lower(text),
+                                            F.lit(" ")),
+                                   f" {m} ")
+            s = c if s is None else (s + c)
+        scores[lang] = s
+    best = F.greatest(*scores.values())
+    out = F.lit(None).cast("string")
+    expr = None
+    for lang in sorted(scores):  # lexicographic tie-break
+        cond = scores[lang] == best
+        if expr is None:
+            expr = F.when(cond, F.lit(lang))
+        else:
+            expr = expr.when(cond, F.lit(lang))
+    return F.when(best > 0, expr).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint.
+    SQL: md5(text) — identical in DuckDB."""
+    return F.md5(text)
+
+
+def ngram_fingerprint(text: Column, n: int = 4) -> Column:
+    """Order-insensitive shingle fingerprint: md5 of the sorted distinct
+    word n-gram set — robust to whitespace reflow.
+    SQL: md5(array_to_string(list_sort(list_distinct(...)), '|'))"""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(toks, i + 1, n)))
+    return F.md5(F.concat_ws("|", F.sort_array(F.array_distinct(grams))))
+
+
+def analyze(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_guess(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

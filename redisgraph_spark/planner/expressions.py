@@ -422,6 +422,15 @@ class ExprCompiler:
     def _fn_tostring(self, e: A.FuncCall) -> Column:
         return self.compile(e.args[0]).cast("string")
 
+    def _fn_todecimal(self, e: A.FuncCall) -> Column:
+        """Engine extension (not in the reference): exact decimal cast,
+        `todecimal(x, scale)` — lets aggregate sums be order-independent
+        so distributed results are bit-identical to any oracle."""
+        scale = 4
+        if len(e.args) > 1 and isinstance(e.args[1], A.Literal):
+            scale = int(e.args[1].value)
+        return self.compile(e.args[0]).cast(f"decimal(18,{scale})")
+
 
 class _LambdaCompiler(ExprCompiler):
     """ExprCompiler with extra lambda-bound variables mapped to Columns."""
@@ -489,4 +498,7 @@ _SIMPLE_FUNCS = {
         (step[0].cast("long") if step else F.lit(1).cast("long"))),
     "keys": lambda c: F.map_keys(c),
     "tomap": lambda c: c,
+    # engine extension: deterministic list ordering (for stable collect()
+    # results in distributed execution; not in the reference registry)
+    "sort": F.sort_array,
 }
