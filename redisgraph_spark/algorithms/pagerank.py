@@ -26,15 +26,22 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 20,
     deg = edges.groupBy("_src").agg(F.count("*").alias("__deg"))
     ranks = nodes.select(F.col("_id"), F.lit(base).alias("score"))
     e = edges.select("_src", "_dst").join(deg, "_src")
+    dangling = nodes.select("_id").join(
+        deg, nodes["_id"] == deg["_src"], "left_anti")
     for _ in range(iterations):
         contrib = e.join(ranks, e["_src"] == ranks["_id"], "inner") \
             .select(F.col("_dst").alias("_id"),
                     (F.col("score") / F.col("__deg")).alias("c"))
         sums = contrib.groupBy("_id").agg(F.sum("c").alias("s"))
+        # dangling-node mass is teleported uniformly (LAGraph-style);
+        # one scalar aggregate per iteration
+        d_mass = dangling.join(ranks, "_id").agg(
+            F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
         ranks = nodes.select("_id").join(sums, "_id", "left").select(
             F.col("_id"),
             (F.lit((1 - damping) * base)
-             + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+             + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0.0))
+                                 + F.lit(d_mass * base))
              ).alias("score"))
         ranks = ranks.localCheckpoint(eager=True)
     return ranks

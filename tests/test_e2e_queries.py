@@ -1,0 +1,157 @@
+"""End-to-end Cypher tests on the social fixture (the reference's flow
+tests in miniature — tests/flow/test_social.py shapes) and the tpch
+graph."""
+
+from tests.conftest import rows
+
+
+class TestSocial:
+    def test_scan_filter(self, social):
+        got = rows(social.query(
+            "MATCH (p:person) WHERE p.age > 32 RETURN p.name AS n"))
+        assert got == [("Noam",), ("Omri",)]
+
+    def test_friend_of_friend(self, social):
+        got = rows(social.query(
+            "MATCH (a:person {name: 'Roi'})-[:friend]->()-[:friend]->(f) "
+            "RETURN f.name AS n ORDER BY n"))
+        assert got == [("Jane",), ("Noam",), ("Omri",), ("Ori",),
+                       ("Shelly",)]
+
+    def test_edge_property_filter(self, social):
+        got = rows(social.query(
+            "MATCH (p:person)-[v:visited]->(c:country) "
+            "WHERE v.purpose = 'business' "
+            "RETURN p.name AS p, c.name AS c"))
+        assert got == [("Omri", "Canada"), ("Roi", "Prague"),
+                       ("Roi", "USA")]
+
+    def test_undirected(self, social):
+        got = rows(social.query(
+            "MATCH (a:person {name: 'Omri'})-[:friend]-(b) "
+            "RETURN b.name AS n"))
+        assert got == [("Alon",), ("Ori",)]
+
+    def test_incoming_direction(self, social):
+        got = rows(social.query(
+            "MATCH (c:country)<-[:visited]-(p:person {name: 'Roi'}) "
+            "RETURN c.name AS n"))
+        assert got == [("Prague",), ("USA",)]
+
+    def test_aggregation_collect(self, social):
+        got = rows(social.query(
+            "MATCH (p:person)-[:friend]->(f) "
+            "RETURN p.name AS n, count(f) AS c, sort(collect(f.name)) AS fs "
+            "ORDER BY n"))
+        by_name = {r[0]: (r[1], r[2]) for r in got}
+        assert by_name["Roi"] == (4, ["Ailon", "Alon", "Boaz", "Tal"])
+        assert by_name["Alon"] == (2, ["Omri", "Ori"])
+
+    def test_optional_match_nulls(self, social):
+        got = rows(social.query(
+            "MATCH (p:person) OPTIONAL MATCH (p)-[v:visited]->(c:country) "
+            "RETURN p.name AS n, c.name AS c ORDER BY n"))
+        d = {}
+        for n, c in got:
+            d.setdefault(n, []).append(c)
+        assert d["Jane"] == [None]       # never travelled
+        assert sorted(d["Roi"]) == ["Prague", "USA"]
+
+    def test_var_len_paths(self, social):
+        got = rows(social.query(
+            "MATCH (a:person {name: 'Roi'})-[:friend*2..2]->(f) "
+            "RETURN f.name AS n ORDER BY n"))
+        assert got == [("Jane",), ("Noam",), ("Omri",), ("Ori",),
+                       ("Shelly",)]
+
+    def test_var_len_zero_min(self, social):
+        got = rows(social.query(
+            "MATCH (a:person {name: 'Tal'})-[:friend*0..1]->(f) "
+            "RETURN f.name AS n"))
+        assert got == [("Jane",), ("Tal",)]
+
+    def test_shortest_path(self, social):
+        got = rows(social.query(
+            "MATCH p = shortestPath((a:person {name: 'Roi'})-[:friend*..5]"
+            "->(b:person {name: 'Ori'})) RETURN length(p) AS l"))
+        assert got == [(2,)]
+
+    def test_where_pattern(self, social):
+        got = rows(social.query(
+            "MATCH (p:person) WHERE (p)-[:visited]->(:country) "
+            "AND p.status = 'single' RETURN p.name AS n"))
+        assert got == [("Omri",), ("Shelly",), ("Tal",)]
+
+    def test_where_not_pattern(self, social):
+        got = rows(social.query(
+            "MATCH (p:person) WHERE NOT (p)-[:visited]->() "
+            "RETURN p.name AS n"))
+        assert got == [("Jane",), ("Noam",), ("Ori",)]
+
+    def test_unwind_cross(self, social):
+        got = rows(social.query(
+            "UNWIND [1, 2] AS x MATCH (p:person {age: 26}) "
+            "RETURN p.name AS n, x ORDER BY x"))
+        assert got == [("Shelly", 1), ("Shelly", 2)]
+
+    def test_with_aggregation_pipeline(self, social):
+        got = rows(social.query(
+            "MATCH (p:person)-[:friend]->(f) "
+            "WITH p, count(f) AS degree WHERE degree >= 2 "
+            "RETURN p.name AS n, degree ORDER BY degree DESC"))
+        assert got == [("Alon", 2), ("Roi", 4)]
+
+    def test_multi_label_and_case(self, social):
+        got = rows(social.query(
+            "MATCH (p:person) RETURN "
+            "CASE WHEN p.age >= 30 THEN '30s' ELSE '20s' END AS bucket, "
+            "count(*) AS c ORDER BY bucket"))
+        assert got == [("20s", 3), ("30s", 7)]
+
+    def test_distinct_and_union(self, social):
+        got = rows(social.query(
+            "MATCH (p:person {status: 'married'}) RETURN p.gender AS g "
+            "UNION MATCH (p:person {status: 'single'}) RETURN p.gender AS g"))
+        assert got == [("female",), ("male",)]
+
+    def test_id_type_labels_functions(self, social):
+        got = rows(social.query(
+            "MATCH (p:person {name: 'Roi'})-[v:visited]->(c) "
+            "RETURN id(p) AS pid, type(v) AS t, labels(c)[0] AS lbl "
+            "LIMIT 1"))
+        assert got == [(1, "visited", "country")]
+
+    def test_self_and_anon_nodes(self, social):
+        got = rows(social.query(
+            "MATCH (:person {name: 'Roi'})-[:friend]->(:person)"
+            "-[:friend]->(x) RETURN count(x) AS c"))
+        assert got == [(5,)]
+
+
+class TestTpch:
+    def test_multi_hop_agg(self, graph):
+        df = graph.query(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "RETURN count(*) AS n")
+        assert df.collect()[0]["n"] == 1500
+
+    def test_params(self, graph):
+        df = graph.query(
+            "MATCH (c:Customer) WHERE c.c_custkey = $k "
+            "RETURN c.c_name AS n", {"k": 7})
+        assert df.collect()[0]["n"] == "Customer#000000007"
+
+    def test_cartesian_product(self, graph):
+        df = graph.query(
+            "MATCH (r:Region), (r2:Region) RETURN count(*) AS n")
+        assert df.collect()[0]["n"] == 25
+
+    def test_call_procedures(self, graph):
+        labels = {r["label"] for r in graph.query(
+            "CALL db.labels() YIELD label RETURN label").collect()}
+        assert labels == {"Region", "Nation", "Customer", "Supplier",
+                          "Part", "Order"}
+        rels = {r["relationshipType"] for r in graph.query(
+            "CALL db.relationshipTypes() YIELD relationshipType "
+            "RETURN relationshipType").collect()}
+        assert "PLACED" in rels and "CONTAINS" in rels

@@ -1,0 +1,87 @@
+"""Mutation semantics: CREATE / SET / DELETE / MERGE as table rewrites
+(reference buffered-commit discipline, ops/op_create.c, op_update.c,
+op_delete.c, op_merge.c)."""
+
+import pytest
+
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def g(spark):
+    from redisgraph_spark import Graph
+    nodes = {
+        "L": spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], ["_id", "name", "v"]),
+    }
+    edges = {
+        "R": spark.createDataFrame([(100, 1, 2)], ["_id", "_src", "_dst"]),
+    }
+    return Graph(spark, nodes, edges)
+
+
+def test_create_standalone(g):
+    g.query("CREATE (:L {name: 'c', v: 30})")
+    got = rows(g.query("MATCH (n:L) RETURN n.name AS n, n.v AS v"))
+    assert ("c", 30) in got and len(got) == 3
+
+
+def test_create_edge_between_matched(g):
+    g.query("MATCH (a:L {name: 'a'}), (b:L {name: 'b'}) "
+            "CREATE (b)-[:R {w: 5}]->(a)")
+    got = rows(g.query(
+        "MATCH (x)-[r:R]->(y) RETURN x.name AS x, y.name AS y"))
+    assert ("a", "b") in got and ("b", "a") in got
+
+
+def test_set_property(g):
+    g.query("MATCH (n:L {name: 'a'}) SET n.v = 99")
+    got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    assert got["a"] == 99 and got["b"] == 20
+
+
+def test_set_new_property(g):
+    g.query("MATCH (n:L {name: 'b'}) SET n.extra = 'x'")
+    got = rows(g.query(
+        "MATCH (n:L) RETURN n.name AS n, n.extra AS e"))
+    assert ("a", None) in got and ("b", "x") in got
+
+
+def test_set_increments(g):
+    g.query("MATCH (n:L) SET n.v = n.v + 1")
+    got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    assert got == {"a": 11, "b": 21}
+
+
+def test_delete_edge(g):
+    g.query("MATCH ()-[r:R]->() DELETE r")
+    assert g.query("MATCH ()-[r:R]->() RETURN count(*) AS c") \
+        .collect()[0]["c"] == 0
+
+
+def test_delete_node_cascades(g):
+    g.query("MATCH (n:L {name: 'a'}) DETACH DELETE n")
+    assert g.query("MATCH (n:L) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 1
+    # incident edge must be gone (Graph_BulkDelete cascade semantics)
+    assert g.query("MATCH ()-[r:R]->() RETURN count(*) AS c") \
+        .collect()[0]["c"] == 0
+
+
+def test_merge_creates_when_absent(g):
+    g.query("MERGE (n:L {name: 'new'}) ON CREATE SET n.v = 1")
+    got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    assert got["new"] == 1
+
+
+def test_merge_matches_when_present(g):
+    g.query("MERGE (n:L {name: 'a'}) ON MATCH SET n.v = 42")
+    got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    assert got["a"] == 42
+    assert len(got) == 2  # no duplicate created
+
+
+def test_mutation_statistics(g):
+    stats = {r["stat"]: r["value"]
+             for r in g.query("CREATE (:L {name: 'z'})").collect()}
+    assert stats.get("nodes_created") == 1

@@ -1,0 +1,138 @@
+"""Pipeline operators: dedup, similarity, text, events, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "another unrelated sentence mentioning databases"),
+    ], ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    from redisgraph_spark.pipeline.dedup import exact_dedup
+    got = {r["doc_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert got[1] == 2          # doc 2 collapsed into doc 1
+    assert 2 not in got
+    assert got[3] == 1
+
+
+def test_jaccard_near_dup(docs):
+    from redisgraph_spark.pipeline.dedup import jaccard_pairs
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold=0.6).collect()}
+    assert pairs[(1, 2)] == 1.0            # identical
+    assert 0.8 < pairs[(1, 3)] < 1.0       # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from redisgraph_spark.pipeline.dedup import minhash_lsh_pairs
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert (1, 4) not in got
+
+
+def test_simhash_near_dups(docs):
+    from redisgraph_spark.pipeline.dedup import simhash_pairs
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_pairs(docs, max_hamming=16).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got
+
+
+def test_cosine_topk_exact(spark):
+    from redisgraph_spark.pipeline.similarity import cosine_topk
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk(emb, queries, k=5).collect()
+    assert len(got) == 15
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_cosine_topk_lsh_recall_on_clusters(spark):
+    """LSH must find true neighbors when neighbor structure exists
+    (clustered vectors — random data has no meaningful neighbors)."""
+    import random
+    from redisgraph_spark.pipeline.similarity import (cosine_topk,
+                                                      cosine_topk_lsh)
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(10):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(5):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in center]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=4).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in cosine_topk_lsh(emb, queries, k=4,
+                                       ntables=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+
+
+def test_text_analysis(spark):
+    from redisgraph_spark.pipeline.text import analyze
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "le chat et le chien et la")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in analyze(docs).collect()}
+    assert got[1]["n_tokens"] == 5
+    assert abs(got[1]["stopword_ratio"] - 0.6) < 1e-9  # the, and, the
+    assert got[2]["lang_guess"] == "fr"
+    assert len(got[1]["fingerprint"]) == 32
+
+
+def test_events_sessionize(spark):
+    from redisgraph_spark.pipeline.events import session_stats
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 2.0),   # same session
+        (1, "2024-01-01 11:00:00", 3.0),   # new session (50 min gap)
+        (2, "2024-01-01 09:00:00", 4.0),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "value"]) \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["user_id"], r["session_seq"]): r["n_events"]
+           for r in session_stats(events, gap_minutes=30).collect()}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_multimodal_plumbing(spark):
+    from redisgraph_spark.pipeline.multimodal import (extract_features,
+                                                      synthetic_media)
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media)
+    got = feats.collect()
+    assert len(got) == 30
+    r = got[0]
+    assert r["n_bytes"] > 0 and len(r["feature"]) == 4
+    kinds = {x["kind"] for x in got}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_pagerank_converges(spark):
+    from redisgraph_spark.algorithms.pagerank import pagerank
+    # star graph: all point to node 0 → node 0 dominates
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["_id"])
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], ["_src", "_dst"])
+    pr = {r["_id"]: r["score"]
+          for r in pagerank(nodes, edges, iterations=10).collect()}
+    assert pr[0] > pr[1]
+    assert abs(sum(pr.values()) - 1.0) < 0.2
