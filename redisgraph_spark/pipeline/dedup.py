@@ -91,10 +91,18 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
 
 # --------------------------------------------------------- MinHash + LSH
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id"
-                       ) -> DataFrame:
-    """k-permutation MinHash via xxhash64(shingle, seed): (id, sig array)."""
-    sh = char_shingles(docs, n, text_col, id_col)
+                       text_col: str = "text", id_col: str = "doc_id",
+                       shingle: str = "word") -> DataFrame:
+    """k-permutation MinHash via xxhash64(shingle, seed): (id, sig array).
+
+    Word n-grams by default (w-shingling): character shingles over
+    low-entropy corpora collide so heavily that LSH buckets approach
+    all-pairs — word shingles keep bucket sizes bounded.
+    """
+    if shingle == "word":
+        sh = word_shingles(docs, n, text_col, id_col)
+    else:
+        sh = char_shingles(docs, n, text_col, id_col)
     aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
@@ -105,36 +113,41 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
                       n: int = 3, threshold: float | None = None,
-                      text_col: str = "text", id_col: str = "doc_id"
-                      ) -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingle: str = "word") -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     bands=8 × rows=4 over 32 hashes ⇒ collision prob ≈ 1-(1-s^4)^8
     (s = true Jaccard). With `threshold`, candidates are verified by
     estimated similarity (fraction of matching minhashes ≥ threshold).
     Returns (doc_a, doc_b, est_jaccard).
+
+    Scale shape: the bucket join carries only (id, band, bucket) — the
+    32-hash signatures rejoin *after* pair dedup, so hot buckets shuffle
+    ids, not arrays.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col,
+                             shingle)
     banded = sig.select(
-        id_col, "sig",
+        id_col,
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
                      F.xxhash64(*[F.element_at("sig", bi * rows + ri + 1)
                                   for ri in range(rows)]).alias("bucket"))
             for bi in range(bands)])).alias("bb"))
-    left = banded.select(F.col(id_col).alias("doc_a"),
-                         F.col("sig").alias("sig_a"), "bb")
-    right = banded.select(F.col(id_col).alias("doc_b"),
-                          F.col("sig").alias("sig_b"), "bb")
+    left = banded.select(F.col(id_col).alias("doc_a"), "bb")
+    right = banded.select(F.col(id_col).alias("doc_b"), "bb")
     cand = left.join(right, ["bb"]) \
         .filter(F.col("doc_a") < F.col("doc_b")) \
-        .select("doc_a", "doc_b", "sig_a", "sig_b").dropDuplicates(
-            ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b").dropDuplicates()
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    out = cand.join(sa, "doc_a").join(sb, "doc_b")
     est = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
         lambda m: m)) / F.size("sig_a")
-    out = cand.withColumn("est_jaccard", est)
+    out = out.withColumn("est_jaccard", est)
     if threshold is not None:
         out = out.filter(F.col("est_jaccard") >= threshold)
     return out.select("doc_a", "doc_b", "est_jaccard")

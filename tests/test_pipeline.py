@@ -6,12 +6,17 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR
 
 
+_LONG = ("the quick brown fox jumps over the lazy dog while the sun "
+         "sets slowly behind the tall green hills and the river flows "
+         "quietly through the valley toward the distant sea")
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.createDataFrame([
-        (1, "the quick brown fox jumps over the lazy dog"),
-        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
-        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (1, _LONG),
+        (2, _LONG),                                   # exact dup
+        (3, _LONG.replace("river", "stream")),        # near dup
         (4, "completely different content about spark engines"),
         (5, "another unrelated sentence mentioning databases"),
     ], ["doc_id", "text"])
