@@ -284,22 +284,37 @@ class CypherPlanner:
             compile_shortest_path(self, ctx, path)
             return
         elements = path.elements
-        prev = self._bind_node(ctx, elements[0])
-        path_edge_arrays: list[str] = []
-        path_node_ids: list[Column] = [F.col(f"{prev}._id")]
+        need_ids = path.var is not None
+        first: A.NodePattern = elements[0]
+        # reduceScans analog (optimizations/reduce_scans.c): an anonymous,
+        # unconstrained endpoint needs no node-table scan — the edge
+        # endpoint column IS the node
+        if (first.var is None and not first.labels and not first.props
+                and len(elements) > 1 and not need_ids
+                and elements[1].min_hops is None):
+            prev: tuple[str, str | None] = ("free", None)
+        else:
+            prev = ("var", self._bind_node(ctx, first))
+        path_node_ids: list[Column] = []
+        if need_ids and prev[0] == "var":
+            path_node_ids.append(F.col(f"{prev[1]}._id"))
         i = 1
         while i < len(elements):
             rel: A.RelPattern = elements[i]
             node: A.NodePattern = elements[i + 1]
+            skippable = (node.var is None and not node.labels
+                         and not node.props and not need_ids)
             if rel.min_hops is not None:
-                tgt = self._var_len_hop(ctx, prev, rel, node)
-                if rel.var is not None:
-                    path_edge_arrays.append(rel.var)
+                prev = self._var_len_hop(ctx, prev, rel, node, skippable)
             else:
-                tgt = self._single_hop(ctx, prev, rel, node, edge_uniq)
-            prev = tgt
-            path_node_ids.append(F.col(f"{prev}._id"))
+                prev = self._single_hop(ctx, prev, rel, node, edge_uniq,
+                                        skippable)
+            if need_ids:
+                path_node_ids.append(F.col(f"{prev[1]}._id"))
             i += 2
+        # drop dangling endpoint columns left by skipped node binds
+        if prev[0] == "col":
+            ctx.df = ctx.df.drop(prev[1])
         if path.var is not None:
             # path value: node ids + edges (edge structs for fixed hops)
             edge_cols = []
@@ -362,8 +377,10 @@ class CypherPlanner:
         oriented = TRAV.oriented_edges(flat, rel.direction, from_c, to_c)
         return oriented, props
 
-    def _single_hop(self, ctx: Ctx, prev: str, rel: A.RelPattern,
-                    node: A.NodePattern, edge_uniq: list[str]) -> str:
+    def _single_hop(self, ctx: Ctx, prev: tuple[str, str | None],
+                    rel: A.RelPattern, node: A.NodePattern,
+                    edge_uniq: list[str],
+                    skippable: bool = False) -> tuple[str, str | None]:
         e_name = rel.var or self.sym("e")
         if e_name in ctx.vars:
             raise PlanError(f"Edge variable `{e_name}` reused")
@@ -373,8 +390,17 @@ class CypherPlanner:
         e_sel = oriented.select(
             F.struct(*[F.col(c) for c in base_cols]).alias(e_name),
             F.col(from_c), F.col(to_c))
-        ctx.df = ctx.df.join(
-            e_sel, F.col(f"{prev}._id") == F.col(from_c), "inner")
+        if prev[0] == "free":
+            ctx.df = e_sel if ctx.df is None else ctx.df.crossJoin(e_sel)
+            ctx.df = ctx.df.drop(from_c)
+        elif prev[0] == "col":
+            ctx.df = ctx.df.join(
+                e_sel, F.col(prev[1]) == F.col(from_c), "inner") \
+                .drop(prev[1], from_c)
+        else:
+            ctx.df = ctx.df.join(
+                e_sel, F.col(f"{prev[1]}._id") == F.col(from_c), "inner") \
+                .drop(from_c)
         ctx.vars[e_name] = VarInfo("edge", props)
         comp = self.compiler(ctx)
         for k, v in rel.props:
@@ -391,12 +417,15 @@ class CypherPlanner:
         edge_uniq.append(e_name)
 
         # target node
+        if skippable and (node.var is None or node.var not in ctx.vars):
+            # no scan: the edge's endpoint column stands in for the node
+            return ("col", to_c)
         tgt = node.var or self.sym("n")
         if tgt in ctx.vars:
             if ctx.vars[tgt].kind != "node":
                 raise PlanError(f"Variable `{tgt}` is not a node")
             ctx.df = ctx.df.filter(
-                F.col(to_c) == F.col(f"{tgt}._id")).drop(from_c, to_c)
+                F.col(to_c) == F.col(f"{tgt}._id")).drop(to_c)
             comp = self.compiler(ctx)
             if node.labels:
                 ctx.df = ctx.df.filter(
@@ -407,14 +436,14 @@ class CypherPlanner:
                         F.col(tgt).getField(k) == comp.compile(v))
                 else:
                     ctx.df = ctx.df.filter(F.lit(False))
-            return tgt
+            return ("var", tgt)
         flat, nprops = self._node_scan(node.labels or None)
         nid = self.sym("nid")
         n_sel = flat.select(
             F.struct(*[F.col(c) for c in flat.columns]).alias(tgt),
             F.col("_id").alias(nid))
         ctx.df = ctx.df.join(n_sel, F.col(to_c) == F.col(nid), "inner") \
-                       .drop(from_c, to_c, nid)
+                       .drop(to_c, nid)
         ctx.vars[tgt] = VarInfo("node", nprops)
         comp = self.compiler(ctx)
         for k, v in node.props:
@@ -423,10 +452,11 @@ class CypherPlanner:
                     F.col(tgt).getField(k) == comp.compile(v))
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
-        return tgt
+        return ("var", tgt)
 
-    def _var_len_hop(self, ctx: Ctx, prev: str, rel: A.RelPattern,
-                     node: A.NodePattern) -> str:
+    def _var_len_hop(self, ctx: Ctx, prev: tuple[str, str | None],
+                     rel: A.RelPattern, node: A.NodePattern,
+                     skippable: bool = False) -> tuple[str, str | None]:
         from_c, to_c = "__vlf", "__vlt"
         oriented, props = self._oriented_edge_sel(rel, from_c, to_c)
         comp = self.compiler(ctx)
@@ -442,12 +472,30 @@ class CypherPlanner:
         out_edges = rel.var  # carry full edge structs only if named
         base_cols = [c for c in oriented.columns if c not in (from_c, to_c)]
         struct = F.struct(*[F.col(c) for c in base_cols])
+        if prev[0] == "free":
+            # seed from every edge source (no start scan needed)
+            seed = oriented.select(F.col(from_c).alias("__vseed")) \
+                .dropDuplicates()
+            base = seed if ctx.df is None else ctx.df.crossJoin(seed)
+            start_col = F.col("__vseed")
+        elif prev[0] == "col":
+            base = ctx.df
+            start_col = F.col(prev[1])
+        else:
+            base = ctx.df
+            start_col = F.col(f"{prev[1]}._id")
         ctx.df = TRAV.var_len_expand(
-            ctx.df, F.col(f"{prev}._id"), oriented,
+            base, start_col, oriented,
             rel.min_hops, rel.max_hops, out_id, out_edges,
             from_col=from_c, to_col=to_c, edge_struct=struct)
+        if prev[0] == "free":
+            ctx.df = ctx.df.drop("__vseed")
+        elif prev[0] == "col":
+            ctx.df = ctx.df.drop(prev[1])
         if rel.var is not None:
             ctx.vars[rel.var] = VarInfo("scalar")
+        if skippable and (node.var is None or node.var not in ctx.vars):
+            return ("col", out_id)
         tgt = node.var or self.sym("n")
         if tgt in ctx.vars:
             ctx.df = ctx.df.filter(
@@ -455,7 +503,7 @@ class CypherPlanner:
             if node.labels:
                 ctx.df = ctx.df.filter(
                     F.col(f"{tgt}._label").isin(list(node.labels)))
-            return tgt
+            return ("var", tgt)
         flat, nprops = self._node_scan(node.labels or None)
         nid = self.sym("nid")
         n_sel = flat.select(
@@ -471,7 +519,7 @@ class CypherPlanner:
                     F.col(tgt).getField(k) == comp.compile(v))
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
-        return tgt
+        return ("var", tgt)
 
     # -------------------------------------------------------- OPTIONAL MATCH
     def _optional_match(self, ctx: Ctx, clause: A.MatchClause) -> None:
