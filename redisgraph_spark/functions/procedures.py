@@ -63,4 +63,29 @@ def run_procedure(planner, clause: A.CallClause
     if name == "algo.bfs":
         raise NotImplementedError(
             "algo.BFS: use variable-length patterns or shortestPath()")
+
+    def _lit(e):
+        if isinstance(e, A.Literal):
+            return e.value
+        if isinstance(e, A.Parameter):
+            return planner.params[e.name]
+        raise ValueError("procedure arguments must be literals")
+
+    if name == "db.idx.fulltext.createnodeindex":
+        label = str(_lit(clause.args[0]))
+        for p in clause.args[1:]:
+            g.fulltext.create(label, str(_lit(p)))
+        return spark.createDataFrame([(True,)], ["ok"]), ["ok"]
+    if name == "db.idx.fulltext.drop":
+        g.fulltext.drop(str(_lit(clause.args[0])))
+        return spark.createDataFrame([(True,)], ["ok"]), ["ok"]
+    if name == "db.idx.fulltext.querynodes":
+        label = str(_lit(clause.args[0]))
+        text = str(_lit(clause.args[1]))
+        hits = g.fulltext.query(label, text)
+        node_cols = [c for c in hits.columns if c != "score"]
+        out = hits.select(
+            F.struct(*[F.col(c) for c in node_cols]).alias("node"),
+            F.col("score"))
+        return out, ["node", "score"]
     raise ValueError(f"Unknown procedure {name}")

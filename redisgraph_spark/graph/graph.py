@@ -85,11 +85,24 @@ class Graph:
                  node_tables: Mapping[str, DataFrame],
                  edge_tables: Mapping[str, DataFrame],
                  name: str = "g") -> None:
+        from collections import OrderedDict
         self.spark = spark
         self.name = name
         self.node_tables: dict[str, DataFrame] = dict(node_tables)
         self.edge_tables: dict[str, DataFrame] = dict(edge_tables)
-        self._engine = None
+        self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._version = 0
+        self._slow_log: list[dict] = []
+        self._fulltext = None
+
+    @property
+    def fulltext(self):
+        """Fulltext index catalog (reference RediSearch procedures,
+        ``src/procedures/proc_fulltext_*``)."""
+        if self._fulltext is None:
+            from redisgraph_spark.functions.fulltext import FulltextCatalog
+            self._fulltext = FulltextCatalog(self)
+        return self._fulltext
 
     # ---------------------------------------------------------------- catalog
     @property
@@ -209,18 +222,81 @@ class Graph:
         parse → plan → DataFrame pipeline replaces
         parse → AST → algebraic expression → Volcano ops
         (``src/commands/execution_ctx.c:64-119``).
+
+        Read-only plans are cached per (query, params) — the reference's
+        per-graph LRU plan cache of 25 (``src/commands/execution_ctx.c:
+        79-88``, ``CACHE_SIZE_DEFAULT`` ``src/configuration/config.c:53``);
+        any mutation bumps ``_version`` and invalidates.
         """
+        import time as _time
         from redisgraph_spark.planner.planner import CypherPlanner
+        from redisgraph_spark.cypher import ast as A
         from redisgraph_spark.cypher.parser import parse
+
+        t0 = _time.time()
+        key = (cypher, repr(sorted((params or {}).items())), self._version)
+        cached = self._plan_cache.get(key)
+        if cached is not None:
+            self._plan_cache.move_to_end(key)
+            self._log_query(cypher, _time.time() - t0, cache_hit=True)
+            return cached
         ast = parse(cypher)
-        return CypherPlanner(self, params or {}).plan(ast)
+        df = CypherPlanner(self, params or {}).plan(ast)
+        is_write = any(
+            isinstance(c, (A.CreateClause, A.MergeClause, A.SetClause,
+                           A.DeleteClause))
+            for part in ast.parts for c in part.clauses)
+        if is_write:
+            self._version += 1
+            self._plan_cache.clear()
+        else:
+            self._plan_cache[key] = df
+            if len(self._plan_cache) > self.PLAN_CACHE_SIZE:
+                self._plan_cache.popitem(last=False)
+        self._log_query(cypher, _time.time() - t0, cache_hit=False)
+        return df
+
+    # reference: CACHE_SIZE_DEFAULT 25 (src/configuration/config.c:53)
+    PLAN_CACHE_SIZE = 25
+
+    def _log_query(self, cypher: str, plan_sec: float,
+                   cache_hit: bool) -> None:
+        """≈ GRAPH.SLOWLOG (``src/slow_log/slow_log.h:18-37``) — keeps the
+        most recent queries with planning wall time."""
+        self._slow_log.append(
+            {"query": cypher, "plan_sec": round(plan_sec, 4),
+             "cache_hit": cache_hit})
+        if len(self._slow_log) > 128:
+            self._slow_log = self._slow_log[-128:]
+
+    def slow_log(self) -> list[dict]:
+        return sorted(self._slow_log, key=lambda r: -r["plan_sec"])[:10]
 
     def explain(self, cypher: str,
                 params: Mapping[str, object] | None = None) -> str:
-        """≈ ``GRAPH.EXPLAIN`` (``src/commands/cmd_explain.c:54``)."""
+        """≈ ``GRAPH.EXPLAIN`` (``src/commands/cmd_explain.c:54``) — the
+        Catalyst formatted physical plan."""
+        import contextlib
+        import io
         df = self.query(cypher, params)
-        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore
-            df._jdf.queryExecution(), "formatted")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def profile(self, cypher: str,
+                params: Mapping[str, object] | None = None) -> dict:
+        """≈ ``GRAPH.PROFILE`` (``src/execution_plan/execution_plan.c:
+        435-463``): executes the query and reports wall time, row count
+        and the executed plan (Spark's per-operator metrics live in the
+        plan string / UI)."""
+        import time as _time
+        df = self.query(cypher, params)
+        t0 = _time.time()
+        n = df.count()
+        wall = _time.time() - t0
+        return {"rows": n, "wall_sec": round(wall, 4),
+                "plan": self.explain(cypher, params)}
 
     # ---------------------------------------------------------------- mutate
     def with_nodes(self, label: str, df: DataFrame) -> "Graph":

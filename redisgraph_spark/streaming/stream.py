@@ -1,0 +1,105 @@
+"""Structured Streaming surface.
+
+The reference has no streaming (Redis request/response only —
+SURVEY.md §2.5); this module is the additive scope that makes the
+engine usable on event streams at 100 TB/day: the batch operators from
+``pipeline/events.py`` re-expressed as incremental plans with
+watermarks and state.
+
+- windowed rollup  → watermark + tumbling window aggregation
+- sessionization   → ``session_window`` (native state store, no UDF)
+- streaming dedup  → ``dropDuplicates`` within the watermark horizon
+- graph upserts    → ``foreachBatch`` appending into Graph edge tables
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      fmt: str = "json",
+                      schema: T.StructType = EVENT_SCHEMA) -> DataFrame:
+    """File-based event stream (each micro-batch picks up new files —
+    the cloud-storage ingestion pattern)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_rollup(stream: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Count/sum per (event_type, window); late events beyond the
+    watermark are dropped deterministically."""
+    return stream.withWatermark("ts", watermark) \
+        .groupBy(F.col("event_type"),
+                 F.window("ts", window).alias("w")) \
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("sum_value")) \
+        .select("event_type", F.col("w.start").alias("window_start"),
+                "n", "sum_value")
+
+
+def streaming_sessions(stream: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Per-user sessions via the native session_window state operator —
+    the streaming twin of ``pipeline.events.sessionize``."""
+    return stream.withWatermark("ts", watermark) \
+        .groupBy(F.col("user_id"),
+                 F.session_window("ts", gap).alias("w")) \
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value")) \
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events",
+                "total_value")
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str],
+                    watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once per key within the watermark horizon (state-store
+    dedup — the streaming form of exact_dedup)."""
+    return stream.withWatermark("ts", watermark) \
+        .dropDuplicates(keys + ["ts"]) if "ts" in keys else \
+        stream.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append") -> None:
+    """Drain all available input into an in-memory table (testing and
+    interactive inspection)."""
+    q = stream_df.writeStream.format("memory").queryName(name) \
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def stream_into_graph(stream: DataFrame, graph, rel: str,
+                      src_col: str, dst_col: str,
+                      checkpoint: str) -> object:
+    """foreachBatch upsert of an event stream into a Graph edge table —
+    continuous graph construction (no reference analog; GRAPH.BULK is
+    batch-only)."""
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        edges = batch_df.select(
+            (F.abs(F.xxhash64(*batch_df.columns))
+             + 30_000_000_000_000_000).alias("_id"),
+            F.col(src_col).cast("long").alias("_src"),
+            F.col(dst_col).cast("long").alias("_dst"))
+        if rel in graph.edge_tables:
+            graph.edge_tables[rel] = graph.edge_tables[rel] \
+                .unionByName(edges, allowMissingColumns=True) \
+                .localCheckpoint(eager=True)
+        else:
+            graph.edge_tables[rel] = edges.localCheckpoint(eager=True)
+
+    return stream.writeStream.foreachBatch(upsert) \
+        .option("checkpointLocation", checkpoint) \
+        .trigger(availableNow=True).start()

@@ -1,0 +1,82 @@
+"""Admin surface: plan cache, slow log, explain/profile, fulltext,
+bulk loader, persistence."""
+
+import tempfile
+
+
+def test_plan_cache_hits(social):
+    q = "MATCH (p:person) RETURN count(*) AS c"
+    social.query(q)
+    social.query(q)
+    hits = [r for r in social._slow_log if r["query"] == q]
+    assert len(hits) == 2 and hits[1]["cache_hit"]
+
+
+def test_mutation_invalidates_cache(social):
+    q = "MATCH (p:person) RETURN count(*) AS c"
+    n0 = social.query(q).collect()[0]["c"]
+    social.query("CREATE (:person {name: 'Zed', age: 50})")
+    n1 = social.query(q).collect()[0]["c"]
+    assert n1 == n0 + 1
+
+
+def test_explain_contains_physical_plan(social):
+    plan = social.explain(
+        "MATCH (p:person)-[:friend]->(f) RETURN count(*) AS c")
+    assert "Physical Plan" in plan
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+
+
+def test_profile(social):
+    prof = social.profile("MATCH (p:person) RETURN p.name AS n")
+    assert prof["rows"] == 10 and prof["wall_sec"] >= 0
+
+
+def test_fulltext_index(social):
+    res = social.query(
+        "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
+    res.collect()
+    hits = social.query(
+        "CALL db.idx.fulltext.queryNodes('person', 'roi') "
+        "YIELD node, score RETURN node.name AS n, score")
+    got = [(r["n"], r["score"]) for r in hits.collect()]
+    assert got == [("Roi", 1.0)]
+
+
+def test_bulk_load_csv(spark):
+    from redisgraph_spark.sources.bulk import bulk_load
+    d = tempfile.mkdtemp(prefix="rgbulk")
+    with open(f"{d}/people.csv", "w") as f:
+        f.write("pid,name\n1,ann\n2,bob\n3,cy\n")
+    with open(f"{d}/knows.csv", "w") as f:
+        f.write("a,b\n1,2\n2,3\n")
+    g = bulk_load(
+        spark,
+        [{"label": "P", "path": f"{d}/people.csv", "format": "csv",
+          "id_col": "pid", "offset": 0}],
+        [{"rel": "KNOWS", "path": f"{d}/knows.csv", "format": "csv",
+          "src_col": "a", "dst_col": "b"}])
+    got = g.query("MATCH (x:P)-[:KNOWS]->(y:P) "
+                  "RETURN x.name AS a, y.name AS b ORDER BY a").collect()
+    assert [(r["a"], r["b"]) for r in got] == [("ann", "bob"),
+                                              ("bob", "cy")]
+
+
+def test_save_load_roundtrip(spark, social):
+    from redisgraph_spark import Graph
+    d = tempfile.mkdtemp(prefix="rgsave")
+    social.save(d)
+    g2 = Graph.load(spark, d)
+    n = g2.query("MATCH (p:person)-[:friend]->() RETURN count(*) AS c") \
+        .collect()[0]["c"]
+    assert n == 10
+
+
+def test_pagerank_procedure(social):
+    got = social.query(
+        "CALL algo.pageRank('person', 'friend') YIELD node, score "
+        "RETURN node.name AS n, score ORDER BY score DESC LIMIT 3"
+    ).collect()
+    names = [r["n"] for r in got]
+    # friend edges all flow outward from Roi; hubs receive rank
+    assert len(names) == 3 and got[0]["score"] > 0

@@ -1,0 +1,79 @@
+"""Structured Streaming operators driven end-to-end with file sources
+and availableNow triggers."""
+
+import json
+import tempfile
+
+import pytest
+
+
+@pytest.fixture()
+def event_dir(spark):
+    d = tempfile.mkdtemp(prefix="rgstream")
+    rows = [
+        # user 1: two sessions (10:00-10:10, then 11:30)
+        (1, "2024-01-01T10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01T10:10:00", 1, "click", 2.0),
+        (3, "2024-01-01T11:30:00", 1, "view", 3.0),
+        # user 2: one session
+        (4, "2024-01-01T10:05:00", 2, "click", 4.0),
+        # duplicate event id
+        (1, "2024-01-01T10:00:00", 1, "click", 1.0),
+    ]
+    with open(f"{d}/part1.json", "w") as f:
+        for eid, ts, uid, et, v in rows:
+            f.write(json.dumps({
+                "event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": et, "value": v, "props": "{}"}) + "\n")
+    return d
+
+
+def test_windowed_rollup(spark, event_dir):
+    from redisgraph_spark.streaming.stream import (read_event_stream,
+                                                   run_to_memory,
+                                                   windowed_rollup)
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(windowed_rollup(stream, "1 hour"), "rollup1",
+                  output_mode="complete")
+    got = {(r["event_type"], str(r["window_start"])): r["n"]
+           for r in spark.sql("SELECT * FROM rollup1").collect()}
+    assert got[("click", "2024-01-01 10:00:00")] == 4
+    assert got[("view", "2024-01-01 11:00:00")] == 1
+
+
+def test_streaming_sessions(spark, event_dir):
+    from redisgraph_spark.streaming.stream import (read_event_stream,
+                                                   run_to_memory,
+                                                   streaming_sessions)
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(streaming_sessions(stream, gap="30 minutes"),
+                  "sessions1", output_mode="complete")
+    got = {(r["user_id"], str(r["session_start"])): r["n_events"]
+           for r in spark.sql("SELECT * FROM sessions1").collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 3   # incl. duplicate row
+    assert got[(1, "2024-01-01 11:30:00")] == 1
+    assert got[(2, "2024-01-01 10:05:00")] == 1
+
+
+def test_streaming_dedup(spark, event_dir):
+    from redisgraph_spark.streaming.stream import (read_event_stream,
+                                                   run_to_memory,
+                                                   streaming_dedup)
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(streaming_dedup(stream, ["event_id"]), "dedup1")
+    ids = [r["event_id"]
+           for r in spark.sql("SELECT event_id FROM dedup1").collect()]
+    assert sorted(ids) == [1, 2, 3, 4]
+
+
+def test_stream_into_graph(spark, event_dir):
+    from redisgraph_spark import Graph
+    from redisgraph_spark.streaming.stream import (read_event_stream,
+                                                   stream_into_graph)
+    g = Graph(spark, {}, {})
+    ckpt = tempfile.mkdtemp(prefix="rgckpt")
+    q = stream_into_graph(read_event_stream(spark, event_dir), g,
+                          "DID", "user_id", "event_id", ckpt)
+    q.awaitTermination()
+    assert "DID" in g.edge_tables
+    assert g.edge_tables["DID"].count() == 5
