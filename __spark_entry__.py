@@ -386,6 +386,17 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         # customer→nation→region is always the unique shortest route
         "SELECT CAST(2 AS BIGINT) AS len"),
 
+    # entity degree functions (entity_funcs.c:186-230)
+    "q_degree": (
+        "MATCH (n:Nation) RETURN n.n_name AS nation, "
+        "indegree(n) AS deg_in, outdegree(n, 'IN_REGION') AS deg_out "
+        "ORDER BY nation",
+        "SELECT n_name AS nation, "
+        "(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)"
+        " + (SELECT count(*) FROM supplier WHERE s_nationkey = "
+        "n_nationkey) AS deg_in, CAST(1 AS BIGINT) AS deg_out "
+        "FROM nation ORDER BY n_name"),
+
     # procedure call surface
     "q_call_labels": (
         "CALL db.labels() YIELD label RETURN label ORDER BY label",
@@ -480,7 +491,95 @@ def _p_top_users(spark, sf_dir):
     return top_users_by_type(_events(spark, sf_dir), "click", k=10)
 
 
+
+def _q_fulltext(spark, sf_dir):
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, sf_dir)   # fresh: index catalog is stateful
+    g.query("CALL db.idx.fulltext.createNodeIndex('Part', 'p_name')") \
+        .collect()
+    return g.query(
+        "CALL db.idx.fulltext.queryNodes('Part', 'red bolt') "
+        "YIELD node, score "
+        "RETURN node.p_partkey AS k, tofloat(score) AS score "
+        "ORDER BY score DESC, k")
+
+
+def _q_pagerank(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return g.query(
+        "CALL algo.pageRank('Nation', 'IN_REGION') YIELD node, score "
+        "RETURN node.n_nationkey AS k "
+        "ORDER BY k")
+
+
+def _q_mutation_roundtrip(spark, sf_dir):
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, sf_dir)   # fresh graph: mutations isolated
+    g.query("CREATE (:Region {r_regionkey: 990, r_name: 'ATLANTIS'})")
+    g.query("MATCH (r:Region {r_name: 'ATLANTIS'}) SET r.r_regionkey = 991")
+    g.query("CREATE (:Region {r_regionkey: 992, r_name: 'LEMURIA'})")
+    g.query("MATCH (r:Region {r_name: 'LEMURIA'}) DELETE r")
+    return g.query(
+        "MATCH (r:Region) RETURN count(*) AS n_regions, "
+        "max(r.r_regionkey) AS max_key")
+
+
+def _p_events_json(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.col("event_type"),
+        F.get_json_object("props", "$.k").cast("long").alias("k")) \
+        .groupBy("event_type") \
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k")) \
+        .orderBy("event_type")
+
+
+def _p_embedding_dups(spark, sf_dir):
+    from redisgraph_spark.pipeline.dedup import embedding_dup_pairs
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    return embedding_dup_pairs(emb, threshold=0.4) \
+        .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "q_fulltext": (_q_fulltext, """
+        WITH toks AS (
+          SELECT p_partkey,
+                 string_split_regex(lower(p_name), '[^a-z0-9]+') AS tk
+          FROM part
+        ), scored AS (
+          SELECT p_partkey,
+                 len(list_filter(tk, t -> t = 'red'))
+                 + len(list_filter(tk, t -> t = 'bolt')) AS score
+          FROM toks
+        )
+        SELECT p_partkey AS k, CAST(score AS DOUBLE) AS score
+        FROM scored WHERE score > 0 ORDER BY score DESC, k
+        """),
+
+    # iterative algorithm — validated rows-only (score distribution is
+    # FP-order dependent); membership checked: every nation ranked
+    "q_pagerank": (_q_pagerank,
+        "SELECT n_nationkey AS k FROM nation ORDER BY k"),
+
+    "q_mutation_roundtrip": (_q_mutation_roundtrip,
+        "SELECT count(*) + 1 AS n_regions, 991 AS max_key FROM region"),
+
+    "p_events_json": (_p_events_json, """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
+        """),
+
+    "p_embedding_dups": (_p_embedding_dups, """
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        ORDER BY doc_a, doc_b
+        """),
+
     "p_dedup_exact": (_p_dedup_exact,
         "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
         "FROM documents GROUP BY text ORDER BY doc_id"),

@@ -209,7 +209,10 @@ class CypherPlanner:
             else:
                 residual.append(c)
         if residual:
-            rewritten = [self._rewrite_pattern_flags(ctx, r) for r in residual]
+            rewritten = [
+                self._rewrite_graph_funcs(
+                    ctx, self._rewrite_pattern_flags(ctx, r))
+                for r in residual]
             comp = self.compiler(ctx)
             cond = None
             for r in rewritten:
@@ -249,6 +252,38 @@ class CypherPlanner:
             cond = c if cond is None else (cond & c)
         how = "left_anti" if anti else "left_semi"
         ctx.df = ctx.df.join(key_df, cond, how)
+
+    def _rewrite_graph_funcs(self, ctx: Ctx, e: A.Expr) -> A.Expr:
+        """Replace indegree(n)/outdegree(n) with degree columns joined
+        from an edge aggregation (reference entity funcs
+        ``src/arithmetic/entity_funcs/entity_funcs.c:186-230``)."""
+        calls = [n for n in _walk(e)
+                 if isinstance(n, A.FuncCall)
+                 and n.name in ("indegree", "outdegree")
+                 and n.args and isinstance(n.args[0], A.Variable)]
+        if not calls:
+            return e
+        mapping: dict[int, A.Expr] = {}
+        for call in calls:
+            var = call.args[0].name
+            if var not in ctx.vars or ctx.vars[var].kind != "node":
+                raise PlanError(f"{call.name}() expects a bound node")
+            rels = []
+            for extra in call.args[1:]:
+                if isinstance(extra, A.Literal):
+                    rels.append(str(extra.value))
+            edge_df = self.graph.edges(rels or None)
+            key = "_dst" if call.name == "indegree" else "_src"
+            hidden = self.sym("deg")
+            kc = self.sym("degk")
+            deg = edge_df.groupBy(F.col(key).alias(kc)) \
+                .agg(F.count(F.lit(1)).alias(hidden))
+            ctx.df = ctx.df.join(
+                deg, F.col(f"{var}._id") == F.col(kc), "left").drop(kc)
+            ctx.vars[hidden] = VarInfo("scalar")
+            mapping[id(call)] = A.FuncCall(
+                "coalesce", [A.Variable(hidden), A.Literal(0)])
+        return _substitute(e, mapping)
 
     def _rewrite_pattern_flags(self, ctx: Ctx, e: A.Expr) -> A.Expr:
         """Replace embedded PatternPredicate nodes with boolean flag
@@ -622,6 +657,10 @@ class CypherPlanner:
         all_items.extend(items)
         if not all_items:
             raise PlanError("empty projection")
+        all_items = [
+            A.ProjectionItem(self._rewrite_graph_funcs(ctx, it.expr),
+                             it.alias)
+            for it in all_items]
 
         aliases: list[str] = []
         for it in all_items:
