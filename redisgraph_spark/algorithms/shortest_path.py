@@ -73,12 +73,17 @@ def compile_shortest_path(planner, ctx, path: A.PatternPath) -> None:
             (F.col(f"{src}._id") == seen["__sp_origin"])
             & (nxt["__sp_cur"] == seen["__sp_cur"]),
             "left_anti")
-        # one deterministic shortest path per (origin, node)
-        nxt = nxt.groupBy(F.col(f"{src}._id").alias("__sp_o"),
-                          F.col("__sp_cur")) \
-            .agg(F.min(F.struct("__sp_eids", "__sp_nids",
-                                *[c for c in base.columns])).alias("__m")) \
-            .select(F.col("__m.*"), F.col("__sp_cur"))
+        if path.shortest == "all":
+            # allShortestPaths: keep every distinct first-reach path
+            nxt = nxt.dropDuplicates(["__sp_eids", "__sp_cur", src])
+        else:
+            # one deterministic shortest path per (origin, node)
+            nxt = nxt.groupBy(F.col(f"{src}._id").alias("__sp_o"),
+                              F.col("__sp_cur")) \
+                .agg(F.min(F.struct("__sp_eids", "__sp_nids",
+                                    *[c for c in base.columns]))
+                     .alias("__m")) \
+                .select(F.col("__m.*"), F.col("__sp_cur"))
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break

@@ -332,6 +332,56 @@ class Graph:
         for rel, df in self.edge_tables.items():
             df.write.mode("overwrite").parquet(f"{path}/edges/{rel}")
 
+    def save_bucketed(self, database: str, buckets: int = 64) -> None:
+        """Persist as bucketed tables — the 100 TB layout.
+
+        Nodes bucket+sort on ``_id``; edges bucket+sort on ``_src``.
+        A traversal join (edges._src = nodes._id) between tables with
+        the same bucket count then requires NO shuffle exchange on
+        either side — the cluster-scale analog of the reference keeping
+        adjacency matrices resident per graph. A ``_dst``-bucketed edge
+        copy is the transpose analog (``graph.h:73``); write it only if
+        reverse-heavy workloads show up in benchmarks.
+        """
+        import shutil
+        self.spark.sql(f"DROP DATABASE IF EXISTS {database} CASCADE")
+        # clear an orphaned location left by a previous session (managed
+        # tables refuse to overwrite an unregistered directory)
+        wh = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(f"{wh.removeprefix('file:')}/{database}.db",
+                      ignore_errors=True)
+        self.spark.sql(f"CREATE DATABASE {database}")
+        meta = []
+        for label, df in self.node_tables.items():
+            df.write.mode("overwrite") \
+                .bucketBy(buckets, "_id").sortBy("_id") \
+                .saveAsTable(f"{database}.nodes_{label.lower()}")
+            meta.append(("node", label.lower(), label))
+        for rel, df in self.edge_tables.items():
+            df.write.mode("overwrite") \
+                .bucketBy(buckets, "_src").sortBy("_src") \
+                .saveAsTable(f"{database}.edges_{rel.lower()}")
+            meta.append(("edge", rel.lower(), rel))
+        self.spark.createDataFrame(
+            meta, ["kind", "table_key", "name"]) \
+            .write.mode("overwrite").saveAsTable(f"{database}.graph_meta")
+
+    @classmethod
+    def load_bucketed(cls, spark: SparkSession, database: str) -> "Graph":
+        """Load a bucketed graph; bucket metadata keeps traversal joins
+        exchange-free."""
+        nodes = {}
+        edges = {}
+        meta = {(r["kind"], r["table_key"]): r["name"]
+                for r in spark.table(f"{database}.graph_meta").collect()}
+        for (kind, key), name in meta.items():
+            if kind == "node":
+                nodes[name] = spark.table(f"{database}.nodes_{key}")
+            else:
+                edges[name] = spark.table(f"{database}.edges_{key}")
+        return cls(spark, nodes, edges)
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Graph":
         import os

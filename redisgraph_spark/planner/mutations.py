@@ -259,28 +259,103 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
 # ------------------------------------------------------------------ MERGE
 def _merge(planner, ctx, clause: A.MergeClause) -> DataFrame | None:
     """MERGE = match-else-create with ON MATCH / ON CREATE hooks
-    (reference 3-stream design ``ops/op_merge.c:24-64``). Round-1 scope:
-    single-node patterns."""
+    (reference 3-stream bound/match/create design
+    ``ops/op_merge.c:24-64``).
+
+    - standalone (no input rows): match the WHOLE pattern; if absent,
+      create every element (standard Cypher whole-pattern semantics);
+    - after MATCH/WITH (per-row): single-node merge keyed on the
+      pattern's property expressions, with MergeCreate-style dedup of
+      identical pending creations (``ops/op_merge_create.c``).
+    """
     from redisgraph_spark.planner.planner import Ctx
 
     els = clause.path.elements
+    if ctx.df is None:
+        probe = Ctx()
+        planner._compile_path(probe, clause.path, [])
+        exists = not probe.df.isEmpty()
+        if exists:
+            planner._compile_path(ctx, clause.path, [])
+            if clause.on_match:
+                _set(planner, ctx, A.SetClause(clause.on_match))
+        else:
+            _create(planner, Ctx(), A.CreateClause([clause.path]))
+            planner._compile_path(ctx, clause.path, [])
+            if clause.on_create:
+                _set(planner, ctx, A.SetClause(clause.on_create))
+        return None
+
     if len(els) != 1:
-        raise NotImplementedError("MERGE on multi-element patterns: "
-                                  "round-2 scope")
-    np: A.NodePattern = els[0]
-    probe = Ctx()
-    planner._compile_path(probe, A.PatternPath(None, [np]), [])
-    exists = not probe.df.isEmpty()
-    if exists:
-        if np.var:
-            planner._compile_path(ctx, clause.path, [])
-        if clause.on_match:
-            _set(planner, ctx if ctx.df is not None else probe,
-                 A.SetClause(clause.on_match))
-    else:
-        _create(planner, Ctx(), A.CreateClause([clause.path]))
-        if np.var:
-            planner._compile_path(ctx, clause.path, [])
-        if clause.on_create:
-            _set(planner, ctx, A.SetClause(clause.on_create))
-    return None
+        raise NotImplementedError(
+            "per-row MERGE on multi-element patterns: round-2 scope")
+    return _merge_per_row(planner, ctx, clause)
+
+
+def _merge_per_row(planner, ctx, clause: A.MergeClause) -> None:
+    """Per-input-row single-node MERGE (the entity-resolution shape:
+    ``MATCH ... MERGE (n:L {key: row.val})``)."""
+    g = planner.graph
+    np: A.NodePattern = clause.path.elements[0]
+    if not np.labels:
+        raise ValueError("per-row MERGE requires a label")
+    label = np.labels[0]
+    var = np.var or planner.sym("mg")
+    comp = planner.compiler(ctx)
+    keys = [(k, comp.compile(v)) for k, v in np.props]
+    if not keys:
+        raise ValueError("per-row MERGE requires key properties")
+
+    key_cols = [c.alias(f"__mk_{k}") for k, c in keys]
+    want = ctx.df.select(key_cols).dropDuplicates()
+
+    tbl = g.node_tables.get(label)
+    if tbl is None:
+        tbl = g.spark.createDataFrame(
+            [], "_id long, " + ", ".join(f"{k} string" for k, _ in keys))
+        g.node_tables[label] = tbl
+    cond = None
+    for k, _ in keys:
+        c = tbl[k] == F.col(f"__mk_{k}") if k in tbl.columns else F.lit(False)
+        cond = c if cond is None else (cond & c)
+    missing = want.join(tbl, cond, "left_anti")
+    # MergeCreate dedup + deterministic content-addressed ids
+    created = missing.select(
+        (F.abs(F.xxhash64(*[F.col(f"__mk_{k}") for k, _ in keys]))
+         + F.lit(22_000_000_000_000_000)).alias("_id"),
+        *[F.col(f"__mk_{k}").alias(k) for k, _ in keys])
+    n_created = created.count()
+    if n_created:
+        g.node_tables[label] = tbl.unionByName(
+            created, allowMissingColumns=True).localCheckpoint(eager=True)
+        planner.stats["nodes_created"] = \
+            planner.stats.get("nodes_created", 0) + n_created
+    # bind: join the (now complete) table back per row
+    tbl2 = g.node_tables[label]
+    flat = tbl2.select(
+        F.struct(*[F.col(c) for c in tbl2.columns]).alias(var))
+    jcond = None
+    for k, c in keys:
+        cc = F.col(var).getField(k) == c
+        jcond = cc if jcond is None else (jcond & cc)
+    ctx.df = ctx.df.join(flat, jcond, "inner")
+    from redisgraph_spark.planner.expressions import VarInfo
+    ctx.vars[var] = VarInfo(
+        "node", tuple(c for c in tbl2.columns if c != "_id"))
+    created_ids = created.select(F.col("_id").alias("__cid"))
+    if clause.on_create and n_created:
+        sub = Ctx_like(ctx, ctx.df.join(
+            F.broadcast(created_ids),
+            F.col(var).getField("_id") == F.col("__cid"), "left_semi"))
+        _set(planner, sub, A.SetClause(clause.on_create))
+    if clause.on_match:
+        sub = Ctx_like(ctx, ctx.df.join(
+            F.broadcast(created_ids),
+            F.col(var).getField("_id") == F.col("__cid"), "left_anti"))
+        _set(planner, sub, A.SetClause(clause.on_match))
+
+
+def Ctx_like(ctx, df):
+    from redisgraph_spark.planner.planner import Ctx
+    out = Ctx(df=df, vars=dict(ctx.vars))
+    return out

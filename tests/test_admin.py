@@ -80,3 +80,34 @@ def test_pagerank_procedure(social):
     names = [r["n"] for r in got]
     # friend edges all flow outward from Roi; hubs receive rank
     assert len(names) == 3 and got[0]["score"] > 0
+
+
+def test_bucketed_layout_exchange_free_join(spark, social):
+    """Bucketed node/edge tables joined on the bucket key must not
+    shuffle either side (the 100 TB traversal layout)."""
+    import contextlib
+    import io
+    from redisgraph_spark import Graph
+    social.save_bucketed("rgtest", buckets=4)
+    g2 = Graph.load_bucketed(spark, "rgtest")
+    assert sorted(g2.labels) == ["country", "person"]
+    # correctness through the full engine
+    n = g2.query("MATCH (p:person)-[:friend]->(f:person) "
+                 "RETURN count(*) AS c").collect()[0]["c"]
+    assert n == 10
+    # plan shape: join edges._src = nodes._id without broadcast must
+    # show at most zero exchanges before the join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        nodes = spark.table("rgtest.nodes_person")
+        edges = spark.table("rgtest.edges_friend")
+        j = edges.join(nodes, edges["_src"] == nodes["_id"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1,0 +1,137 @@
+"""Edge-case semantics from the reference's flow tests (FIXTURES.md §5):
+multi-edges, self-loops, cycles + var-len uniqueness, null handling,
+type demotion."""
+
+import pytest
+
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def multi(spark):
+    """Two nodes with 3 parallel edges (tests/flow/test_multiple_edges.py)."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame([(1, "a"), (2, "b")],
+                                        ["_id", "name"])}
+    edges = {"R": spark.createDataFrame(
+        [(10, 1, 2, 1.0), (11, 1, 2, 2.0), (12, 1, 2, 3.0)],
+        ["_id", "_src", "_dst", "w"])}
+    return Graph(spark, nodes, edges)
+
+
+@pytest.fixture()
+def loop(spark):
+    """Self-pointing node (tests/flow/test_self_pointing_node.py)."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame([(1, "a")], ["_id", "name"])}
+    edges = {"R": spark.createDataFrame([(10, 1, 1)],
+                                        ["_id", "_src", "_dst"])}
+    return Graph(spark, nodes, edges)
+
+
+@pytest.fixture()
+def cycle(spark):
+    """3-cycle a→b→c→a (tests/flow/test_variable_length_traversals.py)."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["_id", "name"])}
+    edges = {"R": spark.createDataFrame(
+        [(10, 1, 2), (11, 2, 3), (12, 3, 1)], ["_id", "_src", "_dst"])}
+    return Graph(spark, nodes, edges)
+
+
+def test_multi_edge_enumeration(multi):
+    # each parallel edge is a distinct match
+    got = rows(multi.query(
+        "MATCH (a)-[e:R]->(b) RETURN a.name AS a, e.w AS w, b.name AS b"))
+    assert got == [("a", 1.0, "b"), ("a", 2.0, "b"), ("a", 3.0, "b")]
+
+
+def test_multi_edge_two_hop_uniqueness(multi):
+    # (a)-[e1]->(x)<-[e2]-(a): e1 != e2 → 3*2 ordered pairs
+    got = multi.query(
+        "MATCH (a)-[e1:R]->(x)<-[e2:R]-(c) RETURN count(*) AS n")
+    assert got.collect()[0]["n"] == 6
+
+
+def test_self_loop_single_hop(loop):
+    got = rows(loop.query(
+        "MATCH (a)-[:R]->(b) RETURN a.name AS a, b.name AS b"))
+    assert got == [("a", "a")]
+
+
+def test_self_loop_undirected_once(loop):
+    # undirected match of a self-loop must not double-count
+    got = loop.query("MATCH (a)-[e:R]-(b) RETURN count(*) AS n")
+    assert got.collect()[0]["n"] == 1
+
+
+def test_cycle_var_len_terminates(cycle):
+    # unbounded var-len on a cycle terminates via edge-uniqueness
+    got = rows(cycle.query(
+        "MATCH (a {name: 'a'})-[:R*]->(b) RETURN b.name AS n"))
+    # paths: a→b, a→b→c, a→b→c→a
+    assert got == [("a",), ("b",), ("c",)]
+
+
+def test_cycle_var_len_path_count(cycle):
+    # from every node, paths of length 1..3 → 3 per start node
+    got = cycle.query("MATCH (a)-[:R*1..3]->(b) RETURN count(*) AS n")
+    assert got.collect()[0]["n"] == 9
+
+
+def test_var_len_edge_not_reused(loop):
+    # self-loop: path of length 2 would need the same edge twice
+    got = loop.query("MATCH (a)-[:R*2..2]->(b) RETURN count(*) AS n")
+    assert got.collect()[0]["n"] == 0
+
+
+def test_null_property_comparisons(spark):
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(1, "a", 5), (2, "b", None), (3, "c", 7)],
+        ["_id", "name", "v"])}
+    g = Graph(spark, nodes, {})
+    # null comparisons are ternary: b is filtered by both v>4 and NOT v>4
+    assert rows(g.query(
+        "MATCH (n:N) WHERE n.v > 4 RETURN n.name AS m")) \
+        == [("a",), ("c",)]
+    assert rows(g.query(
+        "MATCH (n:N) WHERE NOT n.v > 4 RETURN n.name AS m")) == []
+    assert rows(g.query(
+        "MATCH (n:N) WHERE n.v IS NULL RETURN n.name AS m")) == [("b",)]
+    # missing property on SOME label
+    assert rows(g.query(
+        "MATCH (n:N) RETURN n.name AS m, n.nosuch AS x LIMIT 1")) \
+        == [("a", None)]
+
+
+def test_type_demotion_across_labels(spark):
+    """Same property name, different types per label → numeric widening
+    or string demotion (SURVEY §7.3 heterogeneous properties)."""
+    from redisgraph_spark import Graph
+    nodes = {
+        "A": spark.createDataFrame([(1, 5)], ["_id", "v"]),
+        "B": spark.createDataFrame([(2, 2.5)], ["_id", "v"]),
+        "C": spark.createDataFrame([(3, "x")], ["_id", "v"]),
+    }
+    g = Graph(spark, nodes, {})
+    got = rows(g.query("MATCH (n) RETURN n.v AS v"))
+    # all demoted to string in the unified scan
+    assert got == [("2.5",), ("5",), ("x",)]
+    # label-pruned scan keeps native numeric type
+    got_a = rows(g.query("MATCH (n:A) RETURN n.v AS v"))
+    assert got_a == [(5,)]
+
+
+def test_zero_hop_binds_same_node(cycle):
+    got = rows(cycle.query(
+        "MATCH (a {name: 'a'})-[:R*0..0]->(b) RETURN b.name AS n"))
+    assert got == [("a",)]
+
+
+def test_undirected_var_len(cycle):
+    # 1-hop undirected from 'a': neighbors b (out) and c (in)
+    got = rows(cycle.query(
+        "MATCH (a {name: 'a'})-[:R*1..1]-(b) RETURN b.name AS n"))
+    assert got == [("b",), ("c",)]

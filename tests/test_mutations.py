@@ -85,3 +85,33 @@ def test_mutation_statistics(g):
     stats = {r["stat"]: r["value"]
              for r in g.query("CREATE (:L {name: 'z'})").collect()}
     assert stats.get("nodes_created") == 1
+
+
+def test_merge_path_standalone(g):
+    # full pattern absent -> creates both nodes and the edge
+    g.query("MERGE (x:L {name: 'p'})-[:R2]->(y:L {name: 'q'})")
+    got = rows(g.query(
+        "MATCH (x:L)-[:R2]->(y:L) RETURN x.name AS a, y.name AS b"))
+    assert got == [("p", "q")]
+    # second merge matches -> no duplicates
+    g.query("MERGE (x:L {name: 'p'})-[:R2]->(y:L {name: 'q'})")
+    assert g.query("MATCH (:L)-[:R2]->(:L) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 1
+
+
+def test_merge_per_row(g, spark):
+    # rows drive per-row merge; duplicate keys dedup (MergeCreate)
+    g.query("UNWIND ['a', 'new1', 'new1', 'new2'] AS nm "
+            "MERGE (n:L {name: nm})")
+    names = sorted(r["n"] for r in g.query(
+        "MATCH (n:L) RETURN n.name AS n").collect())
+    assert names == ["a", "b", "new1", "new2"]
+
+
+def test_merge_per_row_on_create_match(g):
+    g.query("UNWIND ['a', 'fresh'] AS nm MERGE (n:L {name: nm}) "
+            "ON CREATE SET n.src = 'created' ON MATCH SET n.src = 'matched'")
+    got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS n, n.src AS s")))
+    assert got["a"] == "matched"
+    assert got["fresh"] == "created"
+    assert got["b"] is None
