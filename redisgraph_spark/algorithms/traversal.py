@@ -66,55 +66,69 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
     out_id     — name of the produced end-node-id column
     out_edges  — if not None, name of produced array<edge-struct> column
     Returns base ⋈ paths with columns of base + out_id (+ out_edges).
+
+    Uniqueness mode: visited-edge arrays are carried only when the edge
+    variable is referenced (``out_edges``) or the expansion is unbounded
+    (termination). For bounded anonymous expansions this matches the
+    reference's own relaxation — unreferenced relationships skip the
+    uniqueness check (``docs/known_limitations.md:3-24``) — and the
+    expansion becomes a pure join chain with no per-path state.
     """
     track = out_edges is not None
+    unbounded = max_hops is None
+    need_uniq = track or unbounded
     if edge_struct is None:
         edge_struct = F.struct(*[F.col(c) for c in edges.columns
                                  if not c.startswith("__")])
     eid = F.col("_id")
 
     # Pre-project the edge side once: traversal key + edge id (+ struct).
-    esel = [F.col(from_col), F.col(to_col).alias("__vl_next"),
-            eid.alias("__vl_eid")]
+    esel = [F.col(from_col), F.col(to_col).alias("__vl_next")]
+    if need_uniq:
+        esel.append(eid.alias("__vl_eid"))
     if track:
         esel.append(edge_struct.alias("__vl_estruct"))
     e = edges.select(esel)
+    if (max_hops or 2) > 1:
+        # materialize the slim oriented-edge projection once; every hop
+        # (and the final union) then reuses it instead of re-reading and
+        # re-unioning the relation tables
+        e = e.localCheckpoint(eager=True)
 
     cur_cols = [F.col(c) for c in base.columns]
-    frontier = base.select(
-        *cur_cols,
-        start_id.cast("long").alias("__vl_cur"),
-        F.array().cast("array<long>").alias("__vl_eids"),
-        *([F.array().cast(
+    state = [start_id.cast("long").alias("__vl_cur")]
+    if need_uniq:
+        state.append(F.array().cast("array<long>").alias("__vl_eids"))
+    if track:
+        state.append(F.array().cast(
             "array<struct<" + ",".join(
                 f"{f.name}:{f.dataType.simpleString()}"
                 for f in edges.select(edge_struct.alias("x"))
-                              .schema[0].dataType.fields) + ">"
-        ).alias("__vl_path")] if track else []),
-    )
+                              .schema[0].dataType.fields) + ">>"
+        ).alias("__vl_path"))
+    frontier = base.select(*cur_cols, *state)
 
     results: list[DataFrame] = []
     if min_hops == 0:
         results.append(frontier)
 
     hop = 0
-    unbounded = max_hops is None
     cap = MAX_UNBOUNDED_HOPS if unbounded else max_hops
     while hop < cap:
         hop += 1
         joined = frontier.join(e, frontier["__vl_cur"] == e[from_col], "inner")
         keep = [F.col(c) for c in base.columns]
-        nxt = joined.filter(~F.array_contains(F.col("__vl_eids"),
-                                              F.col("__vl_eid"))) \
-            .select(
-                *keep,
-                F.col("__vl_next").alias("__vl_cur"),
-                F.array_append(F.col("__vl_eids"),
-                               F.col("__vl_eid")).alias("__vl_eids"),
-                *([F.array_append(F.col("__vl_path"),
-                                  F.col("__vl_estruct")).alias("__vl_path")]
-                  if track else []),
-            )
+        nxt_cols = [F.col("__vl_next").alias("__vl_cur")]
+        if need_uniq:
+            joined = joined.filter(~F.array_contains(
+                F.col("__vl_eids"), F.col("__vl_eid")))
+            nxt_cols.append(F.array_append(
+                F.col("__vl_eids"), F.col("__vl_eid")).alias("__vl_eids"))
+        if track:
+            nxt_cols.append(F.array_append(
+                F.col("__vl_path"),
+                F.col("__vl_estruct")).alias("__vl_path"))
+        nxt = joined.select(*keep, *nxt_cols)
         if unbounded:
             nxt = nxt.localCheckpoint(eager=True)
             if nxt.isEmpty():
@@ -128,7 +142,8 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
         results = [frontier.limit(0)]
     out = results[0]
     for r in results[1:]:
-        out = out.unionByName(r)
+        out = out.unionByName(r, allowMissingColumns=True) \
+            if set(out.columns) != set(r.columns) else out.unionByName(r)
     final = [F.col(c) for c in base.columns] + \
         [F.col("__vl_cur").alias(out_id)]
     if track:

@@ -80,9 +80,17 @@ def test_cycle_var_len_path_count(cycle):
     assert got.collect()[0]["n"] == 9
 
 
-def test_var_len_edge_not_reused(loop):
-    # self-loop: path of length 2 would need the same edge twice
+def test_var_len_relaxed_uniqueness_unreferenced(loop):
+    # bounded + anonymous edge: reference semantics relax the edge-
+    # uniqueness check (docs/known_limitations.md:3-24) — the self-loop
+    # may be traversed twice
     got = loop.query("MATCH (a)-[:R*2..2]->(b) RETURN count(*) AS n")
+    assert got.collect()[0]["n"] == 1
+
+
+def test_var_len_strict_uniqueness_referenced(loop):
+    # referenced edge variable: uniqueness enforced — no edge reuse
+    got = loop.query("MATCH (a)-[e:R*2..2]->(b) RETURN count(*) AS n")
     assert got.collect()[0]["n"] == 0
 
 
