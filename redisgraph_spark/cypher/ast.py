@@ -151,6 +151,14 @@ class Reduce(Expr):
 
 
 @dataclass
+class MapProjection(Expr):
+    """``n {.a, .*, k: expr}`` — projected map over an entity."""
+    var: str
+    items: list[tuple[str, "Expr | None"]]  # (key, None=.key | expr)
+    star: bool = False
+
+
+@dataclass
 class PatternPredicate(Expr):
     """``WHERE (a)-[:R]->(b)`` — existence test, compiled to a semi-join
     (reference rewrites these to (Anti)SemiApply:

@@ -600,6 +600,8 @@ class Parser:
                 name = str(self.advance().value)
                 return self._call(name)
             self.advance()
+            if self.at_op("{"):
+                return self.parse_map_projection(str(t.value))
             return A.Variable(str(t.value))
         if t.kind == "op" and t.value == "[":
             return self.parse_list_or_comprehension()
@@ -627,6 +629,28 @@ class Parser:
                 args.append(self.parse_expr())
         self.eat_op(")")
         return A.FuncCall(name.lower(), args, distinct)
+
+    def parse_map_projection(self, var: str) -> A.Expr:
+        self.eat_op("{")
+        items: list[tuple[str, A.Expr | None]] = []
+        star = False
+        if not self.at_op("}"):
+            while True:
+                if self.opt_op("."):
+                    if self.opt_op("*"):
+                        star = True
+                    else:
+                        items.append((self.name(), None))
+                else:
+                    key = self.name()
+                    if self.opt_op(":"):
+                        items.append((key, self.parse_expr()))
+                    else:
+                        items.append((key, A.Variable(key)))
+                if not self.opt_op(","):
+                    break
+        self.eat_op("}")
+        return A.MapProjection(var, items, star)
 
     def parse_case(self) -> A.Expr:
         self.eat_kw("case")

@@ -272,6 +272,29 @@ class Graph:
     def slow_log(self) -> list[dict]:
         return sorted(self._slow_log, key=lambda r: -r["plan_sec"])[:10]
 
+    # ≈ GRAPH.CONFIG GET/SET (reference ``src/module.c:142-173``,
+    # ``src/configuration/config.h``). Engine-level knobs only; Spark
+    # execution knobs live on spark.conf.
+    DEFAULT_CONFIG = {
+        "PLAN_CACHE_SIZE": 25,          # config.c:53
+        "MAX_UNBOUNDED_HOPS": 32,       # traversal safety valve
+        "RESULTSET_MAX_SIZE": -1,       # unlimited, as reference default
+    }
+
+    def config_get(self, key: str):
+        if not hasattr(self, "_config"):
+            self._config = dict(self.DEFAULT_CONFIG)
+        return self._config[key]
+
+    def config_set(self, key: str, value) -> None:
+        if not hasattr(self, "_config"):
+            self._config = dict(self.DEFAULT_CONFIG)
+        if key not in self._config:
+            raise KeyError(f"Unknown config {key}")
+        self._config[key] = value
+        if key == "PLAN_CACHE_SIZE":
+            self.PLAN_CACHE_SIZE = int(value)
+
     def explain(self, cypher: str,
                 params: Mapping[str, object] | None = None) -> str:
         """≈ ``GRAPH.EXPLAIN`` (``src/commands/cmd_explain.c:54``) — the

@@ -315,6 +315,32 @@ class ExprCompiler:
         return F.aggregate(source, init, merge)
 
     # ------------------------------------------------------------- functions
+    def _c_MapProjection(self, e: A.MapProjection) -> Column:
+        """``n {.a, .*, k: expr}`` → struct of selected fields."""
+        if e.var not in self.vars:
+            raise CompileError(f"Unknown variable `{e.var}`")
+        info = self.vars[e.var]
+        fields: list[Column] = []
+        seen: set[str] = set()
+        if e.star and info.kind in ("node", "edge"):
+            for f in info.fields:
+                fields.append(F.col(e.var).getField(f).alias(f))
+                seen.add(f)
+        for key, expr in e.items:
+            if key in seen:
+                continue
+            if expr is None:  # .key
+                if info.kind in ("node", "edge") and key in info.fields:
+                    fields.append(F.col(e.var).getField(key).alias(key))
+                else:
+                    fields.append(F.lit(None).alias(key))
+            else:
+                fields.append(self.compile(expr).alias(key))
+            seen.add(key)
+        if not fields:
+            raise CompileError("empty map projection")
+        return F.struct(*fields)
+
     def _c_CountStar(self, e: A.CountStar) -> Column:  # handled by planner
         raise CompileError("count(*) outside aggregation context")
 
