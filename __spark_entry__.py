@@ -386,6 +386,38 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         # customer→nation→region is always the unique shortest route
         "SELECT CAST(2 AS BIGINT) AS len"),
 
+    # ternary (three-valued) logic: null-propagating comparisons and
+    # boolean operators (src/value.h:58-77, boolean_funcs.c:184-247)
+    "q_ternary_logic": (
+        "UNWIND [1, 2, 3] AS x "
+        "WITH CASE WHEN x = 2 THEN null ELSE x END AS v "
+        "RETURN sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS gt1, "
+        "sum(CASE WHEN v > 1 OR v IS NULL THEN 1 ELSE 0 END) AS gt1_or_null, "
+        "sum(CASE WHEN NOT v > 1 THEN 1 ELSE 0 END) AS not_gt1, "
+        "count(v) AS nonnull, count(*) AS total",
+        "WITH u AS (SELECT CASE WHEN x = 2 THEN NULL ELSE x END AS v "
+        "FROM (SELECT unnest([1,2,3]) AS x)) "
+        "SELECT sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS gt1, "
+        "sum(CASE WHEN v > 1 OR v IS NULL THEN 1 ELSE 0 END) AS gt1_or_null, "
+        "sum(CASE WHEN NOT v > 1 THEN 1 ELSE 0 END) AS not_gt1, "
+        "count(v) AS nonnull, count(*) AS total FROM u"),
+
+    # 4-hop chain: Customer->Order->Part->Supplier->Nation (deep join
+    # pipeline; the 100TB bread-and-butter shape)
+    "q_four_hop_chain": (
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part)"
+        "-[:SUPPLIED_BY]->(s:Supplier)-[:IN_NATION]->(n:Nation) "
+        "RETURN n.n_name AS nation, count(*) AS n_paths ORDER BY nation",
+        "SELECT n_name AS nation, count(*) AS n_paths "
+        "FROM customer "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN (SELECT DISTINCT l_partkey AS sp_part, l_suppkey AS sp_supp "
+        "      FROM lineitem) sb ON sb.sp_part = l_partkey "
+        "JOIN supplier ON s_suppkey = sb.sp_supp "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "GROUP BY n_name ORDER BY n_name"),
+
     # entity degree functions (entity_funcs.c:186-230)
     "q_degree": (
         "MATCH (n:Nation) RETURN n.n_name AS nation, "

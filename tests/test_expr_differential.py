@@ -1,0 +1,106 @@
+"""Differential expression testing against DuckDB (the reference's
+fuzz-testing strategy, tests/fuzz/, done deterministically): generate
+seeded random *well-typed* scalar expressions, evaluate all of them in
+ONE query on each engine, compare value-by-value."""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+_NUMS = ["0", "1", "2", "7", "-3", "2.5", "-0.5", "10"]
+_STRS = ["'abc'", "'Hello World'", "''", "'xyz'"]
+
+
+def _num(rng: random.Random, depth: int = 0) -> str:
+    if depth > 2 or rng.random() < 0.35:
+        return rng.choice(_NUMS)
+    k = rng.randrange(6)
+    if k == 0:
+        op = rng.choice(["+", "-", "*"])
+        return f"({_num(rng, depth + 1)} {op} {_num(rng, depth + 1)})"
+    if k == 1:
+        return f"abs({_num(rng, depth + 1)})"
+    if k == 2:
+        return f"({_num(rng, depth + 1)} % 7)"
+    if k == 3:
+        return f"coalesce(null, {_num(rng, depth + 1)})"
+    if k == 4:
+        return f"size({_str(rng, depth + 1)})"
+    return (f"(CASE WHEN {_bool(rng, depth + 1)} THEN "
+            f"{_num(rng, depth + 1)} ELSE {_num(rng, depth + 1)} END)")
+
+
+def _str(rng: random.Random, depth: int = 0) -> str:
+    if depth > 2 or rng.random() < 0.4:
+        return rng.choice(_STRS)
+    k = rng.randrange(6)
+    inner = _str(rng, depth + 1)
+    if k == 0:
+        return f"toupper({inner})"
+    if k == 1:
+        return f"tolower({inner})"
+    if k == 2:
+        return f"reverse({inner})"
+    if k == 3:
+        return f"trim({inner})"
+    if k == 4:
+        return f"left({inner}, 2)"
+    return (f"(CASE WHEN {_bool(rng, depth + 1)} THEN {inner} "
+            f"ELSE {_str(rng, depth + 1)} END)")
+
+
+def _bool(rng: random.Random, depth: int = 0) -> str:
+    if depth > 2 or rng.random() < 0.4:
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"({rng.choice(_NUMS)} {op} {rng.choice(_NUMS)})"
+    k = rng.randrange(4)
+    if k == 0:
+        return f"({_bool(rng, depth + 1)} AND {_bool(rng, depth + 1)})"
+    if k == 1:
+        return f"({_bool(rng, depth + 1)} OR {_bool(rng, depth + 1)})"
+    if k == 2:
+        return f"(NOT {_bool(rng, depth + 1)})"
+    op = rng.choice(["=", "<>"])
+    return f"({_str(rng, depth + 1)} {op} {_str(rng, depth + 1)})"
+
+
+def _gen(rng: random.Random) -> str:
+    return rng.choice([_num, _str, _bool])(rng)
+
+
+_DUCK_MAP = [
+    ("toupper(", "upper("), ("tolower(", "lower("),
+    ("size(", "length("),
+]
+
+
+def _to_duck(e: str) -> str:
+    for a, b in _DUCK_MAP:
+        e = e.replace(a, b)
+    return e
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_expressions_match_duckdb(spark, seed):
+    from redisgraph_spark import Graph
+    rng = random.Random(seed)
+    exprs = [_gen(rng) for _ in range(50)]
+    cypher = "RETURN " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(exprs))
+    sql = "SELECT " + ", ".join(
+        f"{_to_duck(e)} AS c{i}" for i, e in enumerate(exprs))
+    g = Graph(spark, {}, {})
+    srow = g.query(cypher).collect()[0]
+    drow = duckdb.sql(sql).fetchall()[0]
+    for i, (sv, dv) in enumerate(zip(srow, drow)):
+        if isinstance(sv, float) or isinstance(dv, float):
+            if sv is None or dv is None:
+                assert sv == dv, f"c{i}: {exprs[i]} -> {sv} vs {dv}"
+            else:
+                assert math.isclose(float(sv), float(dv),
+                                    rel_tol=1e-9, abs_tol=1e-12), \
+                    f"c{i}: {exprs[i]} -> {sv} vs {dv}"
+        else:
+            assert sv == dv, f"c{i}: {exprs[i]} -> {sv} vs {dv}"
