@@ -556,6 +556,14 @@ def _q_mutation_roundtrip(spark, sf_dir):
         "max(r.r_regionkey) AS max_key")
 
 
+def _p_tfidf(spark, sf_dir):
+    from redisgraph_spark.pipeline.text import tf_idf
+    return tf_idf(_docs(spark, sf_dir)) \
+        .select("doc_id", "term", "tf",
+                (F.round(F.col("tfidf") * 1e6) / 1e6).alias("tfidf")) \
+        .orderBy("doc_id", "term")
+
+
 def _p_events_json(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return ev.select(
@@ -596,6 +604,24 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 
     "q_mutation_roundtrip": (_q_mutation_roundtrip,
         "SELECT count(*) + 1 AS n_regions, 991 AS max_key FROM region"),
+
+    "p_tfidf": (_p_tfidf, """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+                 '\\s+')) AS term
+          FROM documents
+        ), t AS (SELECT * FROM toks WHERE term <> ''),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+        ), dfr AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term AS term, tf.tf,
+               round(1e6 * (tf.tf * (ln((1.0 + n_docs) / (1.0 + df))
+                 + 1.0))) / 1e6 AS tfidf
+        FROM tf, n JOIN dfr ON dfr.term = tf.term
+        ORDER BY doc_id, term
+        """),
 
     "p_events_json": (_p_events_json, """
         SELECT event_type, count(*) AS n,

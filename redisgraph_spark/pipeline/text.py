@@ -116,6 +116,34 @@ def ngram_fingerprint(text: Column, n: int = 4) -> Column:
     return F.md5(F.concat_ws("|", F.sort_array(F.array_distinct(grams))))
 
 
+def tf_idf(docs: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id", min_df: int = 1) -> DataFrame:
+    """Per-(doc, term) TF-IDF over whitespace tokens.
+
+    tf = term count in doc; idf = ln((1+N)/(1+df)) + 1 (smoothed,
+    scikit-style — exactly reproducible in SQL for the oracle).
+    One explode + two key-partitioned aggregations; the df side is a
+    broadcast-sized term dictionary at any corpus size with min_df
+    pruning.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("term")) \
+        .filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_tbl = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")) \
+        .filter(F.col("df") >= min_df)
+    idf = df_tbl.withColumn(
+        "idf", F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df")))
+        + F.lit(1.0))
+    return tf.join(F.broadcast(idf), "term") \
+        .select(id_col, "term", "tf",
+                (F.col("tf") * F.col("idf")).alias("tfidf"))
+
+
 def analyze(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
