@@ -94,6 +94,7 @@ class Graph:
         self._version = 0
         self._slow_log: list[dict] = []
         self._fulltext = None
+        self._scan_cache: dict[tuple, DataFrame] = {}
 
     @property
     def fulltext(self):
@@ -136,6 +137,10 @@ class Graph:
         (``ops/op_all_node_scan.c``).
         """
         names = list(labels) if labels is not None else list(self.node_tables)
+        key = ("n", tuple(sorted(names)), self._version)
+        cached = self._scan_cache.get(key)
+        if cached is not None:
+            return cached
         tables = {l: self.node_tables[l] for l in names if l in self.node_tables}
         if not tables:
             schema = T.StructType([
@@ -146,18 +151,22 @@ class Graph:
         merged = _merge_schemas(tables, _INTERNAL_NODE)
         parts = []
         for label, df in tables.items():
-            cols = [F.col(NODE_ID).cast("long").alias(NODE_ID),
+            have = {f.name: f.dataType for f in df.schema.fields}
+            cols = [F.col(NODE_ID).cast("long").alias(NODE_ID)
+                    if have.get(NODE_ID) != T.LongType() else NODE_ID,
                     F.lit(label).alias(LABEL_COL)]
-            have = set(df.columns)
             for n, t in merged:
                 if n in have:
-                    cols.append(F.col(n).cast(t).alias(n))
+                    # skip no-op casts: each Column op is a JVM round trip
+                    cols.append(n if have[n] == t
+                                else F.col(n).cast(t).alias(n))
                 else:
                     cols.append(F.lit(None).cast(t).alias(n))
             parts.append(df.select(cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        self._scan_cache[key] = out
         return out
 
     def edges(self, rels: Iterable[str] | None = None) -> DataFrame:
@@ -167,6 +176,10 @@ class Graph:
         per-relation-matrix pruning of ``graph.h:74-76``.
         """
         names = list(rels) if rels is not None else list(self.edge_tables)
+        key = ("e", tuple(sorted(names)), self._version)
+        cached = self._scan_cache.get(key)
+        if cached is not None:
+            return cached
         tables = {r: self.edge_tables[r] for r in names if r in self.edge_tables}
         if not tables:
             schema = T.StructType([
@@ -179,20 +192,23 @@ class Graph:
         merged = _merge_schemas(tables, _INTERNAL_EDGE)
         parts = []
         for rel, df in tables.items():
-            cols = [F.col(EDGE_ID).cast("long").alias(EDGE_ID),
-                    F.col(EDGE_SRC).cast("long").alias(EDGE_SRC),
-                    F.col(EDGE_DST).cast("long").alias(EDGE_DST),
-                    F.lit(rel).alias(REL_COL)]
-            have = set(df.columns)
+            have = {f.name: f.dataType for f in df.schema.fields}
+            cols = []
+            for ic in (EDGE_ID, EDGE_SRC, EDGE_DST):
+                cols.append(ic if have.get(ic) == T.LongType()
+                            else F.col(ic).cast("long").alias(ic))
+            cols.append(F.lit(rel).alias(REL_COL))
             for n, t in merged:
                 if n in have:
-                    cols.append(F.col(n).cast(t).alias(n))
+                    cols.append(n if have[n] == t
+                                else F.col(n).cast(t).alias(n))
                 else:
                     cols.append(F.lit(None).cast(t).alias(n))
             parts.append(df.select(cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        self._scan_cache[key] = out
         return out
 
     # ---------------------------------------------------------------- stats

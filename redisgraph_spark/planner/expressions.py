@@ -51,13 +51,22 @@ class ExprCompiler:
         self.vars = variables
         self.params = params
         self.query_time_ms = query_time_ms or int(time.time() * 1000)
+        self._probe_df = None
 
     # ------------------------------------------------------------ type probe
     def dtype(self, col: Column) -> T.DataType:
+        """Resolve a Column's type by analyzing it against an EMPTY
+        DataFrame with the in-scope schema — the accumulated join plan
+        is analyzed once (df.schema is cached by Spark); each probe then
+        costs a one-node plan analysis instead of re-analyzing the whole
+        query subtree."""
         df = self.df
         if df is None:
             raise CompileError("no DataFrame in scope for type probing")
-        return df.select(col.alias("_t")).schema[0].dataType
+        if self._probe_df is None:
+            self._probe_df = df.sparkSession.createDataFrame(
+                [], df.schema)
+        return self._probe_df.select(col.alias("_t")).schema[0].dataType
 
     def _is_string(self, col: Column) -> bool:
         try:

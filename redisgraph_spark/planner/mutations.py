@@ -30,15 +30,21 @@ def _fresh_ids(n: int) -> list[int]:
 
 
 def apply_mutation(planner, ctx, clause) -> DataFrame | None:
-    if isinstance(clause, A.CreateClause):
-        return _create(planner, ctx, clause)
-    if isinstance(clause, A.SetClause):
-        return _set(planner, ctx, clause)
-    if isinstance(clause, A.DeleteClause):
-        return _delete(planner, ctx, clause)
-    if isinstance(clause, A.MergeClause):
-        return _merge(planner, ctx, clause)
-    raise ValueError(type(clause).__name__)
+    # mutated tables invalidate the graph's unified-scan cache so later
+    # clauses in this same query see the new state (read-your-writes)
+    planner.graph._scan_cache.clear()
+    try:
+        if isinstance(clause, A.CreateClause):
+            return _create(planner, ctx, clause)
+        if isinstance(clause, A.SetClause):
+            return _set(planner, ctx, clause)
+        if isinstance(clause, A.DeleteClause):
+            return _delete(planner, ctx, clause)
+        if isinstance(clause, A.MergeClause):
+            return _merge(planner, ctx, clause)
+        raise ValueError(type(clause).__name__)
+    finally:
+        planner.graph._scan_cache.clear()
 
 
 # ---------------------------------------------------------------- CREATE
@@ -108,6 +114,7 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
         planner.stats.get("nodes_created", 0) + nodes_created
     planner.stats["relationships_created"] = \
         planner.stats.get("relationships_created", 0) + edges_created
+    planner.graph._scan_cache.clear()
     return None
 
 
@@ -167,6 +174,7 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
     if edges_created:
         planner.stats["relationships_created"] = \
             planner.stats.get("relationships_created", 0) + edges_created
+    planner.graph._scan_cache.clear()
     return None
 
 
@@ -208,6 +216,7 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
         props_set += upd_cnt
     planner.stats["properties_set"] = \
         planner.stats.get("properties_set", 0) + props_set
+    planner.graph._scan_cache.clear()
     return None
 
 
@@ -253,6 +262,7 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
         planner.stats.get("nodes_deleted", 0) + nodes_deleted
     planner.stats["relationships_deleted"] = \
         planner.stats.get("relationships_deleted", 0) + edges_deleted
+    planner.graph._scan_cache.clear()
     return None
 
 
@@ -328,6 +338,7 @@ def _merge_per_row(planner, ctx, clause: A.MergeClause) -> None:
     if n_created:
         g.node_tables[label] = tbl.unionByName(
             created, allowMissingColumns=True).localCheckpoint(eager=True)
+        g._scan_cache.clear()
         planner.stats["nodes_created"] = \
             planner.stats.get("nodes_created", 0) + n_created
     # bind: join the (now complete) table back per row
