@@ -484,6 +484,15 @@ def _p_cosine_topk_lsh(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+def _p_cosine_topk_ivf(spark, sf_dir):
+    from redisgraph_spark.pipeline.similarity import cosine_topk_ivf
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, queries, k=5, nlist=16, nprobe=4) \
+        .select("query_id", "neighbor_id", "rank") \
+        .orderBy("query_id", "rank")
+
+
 def _p_text_stats(spark, sf_dir):
     from redisgraph_spark.pipeline import text as TXT
     t = F.col("text")
@@ -691,6 +700,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 
     # approximate ANN — rows-only (recall measured in tests)
     "p_cosine_topk_lsh": (_p_cosine_topk_lsh, None),
+    "p_cosine_topk_ivf": (_p_cosine_topk_ivf, None),
 
     "p_text_stats": (_p_text_stats, """
         SELECT doc_id,

@@ -90,6 +90,79 @@ def _planes(dim: int, nbits: int, seed: int) -> list[list[float]]:
     return planes
 
 
+def ivf_build(emb: DataFrame, nlist: int = 16, iters: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: Lloyd iterations over DataFrames.
+
+    Centroid init = lowest-id vectors (deterministic). Assignment is a
+    broadcast join against the (tiny) centroid table + window argmax;
+    re-estimation is one groupBy. Returns (centroids(list_id, center),
+    assignments(id, list_id)).
+    """
+    spark = emb.sparkSession
+    init = [r[vec_col] for r in
+            emb.orderBy(id_col).limit(nlist).collect()]
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(init)],
+        ["list_id", "center"])
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(centroids)) \
+            .withColumn("__sim", cosine_sim(F.col(vec_col),
+                                            F.col("center")))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__sim").desc(), F.col("list_id").asc())
+        assign = scored.withColumn("__rk", F.row_number().over(w)) \
+            .filter(F.col("__rk") == 1).select(id_col, "list_id", vec_col)
+        dim_idx = list(range(len(init[0])))
+        new_c = assign.groupBy("list_id").agg(
+            *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}")
+              for i in dim_idx])
+        centroids = new_c.select(
+            "list_id",
+            F.array(*[F.col(f"d{i}") for i in dim_idx]).alias("center"))
+        centroids = centroids.localCheckpoint(eager=True)
+    scored = emb.crossJoin(F.broadcast(centroids)) \
+        .withColumn("__sim", cosine_sim(F.col(vec_col), F.col("center")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("list_id").asc())
+    assign = scored.withColumn("__rk", F.row_number().over(w)) \
+        .filter(F.col("__rk") == 1).select(id_col, "list_id")
+    return centroids, assign
+
+
+def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    nlist: int = 16, nprobe: int = 4, iters: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """IVF ANN: queries probe their nprobe closest inverted lists and
+    rerank exactly within them. The candidate join is an equi-join on
+    list_id — at 100 TB each query touches nprobe/nlist of the corpus.
+    """
+    centroids, assign = ivf_build(emb, nlist, iters, id_col, vec_col)
+    corpus = emb.join(assign, id_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_v"),
+        "list_id")
+    qs = queries.crossJoin(F.broadcast(centroids)) \
+        .withColumn("__sim", cosine_sim(F.col(vec_col), F.col("center")))
+    wq = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("list_id").asc())
+    probes = qs.withColumn("__rk", F.row_number().over(wq)) \
+        .filter(F.col("__rk") <= nprobe) \
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v"),
+                "list_id")
+    cand = corpus.join(probes, "list_id") \
+        .filter(F.col("n_id") != F.col("q_id"))
+    scored = cand.withColumn("cosine",
+                             cosine_sim(F.col("q_v"), F.col("n_v")))
+    w = Window.partitionBy("q_id") \
+        .orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select(F.col("q_id").alias("query_id"),
+                F.col("n_id").alias("neighbor_id"), "cosine", "rank")
+
+
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
                     nbits: int = 8, ntables: int = 4, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding"

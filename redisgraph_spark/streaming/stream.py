@@ -72,6 +72,50 @@ def streaming_dedup(stream: DataFrame, keys: list[str],
         stream.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across
+    micro-batches via ``applyInPandasWithState`` (Arrow-batched Python
+    state — the escape hatch for semantics Spark's built-in stateful
+    operators can't express; state itself lives in the state store).
+
+    Emits one row per user per micro-batch:
+    (user_id, n_events, total_value, max_value).
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        n, total, mx = (state.get if state.exists else (0, 0.0, None))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = float(pdf["value"].max()) if len(pdf) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, total, mx))
+        yield pd.DataFrame([{
+            "user_id": key[0], "n_events": n,
+            "total_value": round(total, 6), "max_value": mx,
+        }])
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> None:
     """Drain all available input into an in-memory table (testing and

@@ -141,3 +141,25 @@ def test_pagerank_converges(spark):
           for r in pagerank(nodes, edges, iterations=10).collect()}
     assert pr[0] > pr[1]
     assert abs(sum(pr.values()) - 1.0) < 0.2
+
+
+def test_cosine_topk_ivf_recall_on_clusters(spark):
+    import random
+    from redisgraph_spark.pipeline.similarity import (cosine_topk,
+                                                      cosine_topk_ivf)
+    rng = random.Random(11)
+    rows, vid = [], 0
+    for c in range(10):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(5):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in center]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=4).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in cosine_topk_ivf(emb, queries, k=4, nlist=8,
+                                       nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8

@@ -77,3 +77,20 @@ def test_stream_into_graph(spark, event_dir):
     q.awaitTermination()
     assert "DID" in g.edge_tables
     assert g.edge_tables["DID"].count() == 5
+
+
+def test_custom_stateful_operator(spark, event_dir):
+    from redisgraph_spark.streaming.stream import (read_event_stream,
+                                                   running_user_stats)
+    stream = read_event_stream(spark, event_dir)
+    q = running_user_stats(stream).writeStream.format("memory") \
+        .queryName("ustats").outputMode("update") \
+        .trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = {r["user_id"]: r for r in
+           spark.sql("SELECT * FROM ustats").collect()}
+    # user 1: 4 rows (incl. duplicated event), user 2: 1 row
+    assert got[1]["n_events"] == 4
+    assert abs(got[1]["total_value"] - 7.0) < 1e-9
+    assert got[1]["max_value"] == 3.0
+    assert got[2]["n_events"] == 1
