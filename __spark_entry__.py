@@ -418,6 +418,18 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "JOIN nation ON n_nationkey = s_nationkey "
         "GROUP BY n_name ORDER BY n_name"),
 
+    # point()/distance() haversine (point_funcs.c:109-116) — identical
+    # formula cross-checked between engines, rounded to whole meters
+    "q_point_distance": (
+        "WITH point({latitude: 40.7128, longitude: -74.006}) AS nyc, "
+        "point({latitude: 51.5074, longitude: -0.1278}) AS london "
+        "RETURN tofloat(round(distance(nyc, london))) AS meters",
+        "SELECT CAST(round(2 * 6378140.0 * asin(sqrt("
+        "pow(sin((radians(51.5074) - radians(40.7128)) / 2), 2) "
+        "+ cos(radians(40.7128)) * cos(radians(51.5074)) "
+        "* pow(sin((radians(-0.1278) - radians(-74.006)) / 2), 2)"
+        ")), 0) AS DOUBLE) AS meters"),
+
     # entity degree functions (entity_funcs.c:186-230)
     "q_degree": (
         "MATCH (n:Nation) RETURN n.n_name AS nation, "

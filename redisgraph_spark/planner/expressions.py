@@ -418,6 +418,21 @@ class ExprCompiler:
                 return F.struct(*[c.getField(f).alias(f) for f in info.fields])
         return self.compile(e.args[0])
 
+    def _fn_keys(self, e: A.FuncCall) -> Column:
+        """keys(entity) = names of present (non-null) properties;
+        keys(map) = map_keys."""
+        if isinstance(e.args[0], A.Variable):
+            info = self.vars.get(e.args[0].name)
+            if info is not None and info.kind in ("node", "edge"):
+                c = F.col(e.args[0].name)
+                pairs = [F.when(c.getField(f).isNotNull(), F.lit(f))
+                         for f in info.fields]
+                if not pairs:
+                    return F.array().cast("array<string>")
+                return F.filter(F.array(*pairs),
+                                lambda x: x.isNotNull())
+        return F.map_keys(self.compile(e.args[0]))
+
     def _fn_timestamp(self, e: A.FuncCall) -> Column:
         # fixed per query via QueryCtx (src/arithmetic/time_funcs/
         # time_funcs.c:22)

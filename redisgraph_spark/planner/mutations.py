@@ -187,10 +187,20 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
     g = planner.graph
     comp = planner.compiler(ctx)
     props_set = 0
+    expanded = []
     for item in clause.items:
+        if isinstance(item.target, A.Variable) and item.op == "+=" and \
+                isinstance(item.value, A.MapLiteral):
+            # SET n += {k: v, …} expands to per-key property sets
+            for k, v in item.value.items:
+                expanded.append(A.SetItem(
+                    A.Property(item.target, k), v, "="))
+        else:
+            expanded.append(item)
+    for item in expanded:
         if not isinstance(item.target, A.Property) or \
                 not isinstance(item.target.subject, A.Variable):
-            raise ValueError("SET supports n.prop = expr")
+            raise ValueError("SET supports n.prop = expr and n += {map}")
         var = item.target.subject.name
         key = item.target.key
         info = ctx.vars[var]

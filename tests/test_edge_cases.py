@@ -143,3 +143,39 @@ def test_undirected_var_len(cycle):
     got = rows(cycle.query(
         "MATCH (a {name: 'a'})-[:R*1..1]-(b) RETURN b.name AS n"))
     assert got == [("b",), ("c",)]
+
+
+def test_two_var_len_hops_one_pattern(cycle):
+    # two var-len segments in a single pattern path
+    got = cycle.query(
+        "MATCH (a {name: 'a'})-[:R*1..1]->(b)-[:R*1..1]->(c) "
+        "RETURN count(*) AS n")
+    assert got.collect()[0]["n"] == 1   # a->b->c only
+
+
+def test_deep_with_chain(social):
+    got = social.query(
+        "MATCH (p:person)-[:friend]->(f) "
+        "WITH p, count(f) AS deg "
+        "WITH p.name AS name, deg WHERE deg > 1 "
+        "WITH name, deg * 10 AS score ORDER BY score DESC "
+        "RETURN name, score LIMIT 1").collect()
+    assert got[0]["name"] == "Roi" and got[0]["score"] == 40
+
+
+def test_set_plus_equals_map(spark):
+    from redisgraph_spark import Graph
+    nodes = {"L": spark.createDataFrame([(1, "a")], ["_id", "name"])}
+    g = Graph(spark, nodes, {})
+    g.query("MATCH (n:L) SET n += {v: 9, tag: 'x'}")
+    r = g.query("MATCH (n:L) RETURN n.v AS v, n.tag AS t").collect()[0]
+    assert r["v"] == 9 and r["t"] == "x"
+
+
+def test_keys_function(spark):
+    from redisgraph_spark import Graph
+    nodes = {"L": spark.createDataFrame(
+        [(1, "a", None)], "_id long, name string, v long")}
+    g = Graph(spark, nodes, {})
+    r = g.query("MATCH (n:L) RETURN keys(n) AS k").collect()[0]
+    assert r["k"] == ["name"]
