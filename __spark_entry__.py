@@ -441,6 +441,55 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "n_nationkey) AS deg_in, CAST(1 AS BIGINT) AS deg_out "
         "FROM nation ORDER BY n_name"),
 
+    # string function battery (string_funcs.c:249-324)
+    "q_string_fns": (
+        "MATCH (s:Supplier) WHERE s.s_suppkey <= 20 RETURN "
+        "s.s_suppkey AS k, "
+        "left(s.s_name, 8) AS l8, right(s.s_name, 3) AS r3, "
+        "reverse(s.s_name) AS rev, "
+        "substring(s.s_name, 2, 4) AS sub, "
+        "size(s.s_name) AS len, "
+        "toupper(s.s_name) + '_' + tolower('AB') AS cat, "
+        "replace(s.s_name, 'Supplier', 'S') AS rep, "
+        "trim('  x  ') AS tr ORDER BY k",
+        "SELECT s_suppkey AS k, "
+        "substr(s_name, 1, 8) AS l8, "
+        "substr(s_name, length(s_name) - 2, 3) AS r3, "
+        "reverse(s_name) AS rev, "
+        "substr(s_name, 3, 4) AS sub, "
+        "length(s_name) AS len, "
+        "upper(s_name) || '_' || lower('AB') AS cat, "
+        "replace(s_name, 'Supplier', 'S') AS rep, "
+        "trim('  x  ') AS tr "
+        "FROM supplier WHERE s_suppkey <= 20 ORDER BY k"),
+
+    # list function battery (list_funcs.c:222-263)
+    "q_list_fns": (
+        "WITH [5, 3, 9, 1] AS xs RETURN "
+        "head(xs) AS h, last(xs) AS l, tail(xs) AS t, "
+        "size(xs) AS sz, xs[1] AS second, xs[-1] AS neg, "
+        "xs[1..3] AS mid, sort(xs) AS srt, "
+        "range(2, 8, 3) AS rng, 3 IN xs AS has3",
+        "SELECT 5 AS h, 1 AS l, [3, 9, 1] AS t, "
+        "4 AS sz, 3 AS second, 1 AS neg, "
+        "[3, 9] AS mid, [1, 3, 5, 9] AS srt, "
+        "[2, 5, 8] AS rng, true AS has3"),
+
+    # conditional battery: simple CASE + coalesce chains
+    # (conditional_funcs.c:83-88)
+    "q_conditional_fns": (
+        "MATCH (p:Part) RETURN "
+        "CASE p.p_size % 3 WHEN 0 THEN 'z' WHEN 1 THEN 'o' "
+        "ELSE 't' END AS m3, "
+        "count(*) AS cnt, "
+        "tofloat(sum(coalesce(null, todecimal(p.p_retailprice, 4)))) "
+        "AS total ORDER BY m3",
+        "SELECT CASE p_size % 3 WHEN 0 THEN 'z' WHEN 1 THEN 'o' "
+        "ELSE 't' END AS m3, count(*) AS cnt, "
+        "CAST(sum(coalesce(NULL, CAST(p_retailprice AS DECIMAL(18,4)))) "
+        "AS DOUBLE) AS total "
+        "FROM part GROUP BY 1 ORDER BY m3"),
+
     # procedure call surface
     "q_call_labels": (
         "CALL db.labels() YIELD label RETURN label ORDER BY label",
