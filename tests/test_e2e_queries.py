@@ -2,6 +2,8 @@
 tests in miniature — tests/flow/test_social.py shapes) and the tpch
 graph."""
 
+import pytest
+
 from tests.conftest import rows
 
 
@@ -155,3 +157,49 @@ class TestTpch:
             "CALL db.relationshipTypes() YIELD relationshipType "
             "RETURN relationshipType").collect()}
         assert "PLACED" in rels and "CONTAINS" in rels
+
+
+class TestImdb:
+    """The reference's imdb demo shapes (demo/imdb/imdb_utils.py,
+    tests/benchmarks/index_node_lookup.yml)."""
+
+    @pytest.fixture()
+    def imdb(self, spark):
+        from redisgraph_spark import Graph
+        actors = [(i, f"Actor{i}", 30 + (i % 4)) for i in range(1, 13)]
+        movies = [(100, "MovieA", 8.1, 2014), (101, "MovieB", 7.0, 2016)]
+        acts = [(200 + i, i, 100 + (i % 2)) for i in range(1, 13)]
+        nodes = {
+            "actor": spark.createDataFrame(
+                actors, ["_id", "name", "age"]),
+            "movie": spark.createDataFrame(
+                movies, ["_id", "title", "rating", "year"]),
+        }
+        edges = {"act": spark.createDataFrame(
+            acts, ["_id", "_src", "_dst"])}
+        return Graph(spark, nodes, edges)
+
+    def test_index_node_lookup_benchmark_query(self, imdb):
+        # the reference's index_node_lookup KPI query: property
+        # self-join + node inequality + collect
+        got = imdb.query(
+            "MATCH (a:actor) WITH a MATCH (b:actor) "
+            "WHERE a.age = b.age AND a <> b "
+            "RETURN a.name AS name, size(collect(b.name)) AS peers "
+            "ORDER BY name").collect()
+        by = {r["name"]: r["peers"] for r in got}
+        # 12 actors, 4 age buckets of 3 → each has 2 same-age peers
+        assert len(by) == 12 and all(v == 2 for v in by.values())
+
+    def test_actor_movie_traversal(self, imdb):
+        got = imdb.query(
+            "MATCH (a:actor)-[:act]->(m:movie) WHERE m.rating > 8 "
+            "RETURN count(a) AS n").collect()
+        assert got[0]["n"] == 6
+
+    def test_mixed_numeric_types(self, imdb):
+        # long year vs double rating arithmetic
+        got = imdb.query(
+            "MATCH (m:movie) RETURN m.title AS t, "
+            "m.rating * 2 AS r2, m.year + 1 AS y ORDER BY t").collect()
+        assert got[0]["r2"] == 16.2 and got[0]["y"] == 2015
