@@ -490,6 +490,16 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "AS DOUBLE) AS total "
         "FROM part GROUP BY 1 ORDER BY m3"),
 
+    # relation-type alternation [:A|B] — multi-matrix traversal
+    # (algebraic_expression addition of relation matrices)
+    "q_rel_alternation": (
+        "MATCH (c:Customer)-[e:PLACED|IN_NATION]->(x) "
+        "RETURN labels(x)[0] AS lbl, count(*) AS cnt ORDER BY lbl",
+        "SELECT lbl, cnt FROM ("
+        "SELECT 'Order' AS lbl, count(*) AS cnt FROM orders "
+        "UNION ALL SELECT 'Nation', count(*) FROM customer) "
+        "ORDER BY lbl"),
+
     # procedure call surface
     "q_call_labels": (
         "CALL db.labels() YIELD label RETURN label ORDER BY label",
