@@ -789,6 +789,18 @@ class CypherPlanner:
         sort_cols: list[Column] = []
         pre_needed: list[A.OrderItem] = []
         for oi in order_by:
+            # ORDER BY <expr> where <expr> is structurally one of the
+            # projection items (e.g. ORDER BY count(*)) sorts by that
+            # output column
+            matched = None
+            for it, a in zip(items, aliases):
+                if oi.expr == it.expr:
+                    matched = _colref(a)
+                    break
+            if matched is not None:
+                sort_cols.append(matched.asc_nulls_last() if oi.ascending
+                                 else matched.desc_nulls_first())
+                continue
             try:
                 c = post.compile(oi.expr)
                 # Cypher null ordering: nulls sort last ascending
