@@ -500,6 +500,19 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "UNION ALL SELECT 'Nation', count(*) FROM customer) "
         "ORDER BY lbl"),
 
+    # temporal functions (beyond the reference: it declares temporal
+    # types but never implements them — docs/cypher_support.md:20-22)
+    "q_temporal": (
+        "MATCH (o:Order) "
+        "RETURN year(o.o_orderdate) AS y, month(o.o_orderdate) AS m, "
+        "count(*) AS n, "
+        "tofloat(sum(todecimal(o.o_totalprice, 4))) AS total "
+        "ORDER BY y, m",
+        "SELECT CAST(year(o_orderdate) AS INT) AS y, "
+        "CAST(month(o_orderdate) AS INT) AS m, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+        "AS total FROM orders GROUP BY 1, 2 ORDER BY y, m"),
+
     # procedure call surface
     "q_call_labels": (
         "CALL db.labels() YIELD label RETURN label ORDER BY label",

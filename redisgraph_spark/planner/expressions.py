@@ -433,6 +433,12 @@ class ExprCompiler:
                                 lambda x: x.isNotNull())
         return F.map_keys(self.compile(e.args[0]))
 
+    def _fn_datetrunc(self, e: A.FuncCall) -> Column:
+        if not isinstance(e.args[0], A.Literal):
+            raise CompileError("dateTrunc unit must be a string literal")
+        return F.date_trunc(str(e.args[0].value),
+                            self.compile(e.args[1]))
+
     def _fn_timestamp(self, e: A.FuncCall) -> Column:
         # fixed per query via QueryCtx (src/arithmetic/time_funcs/
         # time_funcs.c:22)
@@ -551,4 +557,20 @@ _SIMPLE_FUNCS = {
     # engine extension: deterministic list ordering (for stable collect()
     # results in distributed execution; not in the reference registry)
     "sort": F.sort_array,
+    # temporal functions — the reference declares temporal types but
+    # never implements them (docs/cypher_support.md:20-22, value.h:28-33
+    # 'declared but NOT implemented'); we support them natively on
+    # Spark's TimestampType/DateType
+    "date": lambda *a: F.to_date(a[0]) if a else F.current_date(),
+    "datetime": lambda *a: F.to_timestamp(a[0]) if a else
+        F.current_timestamp(),
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "dayofweek": F.dayofweek,
+    "epochmillis": lambda c: (F.unix_timestamp(c) * 1000
+                              + (F.date_format(c, "SSS")).cast("long")),
 }

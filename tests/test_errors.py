@@ -1,0 +1,50 @@
+"""Clean-error behavior (≈ reference ast_validations.c): bad queries
+fail with clear exceptions, not Spark stack traces downstream."""
+
+import pytest
+
+from redisgraph_spark.planner.expressions import CompileError
+from redisgraph_spark.planner.planner import PlanError
+
+
+def test_unknown_variable(social):
+    with pytest.raises(CompileError, match="Unknown variable"):
+        social.query("MATCH (a:person) RETURN b.name AS x")
+
+
+def test_missing_parameter(social):
+    with pytest.raises(CompileError, match="Missing parameter"):
+        social.query("MATCH (a:person {name: $nope}) RETURN a")
+
+
+def test_unknown_function(social):
+    with pytest.raises(CompileError, match="Unknown function"):
+        social.query("RETURN frobnicate(1) AS x")
+
+
+def test_edge_variable_reuse_rejected(social):
+    with pytest.raises(PlanError, match="reused"):
+        social.query(
+            "MATCH (a)-[e:friend]->(b)-[e:friend]->(c) RETURN a")
+
+
+def test_union_column_mismatch(social):
+    with pytest.raises(PlanError, match="same columns"):
+        social.query("MATCH (a:person) RETURN a.name AS x "
+                     "UNION MATCH (a:person) RETURN a.name AS y")
+
+
+def test_skip_limit_must_be_int(social):
+    with pytest.raises(PlanError, match="SKIP/LIMIT"):
+        social.query("MATCH (a:person) RETURN a LIMIT a.age")
+
+
+def test_syntax_error_position(social):
+    with pytest.raises(SyntaxError):
+        social.query("MATCH (a:person RETURN a")
+
+
+def test_pattern_predicate_needs_bound_var(social):
+    with pytest.raises(PlanError, match="bound variable"):
+        social.query(
+            "MATCH (a:person) WHERE (x)-[:friend]->() RETURN a")
