@@ -78,6 +78,41 @@ def _merge_schemas(tables: Mapping[str, DataFrame],
     return out
 
 
+def _parse_cypher_prefix(text: str) -> tuple[str, dict]:
+    """``CYPHER k=v k2=v2 MATCH …`` inline-parameter prefix
+    (reference ``src/commands/execution_ctx.c:72``). Values parse as
+    int/float/quoted-string/bool, else raw string."""
+    import re
+    stripped = text.lstrip()
+    if not stripped[:7].lower().startswith("cypher "):
+        return text, {}
+    rest = stripped[7:]
+    params: dict = {}
+    pat = re.compile(
+        r"\s*([A-Za-z_][A-Za-z0-9_]*)=("
+        r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|\S+)")
+    pos = 0
+    while True:
+        m = pat.match(rest, pos)
+        if m is None:
+            break
+        k, v = m.group(1), m.group(2)
+        if v[:1] in "'\"":
+            params[k] = v[1:-1]
+        elif v.lower() in ("true", "false"):
+            params[k] = v.lower() == "true"
+        else:
+            try:
+                params[k] = int(v)
+            except ValueError:
+                try:
+                    params[k] = float(v)
+                except ValueError:
+                    params[k] = v
+        pos = m.end()
+    return rest[pos:].lstrip(), params
+
+
 class Graph:
     """A property graph = {label → node table} + {rel type → edge table}."""
 
@@ -250,6 +285,9 @@ class Graph:
         from redisgraph_spark.cypher.parser import parse
 
         t0 = _time.time()
+        cypher, inline = _parse_cypher_prefix(cypher)
+        if inline:
+            params = {**inline, **(params or {})}
         key = (cypher, repr(sorted((params or {}).items())), self._version)
         cached = self._plan_cache.get(key)
         if cached is not None:

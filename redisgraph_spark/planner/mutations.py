@@ -213,12 +213,30 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
             tables = g.node_tables
         else:
             tables = g.edge_tables
+        from pyspark.sql import types as T
+        val_t = upd.schema["__uval"].dataType
+        numeric = (T.LongType, T.IntegerType, T.ShortType, T.DoubleType,
+                   T.FloatType, T.DecimalType)
         for name, tbl in list(tables.items()):
             joined = tbl.join(
                 F.broadcast(upd), tbl["_id"] == upd["__uid"], "left")
             if key in tbl.columns:
-                newcol = F.when(F.col("__uid").isNotNull(), F.col("__uval")) \
-                    .otherwise(F.col(key))
+                # heterogeneous-type SET: widen numerics, else demote the
+                # column to string (schemaless reference semantics,
+                # SURVEY §7.3)
+                col_t = tbl.schema[key].dataType
+                uval = F.col("__uval")
+                cur = F.col(key)
+                if col_t != val_t:
+                    if isinstance(col_t, numeric) and \
+                            isinstance(val_t, numeric):
+                        uval = uval.cast("double")
+                        cur = cur.cast("double")
+                    else:
+                        uval = uval.cast("string")
+                        cur = cur.cast("string")
+                newcol = F.when(F.col("__uid").isNotNull(), uval) \
+                    .otherwise(cur)
             else:
                 newcol = F.when(F.col("__uid").isNotNull(), F.col("__uval"))
             out = joined.withColumn(key, newcol).drop("__uid", "__uval")

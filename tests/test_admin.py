@@ -111,3 +111,28 @@ def test_bucketed_layout_exchange_free_join(spark, social):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cypher_prefix_inline_params(social):
+    got = social.query(
+        "CYPHER min_age=30 nm='Roi' "
+        "MATCH (p:person) WHERE p.age > $min_age AND p.name <> $nm "
+        "RETURN count(*) AS n").collect()
+    # age>30 minus Roi(32): Alon/Ailon/Tal(32), Omri(33), Noam(34), Boaz(31)
+    assert got[0]["n"] == 6
+
+
+def test_set_type_conflict_demotes(spark):
+    from redisgraph_spark import Graph
+    nodes = {"L": spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 7)], "_id long, name string, v long")}
+    g = Graph(spark, nodes, {})
+    g.query("MATCH (n:L {name: 'a'}) SET n.v = 'text'")
+    got = dict((r["n"], r["v"]) for r in g.query(
+        "MATCH (n:L) RETURN n.name AS n, n.v AS v").collect())
+    assert got == {"a": "text", "b": "7"}
+    # numeric widening instead of string demotion
+    g2 = Graph(spark, {"L": spark.createDataFrame(
+        [(1, "a", 5)], "_id long, name string, v long")}, {})
+    g2.query("MATCH (n:L) SET n.v = 2.5")
+    assert g2.query("MATCH (n:L) RETURN n.v AS v").collect()[0]["v"] == 2.5
