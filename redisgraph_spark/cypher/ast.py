@@ -269,8 +269,20 @@ class SetItem:
 
 
 @dataclass
+class LabelItem:
+    """``SET n:Label1:Label2`` / ``REMOVE n:Label`` item."""
+    var: str
+    labels: list[str]
+
+
+@dataclass
 class SetClause(Clause):
-    items: list[SetItem]
+    items: list[object]  # SetItem | LabelItem
+
+
+@dataclass
+class RemoveClause(Clause):
+    items: list[object]  # Property (→ SET NULL) | LabelItem
 
 
 @dataclass

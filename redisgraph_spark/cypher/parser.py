@@ -104,6 +104,8 @@ class Parser:
                 clauses.append(self.parse_merge())
             elif self.at_kw("set"):
                 clauses.append(self.parse_set())
+            elif self.at_kw("remove"):
+                clauses.append(self.parse_remove())
             elif self.at_kw("delete"):
                 clauses.append(self.parse_delete(detach=False))
             elif self.at_kw("detach"):
@@ -217,6 +219,16 @@ class Parser:
         items = []
         while True:
             target = self.parse_postfix()
+            if self.at_op(":"):
+                if not isinstance(target, A.Variable):
+                    raise SyntaxError("SET :Label requires a variable")
+                labels = []
+                while self.opt_op(":"):
+                    labels.append(self.name())
+                items.append(A.LabelItem(target.name, labels))
+                if not self.opt_op(","):
+                    break
+                continue
             if self.opt_op("+"):
                 self.eat_op("=")
                 op = "+="
@@ -231,6 +243,28 @@ class Parser:
     def parse_set(self) -> A.SetClause:
         self.eat_kw("set")
         return A.SetClause(self._set_items())
+
+    def parse_remove(self) -> A.RemoveClause:
+        """``REMOVE n.prop`` / ``REMOVE n:Label`` (extension beyond the
+        reference's documented whitelist — it only offers SET p = NULL)."""
+        self.eat_kw("remove")
+        items: list[object] = []
+        while True:
+            target = self.parse_postfix()
+            if self.at_op(":"):
+                if not isinstance(target, A.Variable):
+                    raise SyntaxError("REMOVE :Label requires a variable")
+                labels = []
+                while self.opt_op(":"):
+                    labels.append(self.name())
+                items.append(A.LabelItem(target.name, labels))
+            elif isinstance(target, A.Property):
+                items.append(target)
+            else:
+                raise SyntaxError("REMOVE expects n.prop or n:Label")
+            if not self.opt_op(","):
+                break
+        return A.RemoveClause(items)
 
     def parse_delete(self, detach: bool) -> A.DeleteClause:
         self.eat_kw("delete")

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 KEYWORDS = {
     "match", "optional", "where", "return", "with", "unwind", "as",
     "order", "by", "skip", "limit", "asc", "ascending", "desc",
-    "descending", "distinct", "create", "merge", "set", "delete",
+    "descending", "distinct", "create", "merge", "set", "remove", "delete",
     "detach", "union", "all", "call", "yield", "and", "or", "xor",
     "not", "in", "is", "null", "true", "false", "starts", "ends",
     "contains", "case", "when", "then", "else", "end", "on", "count",

@@ -130,6 +130,11 @@ class Graph:
         self._slow_log: list[dict] = []
         self._fulltext = None
         self._scan_cache: dict[tuple, DataFrame] = {}
+        # flips on the first SET n:Label — a node id may then live in
+        # several label tables, so unified scans dedup by id and carry a
+        # `_labels` array (reference multi-label nodes,
+        # src/graph/entities/node.h)
+        self._multilabel = False
 
     @property
     def fulltext(self):
@@ -201,6 +206,21 @@ class Graph:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if self._multilabel:
+            # id → sorted label array over ALL tables (a node may carry
+            # labels outside the scanned subset); broadcast — label
+            # mutations are interactive-scale, never the 100 TB path
+            pairs = [t.select(F.col(NODE_ID).cast("long").alias(NODE_ID),
+                              F.lit(l).alias(LABEL_COL))
+                     for l, t in self.node_tables.items()]
+            idx = pairs[0]
+            for p in pairs[1:]:
+                idx = idx.unionByName(p)
+            idx = idx.groupBy(NODE_ID).agg(
+                F.sort_array(F.collect_set(LABEL_COL)).alias("_labels"))
+            out = out.join(F.broadcast(idx), NODE_ID, "left")
+            if len(parts) > 1:
+                out = out.dropDuplicates([NODE_ID])
         self._scan_cache[key] = out
         return out
 
@@ -298,7 +318,7 @@ class Graph:
         df = CypherPlanner(self, params or {}).plan(ast)
         is_write = any(
             isinstance(c, (A.CreateClause, A.MergeClause, A.SetClause,
-                           A.DeleteClause))
+                           A.DeleteClause, A.RemoveClause))
             for part in ast.parts for c in part.clauses)
         if is_write:
             self._version += 1

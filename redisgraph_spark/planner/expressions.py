@@ -396,7 +396,11 @@ class ExprCompiler:
         return self.compile(e.args[0]).getField("_id")
 
     def _fn_labels(self, e: A.FuncCall) -> Column:
-        return F.array(self.compile(e.args[0]).getField("_label"))
+        c = self.compile(e.args[0])
+        t = self.dtype(c)
+        if isinstance(t, T.StructType) and "_labels" in t.fieldNames():
+            return c.getField("_labels")   # multi-label graph (SET n:L)
+        return F.array(c.getField("_label"))
 
     def _fn_type(self, e: A.FuncCall) -> Column:
         return self.compile(e.args[0]).getField("_rel")

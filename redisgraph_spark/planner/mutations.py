@@ -38,6 +38,8 @@ def apply_mutation(planner, ctx, clause) -> DataFrame | None:
             return _create(planner, ctx, clause)
         if isinstance(clause, A.SetClause):
             return _set(planner, ctx, clause)
+        if isinstance(clause, A.RemoveClause):
+            return _remove(planner, ctx, clause)
         if isinstance(clause, A.DeleteClause):
             return _delete(planner, ctx, clause)
         if isinstance(clause, A.MergeClause):
@@ -189,6 +191,9 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
     props_set = 0
     expanded = []
     for item in clause.items:
+        if isinstance(item, A.LabelItem):
+            _add_labels(planner, ctx, item)
+            continue
         if isinstance(item.target, A.Variable) and item.op == "+=" and \
                 isinstance(item.value, A.MapLiteral):
             # SET n += {k: v, …} expands to per-key property sets
@@ -228,7 +233,11 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
                 uval = F.col("__uval")
                 cur = F.col(key)
                 if col_t != val_t:
-                    if isinstance(col_t, numeric) and \
+                    if isinstance(val_t, T.NullType):
+                        # SET p = NULL deletes the property
+                        # (docs/cypher_support.md:66-68) — keep column type
+                        uval = uval.cast(col_t)
+                    elif isinstance(col_t, numeric) and \
                             isinstance(val_t, numeric):
                         uval = uval.cast("double")
                         cur = cur.cast("double")
@@ -245,6 +254,94 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
     planner.stats["properties_set"] = \
         planner.stats.get("properties_set", 0) + props_set
     planner.graph._scan_cache.clear()
+    return None
+
+
+# ---------------------------------------------------------- SET/REMOVE label
+def _matched_rows(planner, ctx, var: str) -> DataFrame:
+    """Matched entities as flat rows ``(_id, <props>)`` from the bound
+    struct column."""
+    info = ctx.vars[var]
+    cols = [F.col(f"{var}._id").alias("_id")] + [
+        F.col(var).getField(f).alias(f) for f in info.fields]
+    return ctx.df.select(cols).dropDuplicates(["_id"])
+
+
+def _add_labels(planner, ctx, item: A.LabelItem) -> None:
+    """``SET n:Label`` — the node's row is copied into each target label
+    table (multi-label nodes, reference ``src/graph/entities/node.h``;
+    ``GraphContext_AddNodeToLabel``). Flips the graph into multilabel
+    mode: unified scans dedup by id and expose a ``_labels`` array."""
+    g = planner.graph
+    rows = _matched_rows(planner, ctx, item.var)
+    added = 0
+    for label in item.labels:
+        tbl = g.node_tables.get(label)
+        if tbl is None:
+            g.node_tables[label] = rows.localCheckpoint(eager=True)
+            added += g.node_tables[label].count()
+            continue
+        new = rows.join(F.broadcast(tbl.select("_id")), "_id", "left_anti")
+        n = new.count()
+        if n:
+            g.node_tables[label] = tbl.unionByName(
+                new, allowMissingColumns=True).localCheckpoint(eager=True)
+            added += n
+    if added:
+        g._multilabel = True
+        planner.stats["labels_added"] = \
+            planner.stats.get("labels_added", 0) + added
+    g._scan_cache.clear()
+
+
+def _remove_labels(planner, ctx, item: A.LabelItem) -> None:
+    """``REMOVE n:Label`` — drop the node's row from the label table; a
+    node left with no label at all moves to the unlabeled ("") table so
+    it keeps existing (reference zero-label nodes)."""
+    g = planner.graph
+    rows = _matched_rows(planner, ctx, item.var)
+    ids = rows.select("_id")
+    removed = 0
+    for label in item.labels:
+        tbl = g.node_tables.get(label)
+        if tbl is None:
+            continue
+        before = tbl.count()
+        kept = tbl.join(F.broadcast(ids), tbl["_id"] == ids["_id"],
+                        "left_anti").localCheckpoint(eager=True)
+        removed += before - kept.count()
+        g.node_tables[label] = kept
+    # orphaned ids (in no table any more) → unlabeled table
+    still = None
+    for name, tbl in g.node_tables.items():
+        s = tbl.select("_id")
+        still = s if still is None else still.unionByName(s)
+    orphans = rows if still is None else rows.join(
+        F.broadcast(still.dropDuplicates()), "_id", "left_anti")
+    n_orph = orphans.count()
+    if n_orph:
+        base = g.node_tables.get("")
+        g.node_tables[""] = (
+            base.unionByName(orphans, allowMissingColumns=True)
+            if base is not None else orphans).localCheckpoint(eager=True)
+    if removed:
+        planner.stats["labels_removed"] = \
+            planner.stats.get("labels_removed", 0) + removed
+    g._scan_cache.clear()
+
+
+def _remove(planner, ctx, clause: A.RemoveClause) -> DataFrame | None:
+    """REMOVE n.prop ≡ SET n.prop = NULL (the reference's only removal
+    spelling, ``docs/cypher_support.md:66-68``); REMOVE n:Label drops
+    label membership."""
+    set_items = []
+    for item in clause.items:
+        if isinstance(item, A.LabelItem):
+            _remove_labels(planner, ctx, item)
+        else:
+            set_items.append(A.SetItem(item, A.Literal(None), "="))
+    if set_items:
+        _set(planner, ctx, A.SetClause(set_items))
     return None
 
 

@@ -121,7 +121,8 @@ class CypherPlanner:
 
     def _node_scan(self, labels: list[str] | None) -> tuple[DataFrame, tuple[str, ...]]:
         flat = self.graph.nodes(labels if labels else None)
-        props = tuple(c for c in flat.columns if c not in ("_id", "_label"))
+        props = tuple(c for c in flat.columns
+                      if c not in ("_id", "_label", "_labels"))
         return flat, props
 
     def _edge_flat(self, types: list[str] | None) -> tuple[DataFrame, tuple[str, ...]]:
@@ -166,7 +167,8 @@ class CypherPlanner:
             elif isinstance(clause, A.CallClause):
                 self._clause_call(ctx, clause)
             elif isinstance(clause, (A.CreateClause, A.MergeClause,
-                                     A.SetClause, A.DeleteClause)):
+                                     A.SetClause, A.DeleteClause,
+                                     A.RemoveClause)):
                 from redisgraph_spark.planner.mutations import apply_mutation
                 result = apply_mutation(self, ctx, clause)
             else:
@@ -378,8 +380,13 @@ class CypherPlanner:
                 raise PlanError(f"Variable `{name}` is not a node")
             comp = self.compiler(ctx)
             if np.labels:
-                ctx.df = ctx.df.filter(
-                    F.col(f"{name}._label").isin(list(np.labels)))
+                if self.graph._multilabel:
+                    ctx.df = ctx.df.filter(F.arrays_overlap(
+                        F.col(f"{name}._labels"),
+                        F.array(*[F.lit(l) for l in np.labels])))
+                else:
+                    ctx.df = ctx.df.filter(
+                        F.col(f"{name}._label").isin(list(np.labels)))
             for k, v in np.props:
                 if k in ctx.vars[name].fields:
                     ctx.df = ctx.df.filter(

@@ -115,3 +115,50 @@ def test_merge_per_row_on_create_match(g):
     assert got["a"] == "matched"
     assert got["fresh"] == "created"
     assert got["b"] is None
+
+
+# ------------------------------------------------------- SET/REMOVE label
+def test_set_label_adds_membership(g):
+    g.query("MATCH (n:L {name: 'a'}) SET n:Extra")
+    got = rows(g.query("MATCH (n:Extra) RETURN n.name AS n"))
+    assert got == [("a",)]
+    # still matches original label, and unified scan dedups by id
+    assert g.query("MATCH (n) RETURN count(*) AS c").collect()[0]["c"] == 2
+
+
+def test_set_label_labels_fn(g):
+    g.query("MATCH (n:L {name: 'a'}) SET n:Extra:More")
+    got = dict(rows(g.query(
+        "MATCH (n) RETURN n.name AS n, labels(n) AS ls")))
+    assert got["a"] == ["Extra", "L", "More"]
+    assert got["b"] == ["L"]
+
+
+def test_set_label_idempotent(g):
+    g.query("MATCH (n:L {name: 'a'}) SET n:Extra")
+    g.query("MATCH (n:L {name: 'a'}) SET n:Extra")
+    assert g.query("MATCH (n:Extra) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 1
+
+
+def test_remove_label(g):
+    g.query("MATCH (n:L {name: 'a'}) SET n:Extra")
+    g.query("MATCH (n:L {name: 'a'}) REMOVE n:Extra")
+    assert g.query("MATCH (n:Extra) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 0
+    assert g.query("MATCH (n:L) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 2
+
+
+def test_remove_last_label_keeps_node(g):
+    g.query("MATCH (n:L {name: 'a'}) REMOVE n:L")
+    # node survives label-less; total node count unchanged
+    assert g.query("MATCH (n) RETURN count(*) AS c").collect()[0]["c"] == 2
+    assert g.query("MATCH (n:L) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 1
+
+
+def test_remove_property(g):
+    g.query("MATCH (n:L {name: 'a'}) REMOVE n.v")
+    got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    assert got["a"] is None and got["b"] == 20
