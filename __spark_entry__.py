@@ -391,6 +391,18 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         # customer→nation→region is always the unique shortest route
         "SELECT CAST(2 AS BIGINT) AS len"),
 
+    # CALL algo.BFS — correlated procedure, one multi-source BFS join
+    # (proc_bfs.c semantics: outgoing, source excluded, inner-join rows)
+    "q_bfs": (
+        "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+        "CALL algo.BFS(c, 1, 'PLACED') YIELD nodes "
+        "UNWIND nodes AS n "
+        "RETURN c.c_custkey AS custkey, n.o_orderkey AS orderkey "
+        "ORDER BY custkey, orderkey",
+        "SELECT c_custkey AS custkey, o_orderkey AS orderkey "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "WHERE c_custkey <= 3 ORDER BY custkey, orderkey"),
+
     # ternary (three-valued) logic: null-propagating comparisons and
     # boolean operators (src/value.h:58-77, boolean_funcs.c:184-247)
     "q_ternary_logic": (

@@ -61,8 +61,9 @@ def run_procedure(planner, clause: A.CallClause
         from redisgraph_spark.algorithms.pagerank import pagerank_proc
         return pagerank_proc(planner, clause.args)
     if name == "algo.bfs":
-        raise NotImplementedError(
-            "algo.BFS: use variable-length patterns or shortestPath()")
+        # handled as a correlated call in CypherPlanner._clause_call
+        # (needs the bound source variable); reaching here means no ctx
+        raise ValueError("algo.BFS requires a bound source node variable")
 
     def _lit(e):
         if isinstance(e, A.Literal):

@@ -613,6 +613,27 @@ class CypherPlanner:
     # ------------------------------------------------------------------ CALL
     def _clause_call(self, ctx: Ctx, clause: A.CallClause) -> None:
         from redisgraph_spark.functions.procedures import run_procedure
+        if clause.proc == "algo.bfs":
+            # correlated procedure: consumes the bound source variable per
+            # input record (ProcedureCall `ops/op_procedure_call.c` runs
+            # per-record; our plan is one multi-source BFS join)
+            from redisgraph_spark.algorithms.bfs import bfs_call
+            proc_df, default_cols = bfs_call(self, ctx, clause)
+            sel = clause.yields or [(c, None) for c in default_cols]
+            for col_name, alias in sel:
+                if col_name not in default_cols:
+                    raise PlanError(
+                        f"Procedure {clause.proc} has no column {col_name}")
+                name = alias or col_name
+                if name != col_name:
+                    proc_df = proc_df.withColumnRenamed(col_name, name)
+                ctx.vars[name] = VarInfo("scalar")
+            drop = [c for c in default_cols
+                    if c not in {a or c for c, a in sel}]
+            ctx.df = proc_df.drop(*drop) if drop else proc_df
+            if clause.where is not None:
+                self._apply_where(ctx, clause.where)
+            return
         proc_df, default_cols = run_procedure(self, clause)
         if clause.yields:
             sel = []

@@ -203,3 +203,48 @@ class TestImdb:
             "MATCH (m:movie) RETURN m.title AS t, "
             "m.rating * 2 AS r2, m.year + 1 AS y ORDER BY t").collect()
         assert got[0]["r2"] == 16.2 and got[0]["y"] == 2015
+
+
+class TestBFSProcedure:
+    """CALL algo.BFS (reference proc_bfs.c): outgoing BFS per input
+    record; yields reachable nodes (source excluded, id order) and the
+    aligned discovery edges; unreachable sources emit no row."""
+
+    def test_bfs_depth_limited(self, social):
+        got = social.query(
+            "MATCH (p:person {name: 'Roi'}) "
+            "CALL algo.BFS(p, 1, 'friend') YIELD nodes "
+            "UNWIND nodes AS n RETURN n.name AS name ORDER BY name"
+        ).collect()
+        direct = social.query(
+            "MATCH (:person {name: 'Roi'})-[:friend]->(f) "
+            "RETURN f.name AS name ORDER BY name").collect()
+        assert [r["name"] for r in got] == [r["name"] for r in direct]
+
+    def test_bfs_unlimited_matches_var_len(self, social):
+        got = social.query(
+            "MATCH (p:person {name: 'Roi'}) "
+            "CALL algo.BFS(p, 0, 'friend') YIELD nodes "
+            "RETURN size(nodes) AS n").collect()[0]["n"]
+        reach = social.query(
+            "MATCH (p:person {name: 'Roi'})-[:friend*1..10]->(f) "
+            "RETURN count(DISTINCT f) AS n").collect()[0]["n"]
+        assert got == reach
+
+    def test_bfs_edges_aligned(self, social):
+        row = social.query(
+            "MATCH (p:person {name: 'Roi'}) "
+            "CALL algo.BFS(p, 1, 'friend') YIELD nodes, edges "
+            "RETURN nodes, edges").collect()[0]
+        assert len(row["nodes"]) == len(row["edges"])
+        # each edge lands on its aligned node
+        for n, e in zip(row["nodes"], row["edges"]):
+            assert e["_dst"] == n["_id"]
+
+    def test_bfs_unreachable_source_no_row(self, social):
+        # pick someone with no outgoing 'visited' edges of a bogus type
+        got = social.query(
+            "MATCH (p:person {name: 'Roi'}) "
+            "CALL algo.BFS(p, 0, 'nonesuch') YIELD nodes "
+            "RETURN size(nodes) AS n").collect()
+        assert got == []
