@@ -322,6 +322,16 @@ class CypherPlanner:
             return
         elements = path.elements
         need_ids = path.var is not None
+        hidden_edges: list[str] = []
+        if need_ids:
+            # a named path references EVERY edge (relationships(p)), so
+            # anonymous rel patterns get hidden bindings — this also opts
+            # them out of the unreferenced-edge uniqueness relaxation,
+            # matching the reference (docs/known_limitations.md:3-24)
+            for el in elements:
+                if isinstance(el, A.RelPattern) and el.var is None:
+                    el.var = self.sym("e")
+                    hidden_edges.append(el.var)
         first: A.NodePattern = elements[0]
         # reduceScans analog (optimizations/reduce_scans.c): an anonymous,
         # unconstrained endpoint needs no node-table scan — the edge
@@ -332,9 +342,9 @@ class CypherPlanner:
             prev: tuple[str, str | None] = ("free", None)
         else:
             prev = ("var", self._bind_node(ctx, first))
-        path_node_ids: list[Column] = []
+        path_node_vars: list[str] = []
         if need_ids and prev[0] == "var":
-            path_node_ids.append(F.col(f"{prev[1]}._id"))
+            path_node_vars.append(prev[1])
         i = 1
         while i < len(elements):
             rel: A.RelPattern = elements[i]
@@ -347,30 +357,82 @@ class CypherPlanner:
                 prev = self._single_hop(ctx, prev, rel, node, edge_uniq,
                                         skippable)
             if need_ids:
-                path_node_ids.append(F.col(f"{prev[1]}._id"))
+                path_node_vars.append(prev[1])
             i += 2
         # drop dangling endpoint columns left by skipped node binds
         if prev[0] == "col":
             ctx.df = ctx.df.drop(prev[1])
         if path.var is not None:
-            # path value: node ids + edges (edge structs for fixed hops)
-            edge_cols = []
-            for el in elements:
-                if isinstance(el, A.RelPattern) and el.var is not None:
-                    if el.min_hops is not None:
-                        edge_cols.append(F.col(el.var))
-                    else:
-                        edge_cols.append(F.array(F.col(el.var)))
-            if edge_cols:
-                edges_arr = F.concat(*edge_cols) if len(edge_cols) > 1 \
-                    else edge_cols[0]
-            else:
-                edges_arr = F.array().cast("array<struct<_id:bigint>>")
-            ctx.df = ctx.df.withColumn(
-                path.var, F.struct(
-                    F.array(*path_node_ids).alias("nodes"),
-                    edges_arr.alias("edges")))
-            ctx.vars[path.var] = VarInfo("path")
+            self._build_path_value(ctx, path, path_node_vars)
+            for h in hidden_edges:
+                ctx.df = ctx.df.drop(h)
+                ctx.vars.pop(h, None)
+
+    def _build_path_value(self, ctx: Ctx, path: A.PatternPath,
+                          node_vars: list[str]) -> None:
+        """Materialize a path variable as ``{nodes: array<node-struct>,
+        edges: array<edge-struct>}`` — first-class SIPath values
+        (``src/datatypes/path/sipath.h:19-40``). Every node/edge struct is
+        normalized to the graph-wide unified schema so heterogeneous
+        labels/types fit one array element type."""
+        comp = self.compiler(ctx)
+        import pyspark.sql.types as T
+
+        def norm(col: Column, full: T.StructType) -> Column:
+            t = comp.dtype(col)
+            have = {f.name: f.dataType for f in t.fields}
+            parts = []
+            for f in full.fields:
+                if f.name in have:
+                    c = col.getField(f.name)
+                    if have[f.name] != f.dataType:
+                        c = c.cast(f.dataType)
+                    parts.append(c.alias(f.name))
+                else:
+                    parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            return F.struct(*parts)
+
+        full_n = self.graph.nodes(None).schema
+        nodes_arr = F.array(*[norm(F.col(v), full_n) for v in node_vars])
+
+        full_e = self.graph.edges(None).schema
+        edge_cols = []
+        for el in path.elements:
+            if isinstance(el, A.RelPattern) and el.var is not None:
+                col = F.col(el.var)
+                if el.min_hops is not None:
+                    # var-len: array of edge structs — normalize elements
+                    et = comp.dtype(col)
+                    have = {f.name: f.dataType for f in et.elementType.fields}
+                    def make_mk(have):
+                        # single-arg lambda: F.transform dispatches on
+                        # arity, a second parameter would become the index
+                        def mk(x):
+                            parts = []
+                            for f in full_e.fields:
+                                if f.name in have:
+                                    c = x[f.name]
+                                    if have[f.name] != f.dataType:
+                                        c = c.cast(f.dataType)
+                                    parts.append(c.alias(f.name))
+                                else:
+                                    parts.append(
+                                        F.lit(None).cast(f.dataType)
+                                        .alias(f.name))
+                            return F.struct(*parts)
+                        return mk
+                    edge_cols.append(F.transform(col, make_mk(have)))
+                else:
+                    edge_cols.append(F.array(norm(col, full_e)))
+        if edge_cols:
+            edges_arr = F.concat(*edge_cols) if len(edge_cols) > 1 \
+                else edge_cols[0]
+        else:
+            edges_arr = F.array().cast(T.ArrayType(full_e))
+        ctx.df = ctx.df.withColumn(
+            path.var, F.struct(nodes_arr.alias("nodes"),
+                               edges_arr.alias("edges")))
+        ctx.vars[path.var] = VarInfo("path")
 
     def _bind_node(self, ctx: Ctx, np: A.NodePattern) -> str:
         name = np.var or self.sym("n")

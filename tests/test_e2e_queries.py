@@ -248,3 +248,39 @@ class TestBFSProcedure:
             "CALL algo.BFS(p, 0, 'nonesuch') YIELD nodes "
             "RETURN size(nodes) AS n").collect()
         assert got == []
+
+
+class TestPathValues:
+    """Path variables are first-class {nodes, edges} structs with FULL
+    node/edge structs normalized to the unified schema (SIPath,
+    src/datatypes/path/sipath.h:19-40)."""
+
+    def test_nodes_carry_properties(self, social):
+        got = social.query(
+            "MATCH p = (a:person {name: 'Roi'})-[:friend]->(b) "
+            "RETURN [n IN nodes(p) | n.name] AS names ORDER BY names[1]"
+        ).collect()
+        assert [r["names"] for r in got] == [
+            ["Roi", "Ailon"], ["Roi", "Alon"], ["Roi", "Boaz"],
+            ["Roi", "Tal"]]
+
+    def test_mixed_label_path(self, social):
+        # person->country crosses label schemas; structs normalize
+        got = social.query(
+            "MATCH p = (a:person {name: 'Roi'})-[v:visited]->(c:country) "
+            "RETURN [n IN nodes(p) | n.name] AS names, "
+            "[e IN relationships(p) | e.purpose] AS purp "
+            "ORDER BY names[1]").collect()
+        assert got[0]["names"] == ["Roi", "Prague"]
+        assert got[0]["purp"] == ["business"]
+
+    def test_mixed_rel_edges_concat(self, social):
+        # friend (no props) + visited (purpose prop) in one path
+        got = social.query(
+            "MATCH p = (a:person {name: 'Roi'})-[:friend]->(b)"
+            "-[v:visited]->(c:country) "
+            "RETURN [e IN relationships(p) | e.purpose] AS purp, "
+            "length(p) AS len, b.name AS via ORDER BY via, purp[1]"
+        ).collect()
+        assert all(r["len"] == 2 and r["purp"][0] is None for r in got)
+        assert {r["purp"][1] for r in got} == {"pleasure", "none"}
