@@ -11,6 +11,7 @@ stays *sets of nodes*, not paths, so it scales like distributed BFS.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from redisgraph_spark.cypher import ast as A
 from redisgraph_spark.algorithms import traversal as TRAV
@@ -121,8 +122,48 @@ def compile_shortest_path(planner, ctx, path: A.PatternPath) -> None:
             else:
                 out = out.filter(F.lit(False))
     if path.var is not None:
-        out = out.withColumn(
-            path.var, F.struct(F.col("__sp_nids").alias("nodes"),
-                               F.col("__sp_eids").alias("edges")))
+        light = path.var in getattr(planner, "_light_paths", set())
+        if light:
+            # only length(p)/size(p) downstream: id arrays suffice, skip
+            # the id→struct joins entirely
+            out = out.withColumn(
+                path.var, F.struct(F.col("__sp_nids").alias("nodes"),
+                                   F.col("__sp_eids").alias("edges")))
+        else:
+            out = _materialize_path_structs(planner, out, path.var)
         ctx.vars[path.var] = VarInfo("path")
     ctx.df = out.drop("__sp_cur", "__sp_eids", "__sp_nids")
+
+
+def _materialize_path_structs(planner, out, pvar: str):
+    """id arrays → arrays of full node/edge structs (unified schema), so
+    shortestPath paths look exactly like pattern paths. Two
+    posexplode→join→regroup rounds keyed by a checkpointed row id."""
+    g = planner.graph
+    row = planner.sym("sprow")
+    out = out.withColumn(row, F.monotonically_increasing_id()) \
+        .localCheckpoint(eager=True)
+
+    def pack(id_col: str, flat, alias: str):
+        struct = F.struct(*[F.col(c) for c in flat.columns])
+        pos = out.select(row, F.posexplode(id_col).alias("__pos", "__xid"))
+        pos = pos.join(
+            flat.select(F.col("_id").alias("__xid"), struct.alias("__xs")),
+            "__xid", "inner")
+        return pos.groupBy(row).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__xs"))),
+                lambda x: x["__xs"]).alias(alias))
+
+    nodes = pack("__sp_nids", g.nodes(None), "__sp_nodes")
+    edges = pack("__sp_eids", g.edges(None), "__sp_edges")
+    out = out.join(nodes, row, "left").join(edges, row, "left")
+    node_t = T.ArrayType(g.nodes(None).schema)
+    edge_t = T.ArrayType(g.edges(None).schema)
+    out = out.withColumn(
+        pvar, F.struct(
+            F.coalesce(F.col("__sp_nodes"),
+                       F.array().cast(node_t)).alias("nodes"),
+            F.coalesce(F.col("__sp_edges"),
+                       F.array().cast(edge_t)).alias("edges")))
+    return out.drop(row, "__sp_nodes", "__sp_edges")

@@ -152,8 +152,41 @@ class CypherPlanner:
             out = out.dropDuplicates()
         return out
 
+    def _light_path_vars(self, q: A.SingleQuery) -> set[str]:
+        """Path variables used ONLY as ``length(p)``/``size(p)`` — their
+        values never need entity structs, so shortestPath can skip the
+        id→struct materialization joins."""
+        pvars = {p.var for c in q.clauses if isinstance(c, A.MatchClause)
+                 for p in c.paths if p.var}
+        if not pvars:
+            return set()
+        heavy: set[str] = set()
+
+        def visit(n):
+            if isinstance(n, A.FuncCall) and n.name in ("length", "size") \
+                    and len(n.args) == 1 \
+                    and isinstance(n.args[0], A.Variable):
+                return
+            if isinstance(n, A.Variable) and n.name in pvars:
+                heavy.add(n.name)
+            if hasattr(n, "__dataclass_fields__"):
+                for fname in n.__dataclass_fields__:
+                    v = getattr(n, fname)
+                    for item in (v if isinstance(v, list) else [v]):
+                        if isinstance(item, tuple):
+                            for x in item:
+                                if hasattr(x, "__dataclass_fields__"):
+                                    visit(x)
+                        elif hasattr(item, "__dataclass_fields__"):
+                            visit(item)
+
+        for c in q.clauses:
+            visit(c)
+        return pvars - heavy
+
     def plan_single(self, q: A.SingleQuery) -> DataFrame:
         ctx = Ctx()
+        self._light_paths = self._light_path_vars(q)
         result: DataFrame | None = None
         for clause in q.clauses:
             if isinstance(clause, A.MatchClause):

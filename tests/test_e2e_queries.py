@@ -284,3 +284,12 @@ class TestPathValues:
         ).collect()
         assert all(r["len"] == 2 and r["purp"][0] is None for r in got)
         assert {r["purp"][1] for r in got} == {"pleasure", "none"}
+
+    def test_shortest_path_node_structs(self, social):
+        got = social.query(
+            "MATCH p = shortestPath((a:person {name: 'Roi'})"
+            "-[:friend*..5]->(b:person {name: 'Ori'})) "
+            "RETURN [n IN nodes(p) | n.name] AS names, length(p) AS len"
+        ).collect()
+        assert got[0]["names"][0] == "Roi" and got[0]["names"][-1] == "Ori"
+        assert got[0]["len"] == len(got[0]["names"]) - 1
