@@ -422,9 +422,141 @@ def _merge(planner, ctx, clause: A.MergeClause) -> DataFrame | None:
         return None
 
     if len(els) != 1:
-        raise NotImplementedError(
-            "per-row MERGE on multi-element patterns: round-2 scope")
+        return _merge_path_per_row(planner, ctx, clause)
     return _merge_per_row(planner, ctx, clause)
+
+
+def _merge_path_per_row(planner, ctx, clause: A.MergeClause) -> None:
+    """Per-input-row MERGE of a multi-element pattern: match the WHOLE
+    pattern per row; rows without a match create every unbound element
+    (bound variables are reused, standard openCypher whole-pattern
+    semantics; identical pending creations dedup per
+    ``ops/op_merge_create.c``)."""
+    from redisgraph_spark.planner.planner import Ctx
+
+    for el in clause.path.elements:
+        if isinstance(el, A.RelPattern) and el.min_hops is not None:
+            raise ValueError("MERGE cannot contain variable-length patterns")
+
+    row = planner.sym("mrow")
+    base = ctx.df.withColumn(row, F.monotonically_increasing_id()) \
+        .localCheckpoint(eager=True)
+    probe = Ctx(df=base, vars=dict(ctx.vars))
+    planner._compile_path(probe, clause.path, [])
+    matched_rows = probe.df.select(row).dropDuplicates() \
+        .localCheckpoint(eager=True)
+    unmatched = base.join(matched_rows, row, "left_anti") \
+        .localCheckpoint(eager=True)
+    had_unmatched = bool(unmatched.take(1))
+    if had_unmatched:
+        _create_path_rows(planner, Ctx(df=unmatched, vars=dict(ctx.vars)),
+                          clause.path)
+
+    def rematch() -> Ctx:
+        c = Ctx(df=base, vars=dict(ctx.vars))
+        planner._compile_path(c, clause.path, [])
+        c.df = c.df.localCheckpoint(eager=True)
+        return c
+
+    bind = rematch()
+    did_set = False
+    if clause.on_create and had_unmatched:
+        sub = Ctx(df=bind.df.join(matched_rows, row, "left_anti"),
+                  vars=dict(bind.vars))
+        if sub.df.take(1):
+            _set(planner, sub, A.SetClause(clause.on_create))
+            did_set = True
+    if clause.on_match and bool(matched_rows.take(1)):
+        sub = Ctx(df=bind.df.join(matched_rows, row, "left_semi"),
+                  vars=dict(bind.vars))
+        _set(planner, sub, A.SetClause(clause.on_match))
+        did_set = True
+    if did_set:
+        bind = rematch()  # read-your-writes for downstream clauses
+    ctx.df = bind.df.drop(row)
+    ctx.vars = bind.vars
+
+
+def _create_path_rows(planner, ctx, path: A.PatternPath) -> None:
+    """Create one whole-pattern instance per DISTINCT creation content of
+    ``ctx.df`` (bound endpoint ids + unbound property values). Fresh ids
+    are content-hashes salted with the graph version, so re-running the
+    same MERGE never collides with earlier batches."""
+    g = planner.graph
+    els = path.elements
+    comp = planner.compiler(ctx)
+    salt = F.lit(int(g._version))
+
+    ded: list = []            # dedup-key columns (aliased)
+    node_ref: dict[int, str | None] = {}   # el idx -> bound alias | None
+    new_nodes: list[tuple[int, str, list]] = []  # (idx, label, [(k, alias)])
+    rels: list[tuple[int, A.RelPattern, list]] = []
+    for idx, el in enumerate(els):
+        if isinstance(el, A.NodePattern):
+            if el.var and el.var in ctx.vars:
+                a = f"__mb{idx}"
+                ded.append(F.col(f"{el.var}._id").alias(a))
+                node_ref[idx] = a
+            else:
+                props = []
+                for k, v in el.props:
+                    a = f"__mp{idx}_{k}"
+                    ded.append(comp.compile(v).alias(a))
+                    props.append((k, a))
+                node_ref[idx] = None
+                new_nodes.append((idx, el.labels[0] if el.labels else "",
+                                  props))
+        else:
+            props = []
+            for k, v in el.props:
+                a = f"__mp{idx}_{k}"
+                ded.append(comp.compile(v).alias(a))
+                props.append((k, a))
+            rels.append((idx, el, props))
+    if not ded:
+        ded = [F.lit(1).alias("__m_one")]
+    dd = ctx.df.select(ded).dropDuplicates().localCheckpoint(eager=True)
+    ded_names = dd.columns
+
+    def fresh(idx: int, ns: int):
+        return (F.abs(F.xxhash64(salt, F.lit(idx),
+                                 *[F.col(n) for n in ded_names]))
+                + F.lit(ns))
+
+    node_id_expr: dict[int, object] = {}
+    n_created = 0
+    for idx, label, props in new_nodes:
+        node_id_expr[idx] = fresh(idx, 23_000_000_000_000_000)
+        rows = dd.select(node_id_expr[idx].alias("_id"),
+                         *[F.col(a).alias(k) for k, a in props])
+        n_created += rows.count()
+        g.node_tables[label] = (
+            g.node_tables[label].unionByName(rows, allowMissingColumns=True)
+            if label in g.node_tables else rows).localCheckpoint(eager=True)
+    e_created = 0
+    for idx, rel, props in rels:
+        s_i, d_i = idx - 1, idx + 1
+        if rel.direction == "in":
+            s_i, d_i = d_i, s_i
+        def end(i):
+            a = node_ref.get(i)
+            return F.col(a) if a is not None else \
+                node_id_expr[i].cast("long")
+        rtype = rel.types[0] if rel.types else "RELATED"
+        rows = dd.select(fresh(idx, 24_000_000_000_000_000).alias("_id"),
+                         end(s_i).alias("_src"), end(d_i).alias("_dst"),
+                         *[F.col(a).alias(k) for k, a in props])
+        e_created += rows.count()
+        g.edge_tables[rtype] = (
+            g.edge_tables[rtype].unionByName(rows, allowMissingColumns=True)
+            if rtype in g.edge_tables else rows).localCheckpoint(eager=True)
+    if n_created:
+        planner.stats["nodes_created"] = \
+            planner.stats.get("nodes_created", 0) + n_created
+    if e_created:
+        planner.stats["relationships_created"] = \
+            planner.stats.get("relationships_created", 0) + e_created
+    g._scan_cache.clear()
 
 
 def _merge_per_row(planner, ctx, clause: A.MergeClause) -> None:

@@ -162,3 +162,58 @@ def test_remove_property(g):
     g.query("MATCH (n:L {name: 'a'}) REMOVE n.v")
     got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
     assert got["a"] is None and got["b"] == 20
+
+
+# ------------------------------------------------- per-row MERGE on paths
+def test_merge_path_per_row_partial_exists(g):
+    # a->b exists (edge 100); second row must create only a->b2... i.e.
+    # whole-pattern semantics per row
+    g.query("CREATE (:L {name: 'b2', v: 40})")
+    g.query("UNWIND ['b', 'b2'] AS nm "
+            "MATCH (a:L {name: 'a'}), (t:L {name: nm}) "
+            "MERGE (a)-[:R]->(t)")
+    got = rows(g.query(
+        "MATCH (:L {name: 'a'})-[:R]->(t) RETURN t.name AS n"))
+    assert got == [("b",), ("b2",)]
+    # idempotent re-run
+    g.query("UNWIND ['b', 'b2'] AS nm "
+            "MATCH (a:L {name: 'a'}), (t:L {name: nm}) "
+            "MERGE (a)-[:R]->(t)")
+    assert g.query("MATCH ()-[r:R]->() RETURN count(*) AS c") \
+        .collect()[0]["c"] == 2
+
+
+def test_merge_path_creates_unbound_node(g):
+    g.query("MATCH (a:L {name: 'a'}) MERGE (a)-[:OWNS]->(d:Pet {pname: 'rex'})")
+    g.query("MATCH (a:L {name: 'a'}) MERGE (a)-[:OWNS]->(d:Pet {pname: 'rex'})")
+    assert g.query("MATCH (:Pet) RETURN count(*) AS c").collect()[0]["c"] == 1
+    got = rows(g.query(
+        "MATCH (a:L)-[:OWNS]->(d:Pet) RETURN a.name AS a, d.pname AS d"))
+    assert got == [("a", "rex")]
+
+
+def test_merge_path_on_create_on_match(g):
+    g.query("MATCH (a:L {name: 'a'}), (b:L {name: 'b'}) "
+            "MERGE (a)-[r:R2 {w: 1}]->(b) ON CREATE SET r.made = 'yes'")
+    got = rows(g.query("MATCH ()-[r:R2]->() RETURN r.w AS w, r.made AS m"))
+    assert got == [(1, "yes")]
+    g.query("MATCH (a:L {name: 'a'}), (b:L {name: 'b'}) "
+            "MERGE (a)-[r:R2 {w: 1}]->(b) ON MATCH SET r.made = 'again'")
+    got = rows(g.query("MATCH ()-[r:R2]->() RETURN r.w AS w, r.made AS m"))
+    assert got == [(1, "again")]
+
+
+def test_merge_path_dedups_identical_rows(g):
+    g.query("UNWIND [1, 1, 1] AS i MATCH (a:L {name: 'a'}) "
+            "MERGE (a)-[:LIKES]->(t:Thing {tid: 7})")
+    assert g.query("MATCH (t:Thing) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 1
+    assert g.query("MATCH ()-[r:LIKES]->() RETURN count(*) AS c") \
+        .collect()[0]["c"] == 1
+
+
+def test_merge_path_read_your_writes(g):
+    got = rows(g.query(
+        "MATCH (a:L {name: 'a'}) MERGE (a)-[:TAG]->(m:M {k: 1}) "
+        "ON CREATE SET m.fresh = true RETURN m.k AS k, m.fresh AS f"))
+    assert got == [(1, True)]
