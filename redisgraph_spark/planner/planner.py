@@ -385,7 +385,8 @@ class CypherPlanner:
             skippable = (node.var is None and not node.labels
                          and not node.props and not need_ids)
             if rel.min_hops is not None:
-                prev = self._var_len_hop(ctx, prev, rel, node, skippable)
+                prev = self._var_len_hop(ctx, prev, rel, node, edge_uniq,
+                                         skippable)
             else:
                 prev = self._single_hop(ctx, prev, rel, node, edge_uniq,
                                         skippable)
@@ -547,11 +548,17 @@ class CypherPlanner:
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
         # edge-uniqueness within one MATCH (relationship isomorphism;
-        # reference: docs/known_limitations.md:3-24)
-        for other in edge_uniq:
-            ctx.df = ctx.df.filter(
-                F.col(f"{e_name}._id") != F.col(f"{other}._id"))
-        edge_uniq.append(e_name)
+        # reference: docs/known_limitations.md:3-24) — against earlier
+        # fixed edges AND earlier named var-len edge arrays
+        for kind, other in edge_uniq:
+            if kind == "e":
+                ctx.df = ctx.df.filter(
+                    F.col(f"{e_name}._id") != F.col(f"{other}._id"))
+            else:
+                ctx.df = ctx.df.filter(~F.array_contains(
+                    F.transform(F.col(other), lambda x: x["_id"]),
+                    F.col(f"{e_name}._id")))
+        edge_uniq.append(("e", e_name))
 
         # target node
         if skippable and (node.var is None or node.var not in ctx.vars):
@@ -593,6 +600,7 @@ class CypherPlanner:
 
     def _var_len_hop(self, ctx: Ctx, prev: tuple[str, str | None],
                      rel: A.RelPattern, node: A.NodePattern,
+                     edge_uniq: list | None = None,
                      skippable: bool = False) -> tuple[str, str | None]:
         from_c, to_c = "__vlf", "__vlt"
         oriented, props = self._oriented_edge_sel(rel, from_c, to_c)
@@ -631,6 +639,19 @@ class CypherPlanner:
             ctx.df = ctx.df.drop(prev[1])
         if rel.var is not None:
             ctx.vars[rel.var] = VarInfo("scalar")
+            if edge_uniq is not None:
+                # cross-pattern uniqueness for the NAMED edge array vs
+                # earlier fixed edges / var-len arrays in this MATCH
+                ids = F.transform(F.col(rel.var), lambda x: x["_id"])
+                for kind, other in edge_uniq:
+                    if kind == "e":
+                        ctx.df = ctx.df.filter(~F.array_contains(
+                            ids, F.col(f"{other}._id")))
+                    else:
+                        ctx.df = ctx.df.filter(~F.arrays_overlap(
+                            ids, F.transform(F.col(other),
+                                             lambda x: x["_id"])))
+                edge_uniq.append(("vl", rel.var))
         if skippable and (node.var is None or node.var not in ctx.vars):
             return ("col", out_id)
         tgt = node.var or self.sym("n")

@@ -293,3 +293,25 @@ class TestPathValues:
         ).collect()
         assert got[0]["names"][0] == "Roi" and got[0]["names"][-1] == "Ori"
         assert got[0]["len"] == len(got[0]["names"]) - 1
+
+
+class TestEdgeUniqueness:
+    """Relationship isomorphism within one MATCH spans fixed edges AND
+    named var-len arrays (docs/known_limitations.md:3-24: only
+    unreferenced relationships skip the check)."""
+
+    def test_fixed_vs_var_len(self, social):
+        # a var-len path may not reuse the fixed edge bound as `e`
+        got = social.query(
+            "MATCH (x:person {name: 'Roi'})-[e:friend]->(y:person "
+            "{name: 'Alon'}), (x)-[es:friend*1..1]->(z) "
+            "RETURN z.name AS zn ORDER BY zn").collect()
+        assert [r["zn"] for r in got] == ["Ailon", "Boaz", "Tal"]
+
+    def test_var_len_vs_var_len(self, social):
+        got = social.query(
+            "MATCH (x:person {name: 'Roi'})-[e1:friend*1..1]->(a), "
+            "(x)-[e2:friend*1..1]->(b) RETURN count(*) AS c"
+        ).collect()[0]["c"]
+        # 4 outgoing friend edges: ordered pairs of distinct edges
+        assert got == 4 * 3
