@@ -147,6 +147,15 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             planner.stats["nodes_created"] = \
                 planner.stats.get("nodes_created", 0) + rows.count()
             continue
+        unbound = any(
+            isinstance(el, A.NodePattern)
+            and (el.var is None or el.var not in ctx.vars)
+            for el in els)
+        if unbound:
+            # mixed bound/new path: per-row whole-pattern creation (no
+            # dedup — CREATE makes one instance per input row)
+            _create_path_rows(planner, ctx, path, per_row=True)
+            continue
         i = 1
         while i < len(els):
             rel: A.RelPattern = els[i]
@@ -477,15 +486,18 @@ def _merge_path_per_row(planner, ctx, clause: A.MergeClause) -> None:
     ctx.vars = bind.vars
 
 
-def _create_path_rows(planner, ctx, path: A.PatternPath) -> None:
-    """Create one whole-pattern instance per DISTINCT creation content of
-    ``ctx.df`` (bound endpoint ids + unbound property values). Fresh ids
-    are content-hashes salted with the graph version, so re-running the
-    same MERGE never collides with earlier batches."""
+def _create_path_rows(planner, ctx, path: A.PatternPath,
+                      per_row: bool = False) -> None:
+    """Create whole-pattern instances from ``ctx.df`` rows. With
+    ``per_row=False`` (MERGE semantics) one instance per DISTINCT
+    creation content (bound endpoint ids + unbound property values);
+    with ``per_row=True`` (CREATE semantics) one instance per input row.
+    Fresh ids are content-hashes salted with the graph version and a
+    per-clause counter, so separate batches never collide."""
     g = planner.graph
     els = path.elements
     comp = planner.compiler(ctx)
-    salt = F.lit(int(g._version))
+    salt = F.lit(int(g._version) * 1000 + next(planner._gensym))
 
     ded: list = []            # dedup-key columns (aliased)
     node_ref: dict[int, str | None] = {}   # el idx -> bound alias | None
@@ -515,7 +527,11 @@ def _create_path_rows(planner, ctx, path: A.PatternPath) -> None:
             rels.append((idx, el, props))
     if not ded:
         ded = [F.lit(1).alias("__m_one")]
-    dd = ctx.df.select(ded).dropDuplicates().localCheckpoint(eager=True)
+    if per_row:
+        ded.append(F.monotonically_increasing_id().alias("__m_row"))
+        dd = ctx.df.select(ded).localCheckpoint(eager=True)
+    else:
+        dd = ctx.df.select(ded).dropDuplicates().localCheckpoint(eager=True)
     ded_names = dd.columns
 
     def fresh(idx: int, ns: int):

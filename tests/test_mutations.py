@@ -217,3 +217,17 @@ def test_merge_path_read_your_writes(g):
         "MATCH (a:L {name: 'a'}) MERGE (a)-[:TAG]->(m:M {k: 1}) "
         "ON CREATE SET m.fresh = true RETURN m.k AS k, m.fresh AS f"))
     assert got == [(1, True)]
+
+
+def test_create_path_unbound_endpoint(g):
+    g.query("MATCH (a:L) CREATE (a)-[:HAS]->(p:Prof {owner: a.name})")
+    got = rows(g.query(
+        "MATCH (a:L)-[:HAS]->(p:Prof) RETURN a.name AS a, p.owner AS o"))
+    assert got == [("a", "a"), ("b", "b")]
+
+
+def test_create_per_row_no_dedup(g):
+    g.query("UNWIND [1, 1] AS i MATCH (a:L {name: 'a'}) "
+            "CREATE (a)-[:X2]->(:T9 {k: 9})")
+    assert g.query("MATCH (t:T9) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 2
