@@ -119,12 +119,25 @@ class Graph:
     def __init__(self, spark: SparkSession,
                  node_tables: Mapping[str, DataFrame],
                  edge_tables: Mapping[str, DataFrame],
-                 name: str = "g") -> None:
+                 name: str = "g",
+                 rel_endpoints: Mapping[str, tuple] | None = None) -> None:
         from collections import OrderedDict
         self.spark = spark
         self.name = name
         self.node_tables: dict[str, DataFrame] = dict(node_tables)
         self.edge_tables: dict[str, DataFrame] = dict(edge_tables)
+        # optional schema hint: rel type -> (src labels, dst labels); lets
+        # the planner elide node-existence joins for unreferenced pattern
+        # endpoints whose label is guaranteed by the edge type (no analog
+        # in the reference — it has no per-edge label metadata either, but
+        # its matrices make the existence check free; a join is not).
+        # Cleared by any topology/label mutation.
+        self.rel_endpoints: dict[str, tuple[set, set]] | None = None
+        if rel_endpoints:
+            self.rel_endpoints = {
+                r: (set([s] if isinstance(s, str) else s),
+                    set([d] if isinstance(d, str) else d))
+                for r, (s, d) in rel_endpoints.items()}
         self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._version = 0
         self._slow_log: list[dict] = []

@@ -128,4 +128,10 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
         "CONTAINS": contains,
         "SUPPLIED_BY": supplied_by,
     }
-    return Graph(spark, nodes, edges, name="tpch")
+    return Graph(spark, nodes, edges, name="tpch", rel_endpoints={
+        "IN_REGION": ("Nation", "Region"),
+        "IN_NATION": ({"Customer", "Supplier"}, "Nation"),
+        "PLACED": ("Customer", "Order"),
+        "CONTAINS": ("Order", "Part"),
+        "SUPPLIED_BY": ("Part", "Supplier"),
+    })

@@ -67,6 +67,7 @@ def _eval_props(planner, ctx, props: list[tuple[str, A.Expr]]) -> dict:
 
 def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
     g = planner.graph
+    g.rel_endpoints = None  # topology changed: hints invalid
     spark = g.spark
     if ctx.df is not None:
         return _create_bound(planner, ctx, clause)
@@ -124,6 +125,7 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
     """CREATE after MATCH: new edges between matched nodes, or new nodes
     per input row."""
     g = planner.graph
+    g.rel_endpoints = None  # topology changed: hints invalid
     comp = planner.compiler(ctx)
     edges_created = 0
     for path in clause.paths:
@@ -282,6 +284,7 @@ def _add_labels(planner, ctx, item: A.LabelItem) -> None:
     ``GraphContext_AddNodeToLabel``). Flips the graph into multilabel
     mode: unified scans dedup by id and expose a ``_labels`` array."""
     g = planner.graph
+    g.rel_endpoints = None  # topology changed: hints invalid
     rows = _matched_rows(planner, ctx, item.var)
     added = 0
     for label in item.labels:
@@ -308,6 +311,7 @@ def _remove_labels(planner, ctx, item: A.LabelItem) -> None:
     node left with no label at all moves to the unlabeled ("") table so
     it keeps existing (reference zero-label nodes)."""
     g = planner.graph
+    g.rel_endpoints = None  # topology changed: hints invalid
     rows = _matched_rows(planner, ctx, item.var)
     ids = rows.select("_id")
     removed = 0
@@ -360,6 +364,7 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
     (reference ``ops/op_delete.c``, ``Graph_BulkDelete``
     ``src/graph/graph.h:172-181``) — expressed as anti-joins."""
     g = planner.graph
+    g.rel_endpoints = None  # topology changed: hints invalid
     nodes_deleted = 0
     edges_deleted = 0
     for e in clause.exprs:
@@ -495,6 +500,7 @@ def _create_path_rows(planner, ctx, path: A.PatternPath,
     Fresh ids are content-hashes salted with the graph version and a
     per-clause counter, so separate batches never collide."""
     g = planner.graph
+    g.rel_endpoints = None  # topology changed: hints invalid
     els = path.elements
     comp = planner.compiler(ctx)
     salt = F.lit(int(g._version) * 1000 + next(planner._gensym))

@@ -107,6 +107,10 @@ class CypherPlanner:
         self.params = dict(params or {})
         self._gensym = itertools.count()
         self.stats: dict[str, int] = {}
+        # conservative defaults for _compile_path calls outside
+        # plan_single: everything counts as referenced, no light paths
+        self._referenced: set[str] | None = None
+        self._light_paths: set[str] = set()
 
     # ---------------------------------------------------------------- helpers
     def sym(self, prefix: str) -> str:
@@ -184,9 +188,70 @@ class CypherPlanner:
             visit(c)
         return pvars - heavy
 
+    def _referenced_vars(self, q: A.SingleQuery) -> set[str] | None:
+        """Names a pattern variable must stay bound for: appears in any
+        expression, in 2+ pattern elements (shared endpoint), or under a
+        named path. Returns None when RETURN/WITH * forces everything."""
+        from collections import Counter
+        refs: set[str] = set()
+        pat_count: Counter = Counter()
+        star = False
+        for n in _walk(q):
+            if isinstance(n, A.Variable):
+                refs.add(n.name)
+            elif isinstance(n, A.NodePattern):
+                if n.var:
+                    pat_count[n.var] += 1
+            elif isinstance(n, (A.ReturnClause, A.WithClause)) \
+                    and getattr(n, "star", False):
+                star = True
+            elif isinstance(n, A.PatternPath) and n.var:
+                for el in n.elements:
+                    if isinstance(el, A.NodePattern) and el.var:
+                        refs.add(el.var)
+        if star:
+            return None
+        refs.update(v for v, c in pat_count.items() if c >= 2)
+        return refs
+
+    def _unreferenced(self, var: str | None) -> bool:
+        if var is None:
+            return True
+        return self._referenced is not None and var not in self._referenced
+
+    def _endpoint_guaranteed(self, rel: A.RelPattern,
+                             labels: list[str] | None,
+                             target: bool) -> bool:
+        """True when the rel type's endpoint-label hints prove the node
+        pattern's label filter is a no-op, so the node-existence join can
+        be elided (no reference analog — GraphBLAS existence checks are
+        free there, a distributed join is not)."""
+        if not labels:
+            return True
+        hints = self.graph.rel_endpoints
+        if not hints:
+            return False
+        types = rel.types or list(self.graph.edge_tables)
+        want = set(labels)
+        for t in types:
+            h = hints.get(t)
+            if h is None:
+                return False
+            s, d = h
+            if rel.direction == "out":
+                g = d if target else s
+            elif rel.direction == "in":
+                g = s if target else d
+            else:
+                g = s | d
+            if not g <= want:
+                return False
+        return True
+
     def plan_single(self, q: A.SingleQuery) -> DataFrame:
         ctx = Ctx()
         self._light_paths = self._light_path_vars(q)
+        self._referenced = self._referenced_vars(q)
         result: DataFrame | None = None
         for clause in q.clauses:
             if isinstance(clause, A.MatchClause):
@@ -366,12 +431,16 @@ class CypherPlanner:
                     el.var = self.sym("e")
                     hidden_edges.append(el.var)
         first: A.NodePattern = elements[0]
-        # reduceScans analog (optimizations/reduce_scans.c): an anonymous,
-        # unconstrained endpoint needs no node-table scan — the edge
-        # endpoint column IS the node
-        if (first.var is None and not first.labels and not first.props
+        # reduceScans analog (optimizations/reduce_scans.c): an endpoint
+        # that is unreferenced and unconstrained — or whose label filter
+        # the rel-endpoint hints prove redundant — needs no node-table
+        # scan: the edge endpoint column IS the node
+        if (self._unreferenced(first.var) and not first.props
                 and len(elements) > 1 and not need_ids
-                and elements[1].min_hops is None):
+                and elements[1].min_hops is None
+                and first.var not in ctx.vars
+                and self._endpoint_guaranteed(elements[1], first.labels,
+                                              target=False)):
             prev: tuple[str, str | None] = ("free", None)
         else:
             prev = ("var", self._bind_node(ctx, first))
@@ -382,8 +451,14 @@ class CypherPlanner:
         while i < len(elements):
             rel: A.RelPattern = elements[i]
             node: A.NodePattern = elements[i + 1]
-            skippable = (node.var is None and not node.labels
-                         and not node.props and not need_ids)
+            skippable = (
+                self._unreferenced(node.var) and not node.props
+                and not need_ids and node.var not in ctx.vars
+                and self._endpoint_guaranteed(rel, node.labels, target=True)
+                # a 0-min var-len target can BE the source node, whose
+                # label the rel hints say nothing about
+                and (rel.min_hops is None or rel.min_hops >= 1
+                     or not node.labels))
             if rel.min_hops is not None:
                 prev = self._var_len_hop(ctx, prev, rel, node, edge_uniq,
                                          skippable)
