@@ -64,15 +64,20 @@ def _merge_schemas(tables: Mapping[str, DataFrame],
                 seen[f.name] = f.dataType
                 out.append((f.name, f.dataType))
             elif seen[f.name] != f.dataType:
-                # numeric widening beats string demotion when possible
+                # numeric widening where possible; conflicting scalar
+                # types → per-value variant encoding (planner/variant.py);
+                # conflicts involving arrays demote to string
                 a, b = seen[f.name], f.dataType
                 numeric = (T.LongType(), T.IntegerType(), T.ShortType(),
                            T.DoubleType(), T.FloatType())
                 if a in numeric and b in numeric:
                     widened = T.DoubleType() if T.DoubleType() in (a, b) \
                         or T.FloatType() in (a, b) else T.LongType()
-                else:
+                elif isinstance(a, T.ArrayType) or isinstance(b, T.ArrayType):
                     widened = T.StringType()
+                else:
+                    from ..planner.variant import VARIANT_TYPE
+                    widened = VARIANT_TYPE
                 seen[f.name] = widened
                 out = [(n, widened if n == f.name else t) for n, t in out]
     return out
@@ -111,6 +116,18 @@ def _parse_cypher_prefix(text: str) -> tuple[str, dict]:
                     params[k] = v
         pos = m.end()
     return rest[pos:].lstrip(), params
+
+
+def _conform_col(name: str, src_t: T.DataType, dst_t: T.DataType):
+    """Column expression conforming a table column to the merged scan
+    type — plain cast, or variant encoding when the merged type is the
+    variant union struct (a cast cannot build that)."""
+    if src_t == dst_t:
+        return name  # skip no-op casts: each Column op is a JVM round trip
+    from ..planner.variant import is_variant_type, to_variant
+    if is_variant_type(dst_t):
+        return to_variant(F.col(name), src_t).alias(name)
+    return F.col(name).cast(dst_t).alias(name)
 
 
 class Graph:
@@ -210,9 +227,7 @@ class Graph:
                     F.lit(label).alias(LABEL_COL)]
             for n, t in merged:
                 if n in have:
-                    # skip no-op casts: each Column op is a JVM round trip
-                    cols.append(n if have[n] == t
-                                else F.col(n).cast(t).alias(n))
+                    cols.append(_conform_col(n, have[n], t))
                 else:
                     cols.append(F.lit(None).cast(t).alias(n))
             parts.append(df.select(cols))
@@ -268,8 +283,7 @@ class Graph:
             cols.append(F.lit(rel).alias(REL_COL))
             for n, t in merged:
                 if n in have:
-                    cols.append(n if have[n] == t
-                                else F.col(n).cast(t).alias(n))
+                    cols.append(_conform_col(n, have[n], t))
                 else:
                     cols.append(F.lit(None).cast(t).alias(n))
             parts.append(df.select(cols))

@@ -80,6 +80,15 @@ class ExprCompiler:
         except Exception:
             return False
 
+    def _is_variant(self, col: Column) -> bool:
+        """Column is a per-value variant union struct (planner/variant.py
+        — heterogeneous property types, SURVEY §7.3)."""
+        from .variant import is_variant_type
+        try:
+            return is_variant_type(self.dtype(col))
+        except Exception:
+            return False
+
     # -------------------------------------------------------------- dispatch
     def compile(self, e: A.Expr) -> Column:
         m = getattr(self, "_c_" + type(e).__name__, None)
@@ -179,6 +188,21 @@ class ExprCompiler:
             return (l & ~r) | (~l & r)
         l = self.compile(e.left)
         r = self.compile(e.right)
+        lv, rv = self._is_variant(l), self._is_variant(r)
+        if lv or rv:
+            from . import variant as V
+            # string payload + typed string → concat; otherwise arithmetic
+            # over the numeric interpretation (non-numeric rows → null,
+            # reference SIValue_Add type dispatch src/value.h:176-187)
+            if op == "+" and ((lv and not rv and self._is_string(r))
+                              or (rv and not lv and self._is_string(l))):
+                ls = V.render(l) if lv else l.cast("string")
+                rs = V.render(r) if rv else r.cast("string")
+                return F.concat(ls, rs)
+            if lv:
+                l = V.num_view(l)
+            if rv:
+                r = V.num_view(r)
         if op == "+":
             # addition / string concat / list concat, by operand type
             # (reference: SIValue_Add, src/value.h:176-187 + string concat)
@@ -213,7 +237,9 @@ class ExprCompiler:
         left = self.compile(e.first)
         for op, right_ast in e.rest:
             right = self.compile(right_ast)
-            if op == "=":
+            if self._is_variant(left) or self._is_variant(right):
+                c = self._variant_cmp(left, right, op)
+            elif op == "=":
                 c = left == right
             elif op == "<>":
                 c = left != right
@@ -230,6 +256,57 @@ class ExprCompiler:
         assert out is not None
         return out
 
+    def prop_eq(self, field_col: Column, value_col: Column) -> Column:
+        """Pattern-property equality ``{k: v}`` — plain ``==`` unless the
+        property column is a variant union (then typed dispatch)."""
+        if self._is_variant(field_col) or self._is_variant(value_col):
+            return self._variant_cmp(field_col, value_col, "=")
+        return field_col == value_col
+
+    def _variant_cmp(self, l: Column, r: Column, op: str) -> Column:
+        """Comparison with at least one variant side: same-type payloads
+        compare by value (int/double cross-compare), cross-type ``=`` is
+        false and cross-type ordering is null (DISJOINT,
+        src/value.h:58-77,189-192)."""
+        from . import variant as V
+        lv, rv = self._is_variant(l), self._is_variant(r)
+        if not lv:  # normalize: l is the variant
+            l, r = r, l
+            lv, rv = rv, lv
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+        if rv:
+            pairs = [(V.num_view(l), V.num_view(r)),
+                     (V.str_view(l), V.str_view(r)),
+                     (V.bool_view(l), V.bool_view(r))]
+        else:
+            try:
+                rt = self.dtype(r)
+            except CompileError:
+                rt = T.StringType()
+            if isinstance(rt, (T.LongType, T.IntegerType, T.ShortType,
+                               T.ByteType, T.DoubleType, T.FloatType,
+                               T.DecimalType)):
+                pairs = [(V.num_view(l), r.cast("double"))]
+            elif isinstance(rt, T.BooleanType):
+                pairs = [(V.bool_view(l), r)]
+            elif isinstance(rt, (T.StringType, T.NullType)):
+                pairs = [(V.str_view(l), r.cast("string"))]
+            else:
+                pairs = []  # variant vs array/struct: always disjoint
+        mk = {"=": lambda a, b: a == b, "<>": lambda a, b: a == b,
+              "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+              ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
+        cs = [mk(a, b) for a, b in pairs]
+        null_b = F.lit(None).cast("boolean")
+        if op in ("=", "<>"):
+            inner = F.coalesce(*cs, F.lit(False)) if cs else F.lit(False)
+            if op == "<>":
+                inner = ~inner
+            return F.when(l.isNull() | r.isNull(), null_b).otherwise(inner)
+        if not cs:
+            return null_b
+        return F.coalesce(*cs) if len(cs) > 1 else cs[0]
+
     def _c_IsNull(self, e: A.IsNull) -> Column:
         c = self.compile(e.operand)
         return c.isNotNull() if e.negated else c.isNull()
@@ -242,6 +319,12 @@ class ExprCompiler:
     def _c_StringOp(self, e: A.StringOp) -> Column:
         l = self.compile(e.left)
         r = self.compile(e.right)
+        if self._is_variant(l):
+            from .variant import str_view
+            l = str_view(l)  # only string payloads match (DISJOINT → null)
+        if self._is_variant(r):
+            from .variant import str_view
+            r = str_view(r)
         if e.op == "STARTS WITH":
             return l.startswith(r)
         if e.op == "ENDS WITH":
@@ -422,6 +505,27 @@ class ExprCompiler:
                 return F.struct(*[c.getField(f).alias(f) for f in info.fields])
         return self.compile(e.args[0])
 
+    def _fn_property(self, e: A.FuncCall) -> Column:
+        """``property(entity, name)`` — dynamic property access
+        (src/arithmetic/entity_funcs/entity_funcs.c:186-230). A literal
+        key compiles to a plain field access; a runtime key becomes a
+        CASE over the entity's property fields."""
+        if isinstance(e.args[1], A.Literal) and \
+                isinstance(e.args[1].value, str):
+            return self._c_Property(A.Property(e.args[0], e.args[1].value))
+        if not (isinstance(e.args[0], A.Variable)
+                and e.args[0].name in self.vars
+                and self.vars[e.args[0].name].kind in ("node", "edge")):
+            raise CompileError("property() needs a node/edge first argument")
+        info = self.vars[e.args[0].name]
+        key = self.compile(e.args[1])
+        c = F.col(e.args[0].name)
+        out = F.lit(None).cast("string")
+        for f in info.fields:
+            out = F.when(key == F.lit(f),
+                         c.getField(f).cast("string")).otherwise(out)
+        return out
+
     def _fn_keys(self, e: A.FuncCall) -> Column:
         """keys(entity) = names of present (non-null) properties;
         keys(map) = map_keys."""
@@ -471,16 +575,34 @@ class ExprCompiler:
         return F.lit(2 * 6378140.0) * F.asin(F.sqrt(a))
 
     def _fn_tointeger(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).cast("long")
+        c = self.compile(e.args[0])
+        if self._is_variant(c):
+            from .variant import num_view, str_view
+            return F.coalesce(num_view(c).cast("long"),
+                              str_view(c).try_cast("long"))
+        return c.cast("long")
 
     def _fn_tofloat(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).cast("double")
+        c = self.compile(e.args[0])
+        if self._is_variant(c):
+            from .variant import num_view, str_view
+            return F.coalesce(num_view(c),
+                              str_view(c).try_cast("double"))
+        return c.cast("double")
 
     def _fn_toboolean(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).cast("boolean")
+        c = self.compile(e.args[0])
+        if self._is_variant(c):
+            from .variant import bool_view, str_view
+            return F.coalesce(bool_view(c), str_view(c).try_cast("boolean"))
+        return c.cast("boolean")
 
     def _fn_tostring(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).cast("string")
+        c = self.compile(e.args[0])
+        if self._is_variant(c):
+            from .variant import render
+            return render(c)
+        return c.cast("string")
 
     def _fn_todecimal(self, e: A.FuncCall) -> Column:
         """Engine extension (not in the reference): exact decimal cast,
@@ -558,6 +680,8 @@ _SIMPLE_FUNCS = {
         (step[0].cast("long") if step else F.lit(1).cast("long"))),
     "keys": lambda c: F.map_keys(c),
     "tomap": lambda c: c,
+    # tolist: wrap the arguments as a list (list_funcs.c:222-263)
+    "tolist": lambda *cs: F.array(*cs),
     # engine extension: deterministic list ordering (for stable collect()
     # results in distributed execution; not in the reference registry)
     "sort": F.sort_array,

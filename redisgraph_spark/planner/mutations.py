@@ -65,6 +65,29 @@ def _eval_props(planner, ctx, props: list[tuple[str, A.Expr]]) -> dict:
     return out
 
 
+def _union_into(tbl: DataFrame | None, rows: DataFrame) -> DataFrame:
+    """Append new rows to a table, conforming plain-typed columns to the
+    table's variant union columns where needed (heterogeneous property
+    encoding, planner/variant.py)."""
+    if tbl is None:
+        return rows
+    from .variant import is_variant_type, to_variant
+    tt = {f.name: f.dataType for f in tbl.schema.fields}
+    cols = []
+    changed = False
+    for f in rows.schema.fields:
+        t = tt.get(f.name)
+        if t is not None and is_variant_type(t) \
+                and not is_variant_type(f.dataType):
+            cols.append(to_variant(F.col(f.name), f.dataType).alias(f.name))
+            changed = True
+        else:
+            cols.append(F.col(f.name))
+    if changed:
+        rows = rows.select(cols)
+    return tbl.unionByName(rows, allowMissingColumns=True)
+
+
 def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
     g = planner.graph
     g.rel_endpoints = None  # topology changed: hints invalid
@@ -89,9 +112,8 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             by_label.setdefault(label, []).append(row)
         for label, rows in by_label.items():
             df = spark.createDataFrame(rows)
-            g.node_tables[label] = (
-                g.node_tables[label].unionByName(df, allowMissingColumns=True)
-                if label in g.node_tables else df)
+            g.node_tables[label] = _union_into(
+                g.node_tables.get(label), df)
             nodes_created += len(rows)
         # second pass: edges
         i = 1
@@ -108,9 +130,8 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             row = {"_id": _fresh_ids(1)[0], "_src": src_id, "_dst": dst_id,
                    **props}
             df = spark.createDataFrame([row])
-            g.edge_tables[rtype] = (
-                g.edge_tables[rtype].unionByName(df, allowMissingColumns=True)
-                if rtype in g.edge_tables else df)
+            g.edge_tables[rtype] = _union_into(
+                g.edge_tables.get(rtype), df)
             edges_created += 1
             i += 2
     planner.stats["nodes_created"] = \
@@ -142,10 +163,8 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                 "_id", F.abs(F.xxhash64(*[c for c in rows.columns
                                           if c != "_id"])) +
                 F.lit(20_000_000_000_000_000))
-            g.node_tables[label] = (
-                g.node_tables[label].unionByName(
-                    rows, allowMissingColumns=True)
-                if label in g.node_tables else rows)
+            g.node_tables[label] = _union_into(
+                g.node_tables.get(label), rows)
             planner.stats["nodes_created"] = \
                 planner.stats.get("nodes_created", 0) + rows.count()
             continue
@@ -178,10 +197,8 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                 "_id", F.abs(F.xxhash64("_src", "_dst")) +
                 F.lit(21_000_000_000_000_000))
             cnt = rows.count()
-            g.edge_tables[rtype] = (
-                g.edge_tables[rtype].unionByName(
-                    rows, allowMissingColumns=True)
-                if rtype in g.edge_tables else rows)
+            g.edge_tables[rtype] = _union_into(
+                g.edge_tables.get(rtype), rows)
             edges_created += cnt
             i += 2
     if edges_created:
@@ -252,9 +269,17 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
                             isinstance(val_t, numeric):
                         uval = uval.cast("double")
                         cur = cur.cast("double")
-                    else:
+                    elif isinstance(col_t, T.ArrayType) or \
+                            isinstance(val_t, T.ArrayType):
                         uval = uval.cast("string")
                         cur = cur.cast("string")
+                    else:
+                        # heterogeneous scalar types → per-value variant
+                        # encoding (schemaless reference semantics,
+                        # SURVEY §7.3); passes existing variants through
+                        from .variant import to_variant
+                        uval = to_variant(uval, val_t)
+                        cur = to_variant(cur, col_t)
                 newcol = F.when(F.col("__uid").isNotNull(), uval) \
                     .otherwise(cur)
             else:
@@ -296,8 +321,8 @@ def _add_labels(planner, ctx, item: A.LabelItem) -> None:
         new = rows.join(F.broadcast(tbl.select("_id")), "_id", "left_anti")
         n = new.count()
         if n:
-            g.node_tables[label] = tbl.unionByName(
-                new, allowMissingColumns=True).localCheckpoint(eager=True)
+            g.node_tables[label] = _union_into(
+                tbl, new).localCheckpoint(eager=True)
             added += n
     if added:
         g._multilabel = True

@@ -561,7 +561,7 @@ class CypherPlanner:
             for k, v in np.props:
                 if k in ctx.vars[name].fields:
                     ctx.df = ctx.df.filter(
-                        F.col(name).getField(k) == comp.compile(v))
+                        comp.prop_eq(F.col(name).getField(k), comp.compile(v)))
                 else:
                     ctx.df = ctx.df.filter(F.lit(False))
             return name
@@ -578,7 +578,7 @@ class CypherPlanner:
             for k, v in np.props:
                 if k in props:
                     ctx.df = ctx.df.filter(
-                        F.col(name).getField(k) == comp.compile(v))
+                        comp.prop_eq(F.col(name).getField(k), comp.compile(v)))
                 else:
                     ctx.df = ctx.df.filter(F.lit(False))
         return name
@@ -619,7 +619,7 @@ class CypherPlanner:
         for k, v in rel.props:
             if k in props:
                 ctx.df = ctx.df.filter(
-                    F.col(e_name).getField(k) == comp.compile(v))
+                    comp.prop_eq(F.col(e_name).getField(k), comp.compile(v)))
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
         # edge-uniqueness within one MATCH (relationship isomorphism;
@@ -652,7 +652,7 @@ class CypherPlanner:
             for k, v in node.props:
                 if k in ctx.vars[tgt].fields:
                     ctx.df = ctx.df.filter(
-                        F.col(tgt).getField(k) == comp.compile(v))
+                        comp.prop_eq(F.col(tgt).getField(k), comp.compile(v)))
                 else:
                     ctx.df = ctx.df.filter(F.lit(False))
             return ("var", tgt)
@@ -668,7 +668,7 @@ class CypherPlanner:
         for k, v in node.props:
             if k in nprops:
                 ctx.df = ctx.df.filter(
-                    F.col(tgt).getField(k) == comp.compile(v))
+                    comp.prop_eq(F.col(tgt).getField(k), comp.compile(v)))
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
         return ("var", tgt)
@@ -749,7 +749,7 @@ class CypherPlanner:
         for k, v in node.props:
             if k in nprops:
                 ctx.df = ctx.df.filter(
-                    F.col(tgt).getField(k) == comp.compile(v))
+                    comp.prop_eq(F.col(tgt).getField(k), comp.compile(v)))
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
         return ("var", tgt)
@@ -860,7 +860,23 @@ class CypherPlanner:
         out_df, _ = self._project(
             ctx, clause.items, clause.star, clause.distinct,
             clause.order_by, clause.skip, clause.limit)
-        return out_df
+        return self._render_variants(out_df)
+
+    @staticmethod
+    def _render_variants(df: DataFrame) -> DataFrame:
+        """Final RETURN surface: top-level variant union columns render to
+        strings (a result column must have ONE type; WHERE/ORDER BY have
+        already used the typed payloads)."""
+        from .variant import is_variant_type, render
+        out_cols = []
+        changed = False
+        for f in df.schema.fields:
+            if is_variant_type(f.dataType):
+                out_cols.append(render(F.col(f.name)).alias(f.name))
+                changed = True
+            else:
+                out_cols.append(F.col(f.name))
+        return df.select(out_cols) if changed else df
 
     def _project(self, ctx: Ctx, items: list[A.ProjectionItem], star: bool,
                  distinct: bool, order_by: list[A.OrderItem],
@@ -971,6 +987,18 @@ class CypherPlanner:
         assert isinstance(n, A.FuncCall)
         args = [comp.compile(a) for a in n.args]
         name = n.name
+        if args and comp._is_variant(args[0]):
+            from . import variant as V
+            if name in ("min", "max"):
+                # global-type-order min/max over mixed types
+                # (src/value.h:19-21); returns the variant, rendered at
+                # the final projection
+                key = V.sort_key(args[0])
+                return F.min_by(args[0], key) if name == "min" \
+                    else F.max_by(args[0], key)
+            if name in ("sum", "avg", "stdev", "stdevp",
+                        "percentilecont", "percentiledisc"):
+                args[0] = V.num_view(args[0])
         if name == "count":
             return F.countDistinct(args[0]) if n.distinct else F.count(args[0])
         if name == "sum":
@@ -1017,11 +1045,17 @@ class CypherPlanner:
                     matched = _colref(a)
                     break
             if matched is not None:
+                if post._is_variant(matched):
+                    from .variant import sort_key
+                    matched = sort_key(matched)  # global type order
                 sort_cols.append(matched.asc_nulls_last() if oi.ascending
                                  else matched.desc_nulls_first())
                 continue
             try:
                 c = post.compile(oi.expr)
+                if post._is_variant(c):
+                    from .variant import sort_key
+                    c = sort_key(c)  # global type order (src/value.h:19-21)
                 # Cypher null ordering: nulls sort last ascending
                 sort_cols.append(c.asc_nulls_last() if oi.ascending
                                  else c.desc_nulls_first())
@@ -1039,7 +1073,11 @@ class CypherPlanner:
         sort_cols = []
         for k, oi in enumerate(order_by):
             name = self.sym("ord")
-            hidden.append(comp.compile(oi.expr).alias(name))
+            hc = comp.compile(oi.expr)
+            if comp._is_variant(hc):
+                from .variant import sort_key
+                hc = sort_key(hc)  # global type order
+            hidden.append(hc.alias(name))
             c = F.col(name)
             sort_cols.append(c.asc_nulls_last() if oi.ascending
                              else c.desc_nulls_first())

@@ -179,3 +179,61 @@ def test_keys_function(spark):
     g = Graph(spark, nodes, {})
     r = g.query("MATCH (n:L) RETURN keys(n) AS k").collect()[0]
     assert r["k"] == ["name"]
+
+
+def test_variant_typed_semantics(spark):
+    """SET type conflict → per-value variant union column: comparisons
+    stay typed per value (cross-type `=` false, `<` null — DISJOINT,
+    src/value.h:58-77,189-192); final RETURN renders to string."""
+    from redisgraph_spark import Graph
+    nodes = {"L": spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 7), (3, "c", 2)],
+        "_id long, name string, v long")}
+    g = Graph(spark, nodes, {})
+    g.query("MATCH (n:L {name: 'a'}) SET n.v = 'text'")
+    from redisgraph_spark.planner.variant import is_variant_type
+    assert is_variant_type(g.node_tables["L"].schema["v"].dataType)
+    # typed comparison: only the ints participate
+    assert rows(g.query(
+        "MATCH (n:L) WHERE n.v > 3 RETURN n.name AS m")) == [("b",)]
+    # cross-type equality is false, same-type matches
+    assert rows(g.query(
+        "MATCH (n:L) WHERE n.v = 'text' RETURN n.name AS m")) == [("a",)]
+    # pattern-prop filter on a variant column
+    assert rows(g.query("MATCH (n:L {v: 7}) RETURN n.name AS m")) == [("b",)]
+    # arithmetic uses the numeric view (string → null)
+    got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS m, n.v + 1 AS x")))
+    assert got == {"a": None, "b": 8.0, "c": 3.0}
+    # global type order: string < numeric; numerics by value
+    assert [r["v"] for r in g.query(
+        "MATCH (n:L) RETURN n.v AS v ORDER BY n.v").collect()] \
+        == ["text", "2", "7"]
+    # aggregates: sum numeric-view, min/max global order, count all
+    r = g.query("MATCH (n:L) RETURN sum(n.v) AS s, min(n.v) AS mn, "
+                "max(n.v) AS mx, count(n.v) AS c").collect()[0]
+    assert (r["s"], r["mn"], r["mx"], r["c"]) == (9.0, "text", "7", 3)
+    # casts dispatch on the tag
+    got = sorted(rows(g.query(
+        "MATCH (n:L) RETURN tostring(n.v) AS s, tointeger(n.v) AS i")),
+        key=str)
+    assert got == [("2", 2), ("7", 7), ("text", None)]
+    # CREATE into a table with a variant column conforms the new row
+    g.query("CREATE (:L {name: 'd', v: 9})")
+    assert rows(g.query(
+        "MATCH (n:L) WHERE n.v >= 7 RETURN n.v AS v")) == [("7",), ("9",)]
+
+
+def test_variant_cross_label_scan(spark):
+    """Cross-label type conflicts variant-encode in the unified scan —
+    WHERE sees typed values even though RETURN renders strings."""
+    from redisgraph_spark import Graph
+    nodes = {
+        "A": spark.createDataFrame([(1, 5)], ["_id", "v"]),
+        "B": spark.createDataFrame([(2, 2.5)], ["_id", "v"]),
+        "C": spark.createDataFrame([(3, "x")], ["_id", "v"]),
+    }
+    g = Graph(spark, nodes, {})
+    assert rows(g.query("MATCH (n) WHERE n.v > 3 RETURN n.v AS v")) \
+        == [("5",)]
+    assert rows(g.query("MATCH (n) WHERE n.v < 3 RETURN n.v AS v")) \
+        == [("2.5",)]
