@@ -666,6 +666,31 @@ def _q_mutation_roundtrip(spark, sf_dir):
         "max(r.r_regionkey) AS max_key")
 
 
+def _q_merge_roundtrip(spark, sf_dir):
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, sf_dir)   # fresh graph: mutations isolated
+    # match-else-create: key 0 exists (match), 99 doesn't (create)
+    g.query("MERGE (r:Region {r_regionkey: 0}) ON MATCH SET r.touched = 1")
+    g.query("MERGE (r:Region {r_regionkey: 99}) "
+            "ON CREATE SET r.r_name = 'NEWLAND'")
+    return g.query(
+        "MATCH (r:Region) RETURN count(*) AS n, "
+        "sum(r.r_regionkey) AS sk, count(r.touched) AS touched")
+
+
+def _q_variant_types(spark, sf_dir):
+    """Heterogeneous property: one key holds int / string / float on
+    different nodes; WHERE dispatches per value type."""
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, sf_dir)   # fresh graph: mutations isolated
+    g.query("MATCH (r:Region {r_regionkey: 0}) SET r.tag = 5")
+    g.query("MATCH (r:Region {r_regionkey: 1}) SET r.tag = 'five'")
+    g.query("MATCH (r:Region {r_regionkey: 2}) SET r.tag = 2.5")
+    return g.query(
+        "MATCH (r:Region) WHERE r.tag > 3 OR r.tag STARTS WITH 'fi' "
+        "RETURN r.r_regionkey AS k, tostring(r.tag) AS tag ORDER BY k")
+
+
 def _p_tfidf(spark, sf_dir):
     from redisgraph_spark.pipeline.text import tf_idf
     return tf_idf(_docs(spark, sf_dir)) \
@@ -714,6 +739,20 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 
     "q_mutation_roundtrip": (_q_mutation_roundtrip,
         "SELECT count(*) + 1 AS n_regions, 991 AS max_key FROM region"),
+
+    "q_merge_roundtrip": (_q_merge_roundtrip, """
+        SELECT count(*) + 1 AS n,
+               CAST(sum(r_regionkey) + 99 AS BIGINT) AS sk,
+               1 AS touched
+        FROM region
+        """),
+
+    "q_variant_types": (_q_variant_types, """
+        SELECT r_regionkey AS k,
+               CASE r_regionkey WHEN 0 THEN '5' WHEN 1 THEN 'five' END
+                 AS tag
+        FROM region WHERE r_regionkey IN (0, 1) ORDER BY k
+        """),
 
     "p_tfidf": (_p_tfidf, """
         WITH toks AS (
