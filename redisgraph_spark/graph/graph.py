@@ -197,6 +197,29 @@ class Graph:
         return keys
 
     # ---------------------------------------------------------------- scans
+    def variants_possible(self) -> bool:
+        """True when any table holds a variant union column, or two
+        tables type-conflict on a property name so the unified scan
+        would merge one. Lets the expression compiler skip per-node
+        variant probes (py4j round trips) on the typed-only fast path.
+        Conservative: numeric-pair conflicts (widened, never variant)
+        count as False; everything else True."""
+        from ..planner.variant import is_variant_type
+        numeric = (T.LongType(), T.IntegerType(), T.ShortType(),
+                   T.DoubleType(), T.FloatType())
+        seen: dict[str, T.DataType] = {}
+        import itertools as _it
+        for df in _it.chain(self.node_tables.values(),
+                            self.edge_tables.values()):
+            for f in df.schema.fields:
+                if is_variant_type(f.dataType):
+                    return True
+                prev = seen.setdefault(f.name, f.dataType)
+                if prev != f.dataType and \
+                        not (prev in numeric and f.dataType in numeric):
+                    return True
+        return False
+
     def nodes(self, labels: Iterable[str] | None = None) -> DataFrame:
         """Unified node scan ``(_id, _label, <all property columns>)``.
 

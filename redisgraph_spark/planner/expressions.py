@@ -42,6 +42,14 @@ class CompileError(ValueError):
     pass
 
 
+def _could_be_variant(e: A.Expr) -> bool:
+    """Static pre-filter: can this AST node compile to a variant union
+    column? Literals/parameters/arithmetic never can — skipping the
+    dtype probe (a py4j round trip) for them keeps planning fast."""
+    return isinstance(e, (A.Property, A.Variable, A.Subscript,
+                          A.CaseExpr, A.FuncCall))
+
+
 class ExprCompiler:
     def __init__(self, df: DataFrame | None,
                  variables: dict[str, VarInfo],
@@ -52,6 +60,10 @@ class ExprCompiler:
         self.params = params
         self.query_time_ms = query_time_ms or int(time.time() * 1000)
         self._probe_df = None
+        # planner sets this False when no graph table has (or can merge
+        # into) a variant union column — then every variant probe is a
+        # free constant instead of a py4j round trip
+        self.variants_possible = True
 
     # ------------------------------------------------------------ type probe
     def dtype(self, col: Column) -> T.DataType:
@@ -83,6 +95,8 @@ class ExprCompiler:
     def _is_variant(self, col: Column) -> bool:
         """Column is a per-value variant union struct (planner/variant.py
         — heterogeneous property types, SURVEY §7.3)."""
+        if not self.variants_possible:
+            return False
         from .variant import is_variant_type
         try:
             return is_variant_type(self.dtype(col))
@@ -188,7 +202,8 @@ class ExprCompiler:
             return (l & ~r) | (~l & r)
         l = self.compile(e.left)
         r = self.compile(e.right)
-        lv, rv = self._is_variant(l), self._is_variant(r)
+        lv = _could_be_variant(e.left) and self._is_variant(l)
+        rv = _could_be_variant(e.right) and self._is_variant(r)
         if lv or rv:
             from . import variant as V
             # string payload + typed string → concat; otherwise arithmetic
@@ -235,9 +250,13 @@ class ExprCompiler:
     def _c_Comparison(self, e: A.Comparison) -> Column:
         out: Column | None = None
         left = self.compile(e.first)
+        left_ast = e.first
         for op, right_ast in e.rest:
             right = self.compile(right_ast)
-            if self._is_variant(left) or self._is_variant(right):
+            # dtype probes are py4j round trips — only pay them for
+            # expressions that can structurally BE a variant column
+            if (_could_be_variant(left_ast) and self._is_variant(left)) or \
+                    (_could_be_variant(right_ast) and self._is_variant(right)):
                 c = self._variant_cmp(left, right, op)
             elif op == "=":
                 c = left == right
@@ -253,6 +272,7 @@ class ExprCompiler:
                 c = left >= right
             out = c if out is None else (out & c)
             left = right
+            left_ast = right_ast
         assert out is not None
         return out
 
@@ -319,10 +339,10 @@ class ExprCompiler:
     def _c_StringOp(self, e: A.StringOp) -> Column:
         l = self.compile(e.left)
         r = self.compile(e.right)
-        if self._is_variant(l):
+        if _could_be_variant(e.left) and self._is_variant(l):
             from .variant import str_view
             l = str_view(l)  # only string payloads match (DISJOINT → null)
-        if self._is_variant(r):
+        if _could_be_variant(e.right) and self._is_variant(r):
             from .variant import str_view
             r = str_view(r)
         if e.op == "STARTS WITH":
@@ -621,6 +641,7 @@ class _LambdaCompiler(ExprCompiler):
                  bindings: dict[str, Column]) -> None:
         super().__init__(parent.df, parent.vars, parent.params,
                          parent.query_time_ms)
+        self.variants_possible = parent.variants_possible
         self.bindings = dict(bindings)
         if isinstance(parent, _LambdaCompiler):
             for k, v in parent.bindings.items():

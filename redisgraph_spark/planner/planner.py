@@ -111,6 +111,7 @@ class CypherPlanner:
         # plan_single: everything counts as referenced, no light paths
         self._referenced: set[str] | None = None
         self._light_paths: set[str] = set()
+        self._variants_flag: bool | None = None
 
     # ---------------------------------------------------------------- helpers
     def sym(self, prefix: str) -> str:
@@ -118,7 +119,19 @@ class CypherPlanner:
 
     def compiler(self, ctx: Ctx) -> ExprCompiler:
         df = ctx.df if ctx.df is not None else self._unit_df()
-        return ExprCompiler(df, ctx.vars, self.params)
+        c = ExprCompiler(df, ctx.vars, self.params)
+        c.variants_possible = self._variants_possible()
+        return c
+
+    def _variants_possible(self) -> bool:
+        # cached per planner; mutations can flip False→True mid-query,
+        # so recompute after any mutation (cheap: schemas are cached)
+        v = self._variants_flag
+        if v is None or self.stats:  # stats non-empty ⇔ a mutation ran
+            v = self.graph.variants_possible()
+            if not self.stats:
+                self._variants_flag = v
+        return v
 
     def _unit_df(self) -> DataFrame:
         return self.graph.spark.range(1).select(F.lit(0).alias("__unit"))
@@ -973,6 +986,7 @@ class CypherPlanner:
             self.params, key_exprs=[(it.expr, _colref(a))
                                     for it, a in key_items],
             agg_map=agg_aliases, agg_pairs=agg_pairs)
+        post.variants_possible = self._variants_possible()
         out_cols: list[Column] = []
         for it, a in zip(items, aliases):
             if (it, a) in key_items:
@@ -1033,6 +1047,7 @@ class CypherPlanner:
                out_vars: dict[str, VarInfo], order_by: list[A.OrderItem],
                has_agg: bool, items, aliases, distinct: bool) -> DataFrame:
         post = ExprCompiler(out_df, out_vars, self.params)
+        post.variants_possible = self._variants_possible()
         sort_cols: list[Column] = []
         pre_needed: list[A.OrderItem] = []
         for oi in order_by:
