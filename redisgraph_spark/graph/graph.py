@@ -157,6 +157,7 @@ class Graph:
                 for r, (s, d) in rel_endpoints.items()}
         self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._version = 0
+        self._count_cache: dict[tuple, int] = {}
         self._slow_log: list[dict] = []
         self._fulltext = None
         self._scan_cache: dict[tuple, DataFrame] = {}
@@ -319,20 +320,26 @@ class Graph:
     # ---------------------------------------------------------------- stats
     def node_count(self, label: str | None = None) -> int:
         """Metadata-answerable count — the ``reduceCount`` optimization
-        (reference ``optimizations/reduce_count.c:52-190``) answered from
-        table statistics instead of a scan."""
-        if label is not None:
-            if label not in self.node_tables:
-                return 0
-            return self.node_tables[label].count()
-        return sum(df.count() for df in self.node_tables.values())
+        (reference ``optimizations/reduce_count.c:52-190``; running
+        counters ``src/graph/graph_statistics.h:14-37``). Counts cache
+        per graph version, so repeat count queries are job-free."""
+        return self._counted("n", label, self.node_tables)
 
     def edge_count(self, rel: str | None = None) -> int:
-        if rel is not None:
-            if rel not in self.edge_tables:
-                return 0
-            return self.edge_tables[rel].count()
-        return sum(df.count() for df in self.edge_tables.values())
+        return self._counted("e", rel, self.edge_tables)
+
+    def _counted(self, kind: str, name: str | None,
+                 tables: dict[str, DataFrame]) -> int:
+        key = (kind, name, self._version)
+        cached = self._count_cache.get(key)
+        if cached is not None:
+            return cached
+        if name is not None:
+            cnt = tables[name].count() if name in tables else 0
+        else:
+            cnt = sum(df.count() for df in tables.values())
+        self._count_cache[key] = cnt
+        return cnt
 
     # ---------------------------------------------------------------- query
     def query(self, cypher: str, params: Mapping[str, object] | None = None

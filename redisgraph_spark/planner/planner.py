@@ -262,6 +262,9 @@ class CypherPlanner:
         return True
 
     def plan_single(self, q: A.SingleQuery) -> DataFrame:
+        fast = self._try_reduce_count(q)
+        if fast is not None:
+            return fast
         ctx = Ctx()
         self._light_paths = self._light_path_vars(q)
         self._referenced = self._referenced_vars(q)
@@ -288,6 +291,61 @@ class CypherPlanner:
             # mutation-only query: return statistics frame
             result = self._stats_df()
         return result
+
+    def _try_reduce_count(self, q: A.SingleQuery) -> DataFrame | None:
+        """``MATCH (n[:L]) RETURN count(n)`` / ``MATCH ()-[e[:R]]->()
+        RETURN count(e)`` answered from cached graph statistics instead
+        of a scan — the ``reduceCount`` pass
+        (reference ``optimizations/reduce_count.c:52-190``; counters
+        ``src/graph/graph_statistics.h:14-37``)."""
+        if len(q.clauses) != 2:
+            return None
+        m, r = q.clauses
+        if not (isinstance(m, A.MatchClause) and not m.optional
+                and m.where is None and len(m.paths) == 1
+                and isinstance(r, A.ReturnClause) and not r.star
+                and not r.distinct and not r.order_by
+                and r.skip is None and r.limit is None
+                and len(r.items) == 1):
+            return None
+        els = m.paths[0].elements
+        if m.paths[0].var is not None:
+            return None
+        expr = r.items[0].expr
+        alias = r.items[0].alias or _deparse(expr)
+        counted = None  # variable the count must target, None = count(*)
+        if isinstance(expr, A.FuncCall) and expr.name == "count" \
+                and not expr.distinct and len(expr.args) == 1 \
+                and isinstance(expr.args[0], A.Variable):
+            counted = expr.args[0].name
+        elif not isinstance(expr, A.CountStar):
+            return None
+        g = self.graph
+        if len(els) == 1:
+            n = els[0]
+            if n.props or (counted is not None and counted != n.var):
+                return None
+            if n.labels and len(n.labels) > 1:
+                return None
+            if g._multilabel:
+                return None  # multilabel scans dedup; counters would lie
+            cnt = g.node_count(n.labels[0] if n.labels else None)
+        elif len(els) == 3:
+            a, e, b = els
+            if a.labels or a.props or b.labels or b.props or e.props:
+                return None
+            if e.min_hops is not None or e.direction == "any":
+                return None
+            if a.var is not None and a.var == b.var:
+                return None  # (x)-[e]->(x) counts self-loops only
+            if counted is not None and counted != e.var:
+                return None
+            if e.types and len(e.types) > 1:
+                return None
+            cnt = g.edge_count(e.types[0] if e.types else None)
+        else:
+            return None
+        return g.spark.createDataFrame([(cnt,)], f"`{alias}` long")
 
     def _stats_df(self) -> DataFrame:
         spark = self.graph.spark

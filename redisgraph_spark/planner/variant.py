@@ -110,5 +110,8 @@ def sort_key(v: Column) -> Column:
     rank = (F.when(v["_vt"] == TAG_STRING, 1)
              .when(v["_vt"] == TAG_BOOL, 2)
              .when(v["_vt"].isin(TAG_INT, TAG_FLOAT), 3)).cast("tinyint")
-    return F.struct(rank.alias("r"), v["_s"].alias("s"),
-                    v["_b"].alias("b"), num_view(v).alias("n"))
+    key = F.struct(rank.alias("r"), v["_s"].alias("s"),
+                   v["_b"].alias("b"), num_view(v).alias("n"))
+    # a null variant must yield a NULL key (not a struct of nulls) so
+    # asc_nulls_last/desc_nulls_first see it as a null value
+    return F.when(v.isNotNull(), key)

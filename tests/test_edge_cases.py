@@ -237,3 +237,33 @@ def test_variant_cross_label_scan(spark):
         == [("5",)]
     assert rows(g.query("MATCH (n) WHERE n.v < 3 RETURN n.v AS v")) \
         == [("2.5",)]
+
+
+def test_reduce_count_fast_path(spark):
+    """MATCH (n[:L]) RETURN count(n) / ()-[e:R]->() count answered from
+    cached statistics (reduceCount, optimizations/reduce_count.c) —
+    value must agree with the scan path and invalidate on mutation."""
+    from redisgraph_spark import Graph
+    nodes = {"A": spark.createDataFrame([(1,), (2,), (3,)], ["_id"]),
+             "B": spark.createDataFrame([(10,)], ["_id"])}
+    edges = {"R": spark.createDataFrame([(100, 1, 2), (101, 2, 3)],
+                                        ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges)
+    assert g.query("MATCH (n) RETURN count(n) AS c").collect()[0]["c"] == 4
+    assert g.query("MATCH (n:A) RETURN count(*) AS c").collect()[0]["c"] == 3
+    assert g.query("MATCH ()-[e:R]->() RETURN count(e) AS c") \
+        .collect()[0]["c"] == 2
+    assert g.query("MATCH ()-[e]->() RETURN count(*) AS c") \
+        .collect()[0]["c"] == 2
+    # ineligible shapes fall through to the scan path, same answers
+    assert g.query("MATCH (n) WHERE true RETURN count(n) AS c") \
+        .collect()[0]["c"] == 4
+    assert g.query("MATCH (x)-[e]->(x) RETURN count(e) AS c") \
+        .collect()[0]["c"] == 0   # self-loops only: not the fast path
+    # undirected must NOT fast-path (engine counts each edge once for
+    # anonymous endpoints; see test_self_loop_undirected_once)
+    assert g.query("MATCH ()-[e]-() RETURN count(e) AS c") \
+        .collect()[0]["c"] == 2
+    # mutation invalidates the cached counter
+    g.query("CREATE (:A {p: 1})")
+    assert g.query("MATCH (n:A) RETURN count(n) AS c").collect()[0]["c"] == 4

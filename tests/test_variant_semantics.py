@@ -1,0 +1,118 @@
+"""Variant (heterogeneous property) semantics against a Python oracle.
+
+The oracle implements the reference's comparison spec directly:
+same-type payloads compare by value with int/double cross-comparable
+(src/value.h:58-60); cross-type `=` is false, `<>` true, and ordering
+comparisons are null (DISJOINT, src/value.h:76-77,189-192); ORDER BY
+uses the global type order string < bool < numeric with nulls last
+(src/value.h:19-41). The graph side gets its variant column the
+natural way — four labels with conflicting types for one property
+name, merged by the unified scan."""
+
+import pytest
+
+VALUES = [
+    (0, 5), (1, -3), (2, 0), (3, 7),              # ints
+    (10, 2.5), (11, -0.5), (12, 6.5),             # floats
+    (20, "abc"), (21, ""), (22, "5"), (23, "zz"),  # strings
+    (30, True), (31, False),                       # bools
+    (40, None),                                    # missing
+]
+
+LITERALS = [3, -1, 2.5, 7, "abc", "m", "", True, False]
+
+
+def _is_num(v):
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _oracle_cmp(v, w, op):
+    """Ternary comparison result: True/False/None."""
+    if v is None or w is None:
+        return None
+    same = (_is_num(v) and _is_num(w)) or \
+        (isinstance(v, str) and isinstance(w, str)) or \
+        (isinstance(v, bool) and isinstance(w, bool))
+    if op == "=":
+        return (v == w) if same else False
+    if op == "<>":
+        return (v != w) if same else True
+    if not same:
+        return None  # DISJOINT → null
+    return {"<": v < w, "<=": v <= w, ">": v > w, ">=": v >= w}[op]
+
+
+def _rank(v):
+    if isinstance(v, bool):
+        return 2
+    if isinstance(v, str):
+        return 1
+    return 3
+
+
+@pytest.fixture()
+def vgraph(spark):
+    from redisgraph_spark import Graph
+    ints = [(k, v) for k, v in VALUES if _is_num(v) and isinstance(v, int)]
+    flts = [(k, v) for k, v in VALUES if isinstance(v, float)]
+    strs = [(k, v) for k, v in VALUES if isinstance(v, str)]
+    bls = [(k, v) for k, v in VALUES if isinstance(v, bool)]
+    nulls = [(k,) for k, v in VALUES if v is None]
+    nodes = {
+        "I": spark.createDataFrame(ints, "_id long, v long"),
+        "F": spark.createDataFrame(flts, "_id long, v double"),
+        "S": spark.createDataFrame(strs, "_id long, v string"),
+        "B": spark.createDataFrame(bls, "_id long, v boolean"),
+        "N": spark.createDataFrame(nulls, "_id long"),
+    }
+    return Graph(spark, nodes, {})
+
+
+def test_variant_comparisons_match_oracle(vgraph):
+    """Every (value, literal, op) cell in one query per op."""
+    vals = dict(VALUES)
+    for op in ("=", "<>", "<", "<=", ">", ">="):
+        items = []
+        for j, lit in enumerate(LITERALS):
+            cl = repr(lit) if not isinstance(lit, bool) else str(lit).lower()
+            if isinstance(lit, str):
+                cl = "'" + lit + "'"
+            items.append(f"n.v {op} {cl} AS c{j}")
+        got = vgraph.query(
+            "MATCH (n) RETURN id(n) AS k, " + ", ".join(items)).collect()
+        assert len(got) == len(VALUES)
+        for row in got:
+            v = vals[row["k"]]
+            for j, lit in enumerate(LITERALS):
+                want = _oracle_cmp(v, lit, op)
+                assert row[f"c{j}"] == want, \
+                    f"{v!r} {op} {lit!r}: got {row[f'c{j}']}, want {want}"
+
+
+def test_variant_global_order(vgraph):
+    vals = dict(VALUES)
+    got = [r["k"] for r in vgraph.query(
+        "MATCH (n) RETURN id(n) AS k ORDER BY n.v, id(n)").collect()]
+    present = [(k, v) for k, v in VALUES if v is not None]
+    want = [k for k, v in sorted(
+        present,
+        key=lambda kv: (_rank(kv[1]),
+                        "" if not isinstance(kv[1], str) else kv[1],
+                        kv[1] if isinstance(kv[1], bool) else False,
+                        float(kv[1]) if _is_num(kv[1]) else 0.0,
+                        kv[0]))]
+    want += [k for k, v in VALUES if v is None]  # nulls last
+    assert got == want
+
+
+def test_variant_min_max_sum(vgraph):
+    r = vgraph.query(
+        "MATCH (n) RETURN min(n.v) AS mn, max(n.v) AS mx, "
+        "sum(n.v) AS s, count(n.v) AS c").collect()[0]
+    # min = first in global order = '' (empty string), max = largest
+    # numeric = 7; sum over the numeric view only
+    nums = [v for _, v in VALUES if _is_num(v)]
+    assert r["mn"] == ""
+    assert r["mx"] == "7"
+    assert r["s"] == pytest.approx(sum(nums))
+    assert r["c"] == len([v for _, v in VALUES if v is not None])
