@@ -94,6 +94,12 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "MATCH (p:Part) RETURN count(*) AS n",
         "SELECT count(*) AS n FROM part"),
 
+    # entity-count KPI shape (reference tests/benchmarks/entity_count.yml)
+    # — answered from cached statistics via the reduceCount fast path
+    "q_entity_count": (
+        "MATCH ()-[e:CONTAINS]->() RETURN count(e) AS n",
+        "SELECT count(*) AS n FROM lineitem"),
+
     # expression library: string/numeric scalar functions
     "q_expr_project": (
         "MATCH (p:Part) WHERE p.p_size >= 48 "

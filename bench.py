@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "q_entity_count",
     "q_scan_filter_sort",
     "q_single_hop_agg",
     "q_two_hop_revenue",
