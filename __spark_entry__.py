@@ -100,6 +100,24 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "MATCH ()-[e:CONTAINS]->() RETURN count(e) AS n",
         "SELECT count(*) AS n FROM lineitem"),
 
+    # ValueHashJoin shape (reference ops/op_value_hash_join.c via the
+    # applyJoin rewrite, optimizations/apply_join.c:20-90): property-
+    # equality self-join over a cartesian pattern — Catalyst upgrades
+    # the cross to an equi-join, like the reference's rewrite; also the
+    # index_node_lookup KPI shape (tests/benchmarks/index_node_lookup.yml)
+    "q_value_hash_join": (
+        "MATCH (c1:Customer), (c2:Customer) "
+        "WHERE c1.c_mktsegment = c2.c_mktsegment "
+        "AND c1.c_custkey < c2.c_custkey "
+        "RETURN c1.c_mktsegment AS seg, count(*) AS pairs ORDER BY seg",
+        """
+        SELECT c1.c_mktsegment AS seg, count(*) AS pairs
+        FROM customer c1 JOIN customer c2
+          ON c1.c_mktsegment = c2.c_mktsegment
+         AND c1.c_custkey < c2.c_custkey
+        GROUP BY 1 ORDER BY seg
+        """),
+
     # expression library: string/numeric scalar functions
     "q_expr_project": (
         "MATCH (p:Part) WHERE p.p_size >= 48 "
