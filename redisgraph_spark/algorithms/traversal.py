@@ -56,7 +56,9 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
                    min_hops: int, max_hops: int | None,
                    out_id: str, out_edges: str | None,
                    from_col: str = "__vl_from", to_col: str = "__vl_to",
-                   edge_struct: Column | None = None) -> DataFrame:
+                   edge_struct: Column | None = None,
+                   ckpt_cache: dict | None = None,
+                   cache_key: tuple | None = None) -> DataFrame:
     """Expand ``base`` along ``edges`` for ``min_hops..max_hops``.
 
     base       — input records (any columns; preserved on output)
@@ -89,11 +91,20 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
     if track:
         esel.append(edge_struct.alias("__vl_estruct"))
     e = edges.select(esel)
-    if max_hops is None or max_hops > 1:
+    cached = ckpt_cache.get(cache_key) if ckpt_cache is not None \
+        and cache_key is not None else None
+    if cached is not None:
+        e = cached
+    elif max_hops is None or max_hops > 1:
         # materialize the slim oriented-edge projection once; every hop
         # (and the final union) then reuses it instead of re-reading and
-        # re-unioning the relation tables (measured 2× on 2-hop sf0.1)
+        # re-unioning the relation tables (measured 2× on 2-hop sf0.1).
+        # The caller may pass a graph-scoped cache so REPEATED var-len
+        # queries share one materialization (the reference's
+        # variable_length_filter KPI is exactly this repetition).
         e = e.localCheckpoint(eager=True)
+        if ckpt_cache is not None and cache_key is not None:
+            ckpt_cache[cache_key] = e
 
     cur_cols = [F.col(c) for c in base.columns]
     state = [start_id.cast("long").alias("__vl_cur")]

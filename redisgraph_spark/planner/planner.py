@@ -775,10 +775,19 @@ class CypherPlanner:
         else:
             base = ctx.df
             start_col = F.col(f"{prev[1]}._id")
+        # graph-scoped checkpoint reuse: repeated var-len queries over
+        # the same relation set share one slim-edge materialization
+        # (only when no dynamic edge-prop filters narrowed it)
+        cache_key = None
+        if not rel.props:
+            cache_key = ("vlckpt", tuple(sorted(rel.types or ())),
+                         rel.direction, out_edges is not None,
+                         rel.max_hops is None, self.graph._version)
         ctx.df = TRAV.var_len_expand(
             base, start_col, oriented,
             rel.min_hops, rel.max_hops, out_id, out_edges,
-            from_col=from_c, to_col=to_c, edge_struct=struct)
+            from_col=from_c, to_col=to_c, edge_struct=struct,
+            ckpt_cache=self.graph._scan_cache, cache_key=cache_key)
         if prev[0] == "free":
             ctx.df = ctx.df.drop("__vseed")
         elif prev[0] == "col":
