@@ -70,3 +70,28 @@ def test_map_projection_matches_properties(social):
         "MATCH (p:person {name: 'Roi'}) "
         "RETURN p {.name, .age, flag: p.age > 30} AS m"))
     assert got[0][0].asDict() == {"name": "Roi", "age": 32, "flag": True}
+
+
+def test_rel_endpoint_hints_preserve_results(spark):
+    """Scan elision driven by rel-endpoint label hints must be
+    invisible: the same queries on a hinted and an unhinted graph
+    return identical results."""
+    from redisgraph_spark import Graph
+    sf = "/root/testdata/sf0.001"
+    hinted = Graph.from_tpch(spark, sf)
+    plain = Graph.from_tpch(spark, sf)
+    plain.rel_endpoints = None
+    queries = [
+        # labeled, unreferenced endpoints (elision candidates)
+        "MATCH (:Customer)-[:IN_NATION]->(n:Nation) "
+        "RETURN n.n_name AS nm, count(*) AS c ORDER BY nm",
+        "MATCH (c:Customer)-[:PLACED]->(:Order) RETURN count(c) AS c",
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.r_name AS nm, count(n) AS c ORDER BY nm",
+        # mixed-label source side of IN_NATION (both labels possible —
+        # NOT elidable when filtered to one)
+        "MATCH (s:Supplier)-[:IN_NATION]->(:Nation) RETURN count(s) AS c",
+        "MATCH (x)-[:IN_NATION]->(:Nation) RETURN count(x) AS c",
+    ]
+    for q in queries:
+        assert rows(hinted.query(q)) == rows(plain.query(q)), q
