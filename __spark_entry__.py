@@ -555,6 +555,42 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "AS total FROM orders GROUP BY 1, 2 ORDER BY y, m"),
 
     # procedure call surface
+    # additive analytics procedures (reference ships only BFS/pageRank,
+    # src/procedures/procedure.c:27-42)
+    "q_triangle_count": (
+        "CALL algo.triangleCount() YIELD triangles RETURN triangles",
+        """
+        WITH e AS (
+          SELECT n_nationkey + 2000000000000 AS s,
+                 n_regionkey + 1000000000000 AS d FROM nation
+          UNION ALL SELECT c_custkey + 3000000000000,
+                 c_nationkey + 2000000000000 FROM customer
+          UNION ALL SELECT s_suppkey + 4000000000000,
+                 s_nationkey + 2000000000000 FROM supplier
+          UNION ALL SELECT o_custkey + 3000000000000,
+                 o_orderkey + 6000000000000 FROM orders
+          UNION ALL SELECT l_orderkey + 6000000000000,
+                 l_partkey + 5000000000000 FROM lineitem
+          UNION ALL SELECT DISTINCT l_partkey + 5000000000000,
+                 l_suppkey + 4000000000000 FROM lineitem
+        ), und AS (
+          SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+          FROM e WHERE s <> d
+        )
+        SELECT CAST(count(*) AS BIGINT) AS triangles
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        """),
+
+    # component structure is iterative (no SQL oracle) — rows-only;
+    # exact semantics pinned by tests/test_e2e_queries.py::test_algo_wcc
+    "q_wcc": (
+        "CALL algo.wcc() YIELD node, component "
+        "RETURN count(*) AS n_nodes, "
+        "count(DISTINCT component) AS n_components",
+        None),
+
     "q_call_labels": (
         "CALL db.labels() YIELD label RETURN label ORDER BY label",
         "SELECT label FROM (VALUES ('Customer'),('Nation'),('Order'),"

@@ -24,6 +24,8 @@ PROCS = {
     "dbms.procedures": ("name", "mode"),
     "algo.pagerank": ("node", "score"),
     "algo.bfs": ("nodes", "edges"),
+    "algo.wcc": ("node", "component"),
+    "algo.trianglecount": ("triangles",),
     "db.idx.fulltext.querynodes": ("node", "score"),
 }
 
@@ -60,6 +62,16 @@ def run_procedure(planner, clause: A.CallClause
     if name == "algo.pagerank":
         from redisgraph_spark.algorithms.pagerank import pagerank_proc
         return pagerank_proc(planner, clause.args)
+    if name == "algo.wcc":
+        from redisgraph_spark.algorithms.components import \
+            weakly_connected_components
+        out = weakly_connected_components(
+            g.nodes().select("_id"), g.edges().select("_src", "_dst"))
+        return out, ["node", "component"]
+    if name == "algo.trianglecount":
+        from redisgraph_spark.algorithms.components import triangle_count
+        return triangle_count(g.edges().select("_src", "_dst")), \
+            ["triangles"]
     if name == "algo.bfs":
         # handled as a correlated call in CypherPlanner._clause_call
         # (needs the bound source variable); reaching here means no ctx

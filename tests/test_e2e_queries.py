@@ -315,3 +315,37 @@ class TestEdgeUniqueness:
         ).collect()[0]["c"]
         # 4 outgoing friend edges: ordered pairs of distinct edges
         assert got == 4 * 3
+
+
+def test_algo_wcc(spark):
+    """Two components {1,2,3} (via 1-2, 2-3) and {10,11}; singleton 20."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], ["_id"])}
+    edges = {"R": spark.createDataFrame(
+        [(100, 1, 2), (101, 3, 2), (102, 11, 10)],
+        ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges)
+    got = {r["node"]: r["component"] for r in g.query(
+        "CALL algo.wcc() YIELD node, component "
+        "RETURN node, component").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    n = g.query("CALL algo.wcc() YIELD node, component "
+                "RETURN count(DISTINCT component) AS n").collect()[0]["n"]
+    assert n == 3
+
+
+def test_algo_triangle_count(spark):
+    """One triangle 1-2-3 (with a redundant parallel/reverse edge and a
+    self-loop that must not count) plus a dangling edge 3-4."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4)], ["_id"])}
+    edges = {"R": spark.createDataFrame(
+        [(100, 1, 2), (101, 2, 3), (102, 3, 1), (103, 2, 1),
+         (104, 2, 2), (105, 3, 4)],
+        ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges)
+    got = g.query("CALL algo.triangleCount() YIELD triangles "
+                  "RETURN triangles").collect()
+    assert got[0]["triangles"] == 1
