@@ -206,14 +206,17 @@ class ExprCompiler:
         rv = _could_be_variant(e.right) and self._is_variant(r)
         if lv or rv:
             from . import variant as V
-            # string payload + typed string → concat; otherwise arithmetic
-            # over the numeric interpretation (non-numeric rows → null,
-            # reference SIValue_Add type dispatch src/value.h:176-187)
-            if op == "+" and ((lv and not rv and self._is_string(r))
-                              or (rv and not lv and self._is_string(l))):
-                ls = V.render(l) if lv else l.cast("string")
-                rs = V.render(r) if rv else r.cast("string")
-                return F.concat(ls, rs)
+            if op == "+" and not (self._is_array(l) or self._is_array(r)):
+                # per-row dispatch, variant result: string payloads
+                # concatenate, numeric payloads add (SIValue_Add,
+                # src/value.h:176-187 + Cypher string concat)
+                if not lv:
+                    l = V.to_variant(l, self.dtype(l))
+                if not rv:
+                    r = V.to_variant(r, self.dtype(r))
+                return V.add(l, r)
+            # -, *, /, %, ^ are numeric-only: use the numeric view
+            # (non-numeric payloads → null)
             if lv:
                 l = V.num_view(l)
             if rv:

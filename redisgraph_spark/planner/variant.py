@@ -102,6 +102,23 @@ def render(v: Column) -> Column:
             .when(v["_vt"] == TAG_BOOL, v["_b"].cast("string"))
 
 
+def add(l: Column, r: Column) -> Column:
+    """Per-row Cypher ``+`` over two VARIANT columns, returning a
+    variant: a string payload on either side concatenates (Cypher
+    ``'a' + 1 = 'a1'``), numeric payloads add (int+int stays int, any
+    float → float, src/value.h:176-187), anything else → null.
+    Normalize a typed operand with ``to_variant`` before calling."""
+    either_str = (l["_vt"] == TAG_STRING) | (r["_vt"] == TAG_STRING)
+    num_sum = num_view(l) + num_view(r)
+    both_int = (l["_vt"] == TAG_INT) & (r["_vt"] == TAG_INT)
+    return (
+        F.when(l.isNull() | r.isNull(), F.lit(None).cast(VARIANT_TYPE))
+         .when(either_str,
+               _pack(TAG_STRING, s=F.concat(render(l), render(r))))
+         .when(both_int, _pack(TAG_INT, i=num_sum.cast("long")))
+         .when(num_sum.isNotNull(), _pack(TAG_FLOAT, d=num_sum)))
+
+
 def sort_key(v: Column) -> Column:
     """Global-type-order sort key (string < bool < numeric, from the
     SIType enum ordering src/value.h:19-41). Rows of equal rank carry

@@ -201,9 +201,12 @@ def test_variant_typed_semantics(spark):
         "MATCH (n:L) WHERE n.v = 'text' RETURN n.name AS m")) == [("a",)]
     # pattern-prop filter on a variant column
     assert rows(g.query("MATCH (n:L {v: 7}) RETURN n.name AS m")) == [("b",)]
-    # arithmetic uses the numeric view (string → null)
+    # + dispatches per row: string payloads concat, ints stay int
+    # (rendered at RETURN); -/*// use the numeric view
     got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS m, n.v + 1 AS x")))
-    assert got == {"a": None, "b": 8.0, "c": 3.0}
+    assert got == {"a": "text1", "b": "8", "c": "3"}
+    got = dict(rows(g.query("MATCH (n:L) RETURN n.name AS m, n.v * 2 AS x")))
+    assert got == {"a": None, "b": 14.0, "c": 4.0}
     # global type order: string < numeric; numerics by value
     assert [r["v"] for r in g.query(
         "MATCH (n:L) RETURN n.v AS v ORDER BY n.v").collect()] \
