@@ -138,6 +138,10 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col,
                              shingle)
+    # sig feeds the banding AND both post-dedup signature rejoins —
+    # materialize once instead of recomputing the shingle+minhash
+    # pipeline three times (signatures are tiny: ids + 32 longs)
+    sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         id_col,
         F.explode(F.array(*[
@@ -204,7 +208,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sig = simhash_signatures(docs, text_col, id_col)
+    # both sides of the candidate self-join derive from sig —
+    # materialize the (expensive) token-vote aggregation once
+    sig = simhash_signatures(docs, text_col, id_col) \
+        .localCheckpoint(eager=True)
     blocks = sig.select(
         id_col, "simhash",
         F.explode(F.array(*[
