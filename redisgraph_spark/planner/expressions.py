@@ -153,9 +153,11 @@ class ExprCompiler:
         idx = self.compile(e.index)
         if self._is_array(subject):
             # Cypher is 0-based with negative wrap; element_at is 1-based
-            # with negative-from-end.
-            return F.when(idx >= 0, F.element_at(subject, (idx + 1).cast("int"))) \
-                    .otherwise(F.element_at(subject, idx.cast("int")))
+            # with negative-from-end. Out-of-bounds → null (Cypher), so
+            # try_element_at, not the ANSI-throwing element_at.
+            return F.when(idx >= 0,
+                          F.try_element_at(subject, (idx + 1).cast("int"))) \
+                    .otherwise(F.try_element_at(subject, idx.cast("int")))
         try:
             dt = self.dtype(subject)
         except Exception:
@@ -421,6 +423,21 @@ class ExprCompiler:
     def _c_Reduce(self, e: A.Reduce) -> Column:
         source = self.compile(e.source)
         init = self.compile(e.init)
+        # Spark's aggregate() requires the accumulator type to match the
+        # merge result exactly — align a numeric init with the list's
+        # element type (e.g. literal 0 is INT, range() elements BIGINT)
+        try:
+            st = self.dtype(source)
+            it = self.dtype(init)
+            rank = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2,
+                    T.LongType: 3, T.FloatType: 4, T.DoubleType: 5}
+            if isinstance(st, T.ArrayType) \
+                    and type(st.elementType) in rank \
+                    and type(it) in rank \
+                    and rank[type(it)] < rank[type(st.elementType)]:
+                init = init.cast(st.elementType)  # widen only, never narrow
+        except CompileError:
+            pass
         outer = self
 
         def merge(acc: Column, x: Column) -> Column:

@@ -104,3 +104,67 @@ def test_random_expressions_match_duckdb(spark, seed):
                     f"c{i}: {exprs[i]} -> {sv} vs {dv}"
         else:
             assert sv == dv, f"c{i}: {exprs[i]} -> {sv} vs {dv}"
+
+
+# ---------------------------------------------------------------- lists
+# List semantics battery with a PYTHON oracle: the generator builds each
+# expression together with its expected value, so no SQL translation
+# layer can drift from the spec (Cypher 0-based subscripts with negative
+# wrap, end-exclusive slices, inclusive range()).
+
+_BASE_LISTS = [[1, 2, 3], [7], [-3, 0, 5, 9], [2, 4, 6, 8, 10]]
+
+
+def _gen_list(rng: random.Random, depth: int = 0):
+    """Returns (cypher_text, python_list)."""
+    if depth > 1 or rng.random() < 0.4:
+        v = rng.choice(_BASE_LISTS)
+        return "[" + ", ".join(map(str, v)) + "]", list(v)
+    k = rng.randrange(4)
+    if k == 0:
+        t, v = _gen_list(rng, depth + 1)
+        return f"tail({t})", v[1:]
+    if k == 1:
+        t1, v1 = _gen_list(rng, depth + 1)
+        t2, v2 = _gen_list(rng, depth + 1)
+        return f"({t1} + {t2})", v1 + v2
+    if k == 2:
+        a, b = rng.randrange(0, 3), rng.randrange(3, 7)
+        return f"range({a}, {b})", list(range(a, b + 1))  # inclusive
+    t, v = _gen_list(rng, depth + 1)
+    return f"sort({t})", sorted(v)
+
+
+def _gen_list_scalar(rng: random.Random):
+    """Returns (cypher_text, expected_python_value)."""
+    t, v = _gen_list(rng)
+    k = rng.randrange(7)
+    if k == 0:
+        return f"size({t})", len(v)
+    if k == 1:
+        return f"head({t})", v[0] if v else None
+    if k == 2:
+        return f"last({t})", v[-1] if v else None
+    if k == 3:
+        i = rng.randrange(-2, 3)
+        inb = -len(v) <= i < len(v)
+        return f"({t})[{i}]", v[i] if inb else None
+    if k == 4:
+        return f"size(({t})[1..3])", len(v[1:3])  # end-exclusive
+    if k == 5:
+        return f"reduce(acc = 0, x IN {t} | acc + x)", sum(v)
+    return f"size([x IN {t} WHERE x > 2])", len([x for x in v if x > 2])
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_list_expressions_match_python_oracle(spark, seed):
+    rng = random.Random(seed)
+    gens = [_gen_list_scalar(rng) for _ in range(40)]
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    cypher = "RETURN " + ", ".join(
+        f"{t} AS c{i}" for i, (t, _) in enumerate(gens))
+    srow = g.query(cypher).collect()[0]
+    for i, (t, want) in enumerate(gens):
+        got = srow[f"c{i}"]
+        assert got == want, f"c{i}: {t} -> {got}, want {want}"
