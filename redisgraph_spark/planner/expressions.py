@@ -146,6 +146,14 @@ class ExprCompiler:
                 # src/graph/entities/graph_entity.h:48-58)
                 return F.lit(None)
         subject = self.compile(e.subject)
+        try:
+            dt = self.dtype(subject)
+        except Exception:  # unprobe-able (e.g. lambda var) → plain access
+            dt = None
+        if isinstance(dt, T.StructType) and e.key not in dt.fieldNames():
+            return F.lit(None)  # missing map key → null (schemaless)
+        if isinstance(dt, T.MapType):
+            return F.try_element_at(subject, F.lit(e.key))
         return subject.getField(e.key)
 
     def _c_Subscript(self, e: A.Subscript) -> Column:
@@ -163,11 +171,14 @@ class ExprCompiler:
         except Exception:
             dt = None
         if isinstance(dt, T.MapType):
-            return F.element_at(subject, idx)
+            # missing key → null (Cypher), not the ANSI error
+            return F.try_element_at(subject, idx)
         if isinstance(dt, T.StructType) and isinstance(e.index, A.Literal) \
                 and isinstance(e.index.value, str):
+            if e.index.value not in dt.fieldNames():
+                return F.lit(None)  # missing map key → null
             return subject.getField(e.index.value)
-        return F.element_at(subject, idx)
+        return F.try_element_at(subject, idx)
 
     def _c_Slice(self, e: A.Slice) -> Column:
         subject = self.compile(e.subject)
@@ -713,8 +724,8 @@ _SIMPLE_FUNCS = {
     "replace": lambda s, a, b: F.replace(s, a, b),
     "randomuuid": lambda: F.expr("uuid()"),
     "coalesce": F.coalesce,
-    "head": lambda c: F.element_at(c, 1),
-    "last": lambda c: F.element_at(c, -1),
+    "head": lambda c: F.try_element_at(c, F.lit(1)),   # head([]) = null
+    "last": lambda c: F.try_element_at(c, F.lit(-1)),
     "tail": lambda c: F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0))),
     "range": lambda a, b, *step: F.sequence(
         a.cast("long"), b.cast("long"),

@@ -1107,7 +1107,7 @@ class CypherPlanner:
             lst = F.sort_array(F.collect_list(args[0]))
             idx = F.greatest(
                 F.ceil(args[1] * F.size(lst)).cast("int"), F.lit(1))
-            return F.element_at(lst, idx)
+            return F.try_element_at(lst, idx)
         raise PlanError(f"Unknown aggregate {name}")
 
     def _order(self, ctx: Ctx, out_df: DataFrame,

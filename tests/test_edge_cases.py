@@ -270,3 +270,16 @@ def test_reduce_count_fast_path(spark):
     # mutation invalidates the cached counter
     g.query("CREATE (:A {p: 1})")
     assert g.query("MATCH (n:A) RETURN count(n) AS c").collect()[0]["c"] == 4
+
+
+def test_out_of_bounds_and_missing_key_null(spark):
+    """Cypher null semantics where ANSI Spark would throw: subscript
+    past either end, head/last of empty list, missing map key."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    r = g.query(
+        "RETURN ([1,2])[9] AS a, ([1,2])[-9] AS b, head(tail([7])) AS c, "
+        "last(tail([7])) AS d, {a: 1}['b'] AS e, ({a: 1}).b AS f, "
+        "{a: 1}['a'] AS g").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"], r["g"]) \
+        == (None, None, None, None, None, None, 1)
