@@ -746,8 +746,10 @@ def _q_variant_types(spark, sf_dir):
     g.query("MATCH (r:Region {r_regionkey: 0}) SET r.tag = 5")
     g.query("MATCH (r:Region {r_regionkey: 1}) SET r.tag = 'five'")
     g.query("MATCH (r:Region {r_regionkey: 2}) SET r.tag = 2.5")
+    g.query("MATCH (r:Region {r_regionkey: 3}) SET r.tag = [1, 2]")
     return g.query(
         "MATCH (r:Region) WHERE r.tag > 3 OR r.tag STARTS WITH 'fi' "
+        "OR size(r.tag) = 2 "
         "RETURN r.r_regionkey AS k, tostring(r.tag) AS tag ORDER BY k")
 
 
@@ -809,9 +811,9 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 
     "q_variant_types": (_q_variant_types, """
         SELECT r_regionkey AS k,
-               CASE r_regionkey WHEN 0 THEN '5' WHEN 1 THEN 'five' END
-                 AS tag
-        FROM region WHERE r_regionkey IN (0, 1) ORDER BY k
+               CASE r_regionkey WHEN 0 THEN '5' WHEN 1 THEN 'five'
+                                WHEN 3 THEN '[1, 2]' END AS tag
+        FROM region WHERE r_regionkey IN (0, 1, 3) ORDER BY k
         """),
 
     "p_tfidf": (_p_tfidf, """

@@ -64,20 +64,22 @@ def _merge_schemas(tables: Mapping[str, DataFrame],
                 seen[f.name] = f.dataType
                 out.append((f.name, f.dataType))
             elif seen[f.name] != f.dataType:
-                # numeric widening where possible; conflicting scalar
-                # types → per-value variant encoding (planner/variant.py);
-                # conflicts involving arrays demote to string
+                # numeric widening where possible; same-element-type
+                # array conflicts widen like scalars; other conflicting
+                # scalar / array-of-scalar types → per-value variant
+                # encoding (planner/variant.py); conflicts involving
+                # nested/complex arrays demote to string
                 a, b = seen[f.name], f.dataType
                 numeric = (T.LongType(), T.IntegerType(), T.ShortType(),
                            T.DoubleType(), T.FloatType())
+                from ..planner.variant import VARIANT_TYPE, variantable
                 if a in numeric and b in numeric:
                     widened = T.DoubleType() if T.DoubleType() in (a, b) \
                         or T.FloatType() in (a, b) else T.LongType()
-                elif isinstance(a, T.ArrayType) or isinstance(b, T.ArrayType):
-                    widened = T.StringType()
-                else:
-                    from ..planner.variant import VARIANT_TYPE
+                elif variantable(a) and variantable(b):
                     widened = VARIANT_TYPE
+                else:
+                    widened = T.StringType()
                 seen[f.name] = widened
                 out = [(n, widened if n == f.name else t) for n, t in out]
     return out

@@ -47,7 +47,7 @@ def _could_be_variant(e: A.Expr) -> bool:
     column? Literals/parameters/arithmetic never can — skipping the
     dtype probe (a py4j round trip) for them keeps planning fast."""
     return isinstance(e, (A.Property, A.Variable, A.Subscript,
-                          A.CaseExpr, A.FuncCall))
+                          A.CaseExpr, A.FuncCall, A.ListLiteral))
 
 
 class ExprCompiler:
@@ -130,7 +130,37 @@ class ExprCompiler:
         return F.col(e.name)
 
     def _c_ListLiteral(self, e: A.ListLiteral) -> Column:
-        return F.array(*[self.compile(x) for x in e.items])
+        cols = [self.compile(x) for x in e.items]
+        # mixed scalar-type literal lists (reference lists are
+        # heterogeneous, SIArray holds any SIValue) can't be a plain
+        # Spark array — Spark coerces to one type and ANSI-fails;
+        # encode them as a variant array payload instead
+        cats = []
+        for x in e.items:
+            if not isinstance(x, A.Literal):
+                cats.append("?")
+            elif isinstance(x.value, bool):
+                cats.append("b")
+            elif isinstance(x.value, (int, float)):
+                cats.append("n")
+            elif isinstance(x.value, str):
+                cats.append("s")
+            else:
+                cats.append(None)  # null literal: joins any category
+        known = {c for c in cats if c in ("b", "n", "s")}
+        if "?" not in cats and len(known) > 1:
+            from . import variant as V
+            dts = {"b": T.BooleanType(), "n": None, "s": T.StringType()}
+            elems = []
+            for x, c, cat in zip(e.items, cols, cats):
+                if cat == "n":
+                    dt = T.DoubleType() if isinstance(x.value, float) \
+                        else T.LongType()
+                else:
+                    dt = dts.get(cat) or T.NullType()
+                elems.append(V._elem_encode(c, dt))
+            return V._pack(V.TAG_ARRAY, a=F.array(*elems))
+        return F.array(*cols)
 
     def _c_MapLiteral(self, e: A.MapLiteral) -> Column:
         return F.struct(*[self.compile(v).alias(k) for k, v in e.items])
@@ -159,6 +189,15 @@ class ExprCompiler:
     def _c_Subscript(self, e: A.Subscript) -> Column:
         subject = self.compile(e.subject)
         idx = self.compile(e.index)
+        if _could_be_variant(e.subject) and self._is_variant(subject):
+            # variant array payload: subscript into _a, result widens
+            # back to a variant scalar
+            from .variant import arr_view, elem_to_variant
+            arr = arr_view(subject)
+            elem = F.when(idx >= 0,
+                          F.try_element_at(arr, (idx + 1).cast("int"))) \
+                    .otherwise(F.try_element_at(arr, idx.cast("int")))
+            return elem_to_variant(elem)
         if self._is_array(subject):
             # Cypher is 0-based with negative wrap; element_at is 1-based
             # with negative-from-end. Out-of-bounds → null (Cypher), so
@@ -219,10 +258,10 @@ class ExprCompiler:
         rv = _could_be_variant(e.right) and self._is_variant(r)
         if lv or rv:
             from . import variant as V
-            if op == "+" and not (self._is_array(l) or self._is_array(r)):
-                # per-row dispatch, variant result: string payloads
-                # concatenate, numeric payloads add (SIValue_Add,
-                # src/value.h:176-187 + Cypher string concat)
+            if op == "+":
+                # per-row dispatch, variant result: array payloads
+                # concatenate/append, string payloads concatenate,
+                # numeric payloads add (SIValue_Add, src/value.c:408-418)
                 if not lv:
                     l = V.to_variant(l, self.dtype(l))
                 if not rv:
@@ -313,7 +352,8 @@ class ExprCompiler:
         if rv:
             pairs = [(V.num_view(l), V.num_view(r)),
                      (V.str_view(l), V.str_view(r)),
-                     (V.bool_view(l), V.bool_view(r))]
+                     (V.bool_view(l), V.bool_view(r)),
+                     (V.arr_canon(l), V.arr_canon(r))]
         else:
             try:
                 rt = self.dtype(r)
@@ -327,8 +367,11 @@ class ExprCompiler:
                 pairs = [(V.bool_view(l), r)]
             elif isinstance(rt, (T.StringType, T.NullType)):
                 pairs = [(V.str_view(l), r.cast("string"))]
+            elif isinstance(rt, T.ArrayType) and \
+                    isinstance(rt.elementType, V._SCALAR_TYPES):
+                pairs = [(V.arr_canon(l), V.arr_canon_plain(r, rt))]
             else:
-                pairs = []  # variant vs array/struct: always disjoint
+                pairs = []  # variant vs nested-array/struct: disjoint
         mk = {"=": lambda a, b: a == b, "<>": lambda a, b: a == b,
               "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
               ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
@@ -512,6 +555,10 @@ class ExprCompiler:
         c = self.compile(e.args[0])
         if self._is_string(c):
             return F.length(c).cast("long")
+        if _could_be_variant(e.args[0]) and self._is_variant(c):
+            from .variant import arr_view, str_view
+            return F.coalesce(F.size(arr_view(c)),
+                              F.length(str_view(c))).cast("long")
         return F.size(c).cast("long")
 
     def _fn_length(self, e: A.FuncCall) -> Column:
@@ -631,7 +678,7 @@ class ExprCompiler:
             from .variant import num_view, str_view
             return F.coalesce(num_view(c).cast("long"),
                               str_view(c).try_cast("long"))
-        return c.cast("long")
+        return c.try_cast("long")   # unparseable → null, not ANSI error
 
     def _fn_tofloat(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])
@@ -639,14 +686,14 @@ class ExprCompiler:
             from .variant import num_view, str_view
             return F.coalesce(num_view(c),
                               str_view(c).try_cast("double"))
-        return c.cast("double")
+        return c.try_cast("double")
 
     def _fn_toboolean(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])
         if self._is_variant(c):
             from .variant import bool_view, str_view
             return F.coalesce(bool_view(c), str_view(c).try_cast("boolean"))
-        return c.cast("boolean")
+        return c.try_cast("boolean")
 
     def _fn_tostring(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])

@@ -269,17 +269,19 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
                             isinstance(val_t, numeric):
                         uval = uval.cast("double")
                         cur = cur.cast("double")
-                    elif isinstance(col_t, T.ArrayType) or \
-                            isinstance(val_t, T.ArrayType):
-                        uval = uval.cast("string")
-                        cur = cur.cast("string")
                     else:
-                        # heterogeneous scalar types → per-value variant
-                        # encoding (schemaless reference semantics,
-                        # SURVEY §7.3); passes existing variants through
-                        from .variant import to_variant
-                        uval = to_variant(uval, val_t)
-                        cur = to_variant(cur, col_t)
+                        # heterogeneous scalar / array-of-scalar types →
+                        # per-value variant encoding (schemaless
+                        # reference semantics, SURVEY §7.3); passes
+                        # existing variants through; non-variantable
+                        # (nested/complex) conflicts demote to string
+                        from .variant import to_variant, variantable
+                        if variantable(col_t) and variantable(val_t):
+                            uval = to_variant(uval, val_t)
+                            cur = to_variant(cur, col_t)
+                        else:
+                            uval = uval.cast("string")
+                            cur = cur.cast("string")
                 newcol = F.when(F.col("__uid").isNotNull(), uval) \
                     .otherwise(cur)
             else:

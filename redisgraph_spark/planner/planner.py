@@ -876,7 +876,18 @@ class CypherPlanner:
             ctx.df = self._unit_df()
         comp = self.compiler(ctx)
         col = comp.compile(clause.expr)
-        ctx.df = ctx.df.select("*", F.explode(col).alias(clause.alias))
+        from .expressions import _could_be_variant
+        if _could_be_variant(clause.expr) and comp._is_variant(col):
+            # variant array payload: explode the element structs, widen
+            # each back to a variant scalar
+            from .variant import arr_view, elem_to_variant
+            ctx.df = ctx.df.select(
+                "*", F.explode(arr_view(col)).alias("__uw_elem"))
+            ctx.df = ctx.df.withColumn(
+                clause.alias, elem_to_variant(F.col("__uw_elem"))) \
+                .drop("__uw_elem")
+        else:
+            ctx.df = ctx.df.select("*", F.explode(col).alias(clause.alias))
         if "__unit" in ctx.df.columns:
             ctx.df = ctx.df.drop("__unit")
         ctx.vars[clause.alias] = VarInfo("scalar")
@@ -1155,8 +1166,16 @@ class CypherPlanner:
         sort_cols = []
         for k, oi in enumerate(order_by):
             name = self.sym("ord")
-            hc = comp.compile(oi.expr)
-            if comp._is_variant(hc):
+            try:
+                hc = comp.compile(oi.expr)
+                is_var = comp._is_variant(hc)
+            except CompileError:
+                # item references a projection alias, not a source
+                # variable (ORDER BY mixing aliases with source exprs);
+                # the alias column exists on the recomputed projection
+                hc = post.compile(oi.expr)
+                is_var = post._is_variant(hc)
+            if is_var:
                 from .variant import sort_key
                 hc = sort_key(hc)  # global type order
             hidden.append(hc.alias(name))

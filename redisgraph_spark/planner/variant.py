@@ -7,33 +7,37 @@ columns are typed, so when a single label table ends up with
 conflicting value types for one property we encode that column as a
 tagged struct — a poor man's union type:
 
-    struct<_vt: tinyint, _i: bigint, _d: double, _s: string, _b: boolean>
+    struct<_vt: tinyint, _i: bigint, _d: double, _s: string,
+           _b: boolean, _a: array<struct<_vt,_i,_d,_s,_b>>>
 
 Exactly one payload field is set per row; the whole struct is NULL when
 the property is absent (schemaless missing-property semantics,
 src/graph/entities/graph_entity.h:48-58). Tags: 1=int 2=float 3=string
-4=bool.
+4=bool 5=array. Array payloads hold one level of heterogeneous scalar
+elements (the element struct is the scalar prefix of the variant, so
+the encoding does not recurse — nested arrays demote to string, the
+documented residual gap).
 
 Semantics mirrored from the reference:
 - cross-type ``=`` is false, cross-type ``<`` is null (DISJOINT,
   src/value.h:76-77,189-192); int and double cross-compare by value
   (src/value.h:58-60)
-- ORDER BY uses the global type order — string < bool < numeric —
-  derived from the SIType enum ordering (src/value.h:19-41)
-- arithmetic uses the numeric interpretation (non-numerics → null)
-
-Only scalar property types participate; conflicts involving arrays
-keep the older string demotion (arrays are not valid variant payloads
-here — matches ``SI_VALID_PROPERTY_VALUE`` being broader than what we
-union, documented in COVERAGE.md).
+- ORDER BY uses the global type order — array < string < bool <
+  numeric — derived from the SIType enum ordering (src/value.h:19-41)
+- arithmetic uses the numeric interpretation (non-numerics → null);
+  ``+`` with an array payload concatenates/appends
+  (SIValue_ConcatList, src/value.c:380-410)
+- arrays compare elementwise with length tie-break
+  (SIArray_Compare, src/value.c:455-501)
 """
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F, types as T
 
-VARIANT_FIELDS = ("_vt", "_i", "_d", "_s", "_b")
+ELEM_FIELDS = ("_vt", "_i", "_d", "_s", "_b")
+VARIANT_FIELDS = ELEM_FIELDS + ("_a",)
 
-VARIANT_TYPE = T.StructType([
+ELEM_TYPE = T.StructType([
     T.StructField("_vt", T.ByteType()),
     T.StructField("_i", T.LongType()),
     T.StructField("_d", T.DoubleType()),
@@ -41,10 +45,14 @@ VARIANT_TYPE = T.StructType([
     T.StructField("_b", T.BooleanType()),
 ])
 
-TAG_INT, TAG_FLOAT, TAG_STRING, TAG_BOOL = 1, 2, 3, 4
+VARIANT_TYPE = T.StructType(
+    list(ELEM_TYPE.fields) + [T.StructField("_a", T.ArrayType(ELEM_TYPE))])
+
+TAG_INT, TAG_FLOAT, TAG_STRING, TAG_BOOL, TAG_ARRAY = 1, 2, 3, 4, 5
 
 _INT_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 _FLOAT_TYPES = (T.DoubleType, T.FloatType, T.DecimalType)
+_SCALAR_TYPES = _INT_TYPES + _FLOAT_TYPES + (T.BooleanType, T.StringType)
 
 
 def is_variant_type(dt: T.DataType) -> bool:
@@ -52,7 +60,16 @@ def is_variant_type(dt: T.DataType) -> bool:
         tuple(f.name for f in dt.fields) == VARIANT_FIELDS
 
 
-def _pack(tag: int, i=None, d=None, s=None, b=None) -> Column:
+def variantable(dt: T.DataType) -> bool:
+    """Type can be a variant payload: scalar, one-level array of
+    scalars, or already a variant."""
+    if isinstance(dt, _SCALAR_TYPES) or is_variant_type(dt):
+        return True
+    return isinstance(dt, T.ArrayType) and \
+        isinstance(dt.elementType, _SCALAR_TYPES)
+
+
+def _pack_elem(tag: int, i=None, d=None, s=None, b=None) -> Column:
     n = F.lit(None)
     return F.struct(
         F.lit(tag).cast("tinyint").alias("_vt"),
@@ -60,6 +77,52 @@ def _pack(tag: int, i=None, d=None, s=None, b=None) -> Column:
         (d if d is not None else n.cast("double")).alias("_d"),
         (s if s is not None else n.cast("string")).alias("_s"),
         (b if b is not None else n.cast("boolean")).alias("_b"))
+
+
+def _pack(tag: int, i=None, d=None, s=None, b=None, a=None) -> Column:
+    n = F.lit(None)
+    return F.struct(
+        F.lit(tag).cast("tinyint").alias("_vt"),
+        (i if i is not None else n.cast("long")).alias("_i"),
+        (d if d is not None else n.cast("double")).alias("_d"),
+        (s if s is not None else n.cast("string")).alias("_s"),
+        (b if b is not None else n.cast("boolean")).alias("_b"),
+        (a if a is not None
+         else n.cast(T.ArrayType(ELEM_TYPE))).alias("_a"))
+
+
+def _elem_encode(col: Column, dt: T.DataType) -> Column:
+    """Encode one scalar value as an array-element struct (null in →
+    null element)."""
+    if isinstance(dt, _INT_TYPES):
+        packed = _pack_elem(TAG_INT, i=col.cast("long"))
+    elif isinstance(dt, _FLOAT_TYPES):
+        packed = _pack_elem(TAG_FLOAT, d=col.cast("double"))
+    elif isinstance(dt, T.BooleanType):
+        packed = _pack_elem(TAG_BOOL, b=col)
+    else:
+        packed = _pack_elem(TAG_STRING, s=col.cast("string"))
+    return F.when(col.isNotNull(), packed)
+
+
+def elem_to_variant(e: Column) -> Column:
+    """Widen an array-element struct back to a full variant (subscript
+    result surface)."""
+    n = F.lit(None)
+    widened = F.struct(
+        e["_vt"].alias("_vt"), e["_i"].alias("_i"), e["_d"].alias("_d"),
+        e["_s"].alias("_s"), e["_b"].alias("_b"),
+        n.cast(T.ArrayType(ELEM_TYPE)).alias("_a"))
+    return F.when(e.isNotNull(), widened)
+
+
+def elem_of(v: Column) -> Column:
+    """Scalar prefix of a variant (drops ``_a``) — the element form
+    used when appending a scalar variant onto an array payload."""
+    scalar = F.struct(v["_vt"].alias("_vt"), v["_i"].alias("_i"),
+                      v["_d"].alias("_d"), v["_s"].alias("_s"),
+                      v["_b"].alias("_b"))
+    return F.when(v.isNotNull() & (v["_vt"] != TAG_ARRAY), scalar)
 
 
 def to_variant(col: Column, dt: T.DataType) -> Column:
@@ -73,6 +136,11 @@ def to_variant(col: Column, dt: T.DataType) -> Column:
         packed = _pack(TAG_FLOAT, d=col.cast("double"))
     elif isinstance(dt, T.BooleanType):
         packed = _pack(TAG_BOOL, b=col)
+    elif isinstance(dt, T.ArrayType) and \
+            isinstance(dt.elementType, _SCALAR_TYPES):
+        et = dt.elementType
+        packed = _pack(TAG_ARRAY,
+                       a=F.transform(col, lambda x: _elem_encode(x, et)))
     else:
         packed = _pack(TAG_STRING, s=col.cast("string"))
     return F.when(col.isNotNull(), packed)
@@ -93,42 +161,104 @@ def bool_view(v: Column) -> Column:
     return F.when(v["_vt"] == TAG_BOOL, v["_b"])
 
 
+def arr_view(v: Column) -> Column:
+    return F.when(v["_vt"] == TAG_ARRAY, v["_a"])
+
+
+def _elem_render(e: Column) -> Column:
+    return F.when(e["_vt"] == TAG_INT, e["_i"].cast("string")) \
+            .when(e["_vt"] == TAG_FLOAT, e["_d"].cast("string")) \
+            .when(e["_vt"] == TAG_STRING, e["_s"]) \
+            .when(e["_vt"] == TAG_BOOL, e["_b"].cast("string"))
+
+
 def render(v: Column) -> Column:
     """Lossy string rendering for the final RETURN surface (a DataFrame
-    column must have ONE type; mid-query semantics stay typed)."""
+    column must have ONE type; mid-query semantics stay typed). Arrays
+    render ``[e1, e2]`` (SIArray_ToString shape, src/value.c:287)."""
     return F.when(v["_vt"] == TAG_INT, v["_i"].cast("string")) \
             .when(v["_vt"] == TAG_FLOAT, v["_d"].cast("string")) \
             .when(v["_vt"] == TAG_STRING, v["_s"]) \
-            .when(v["_vt"] == TAG_BOOL, v["_b"].cast("string"))
+            .when(v["_vt"] == TAG_BOOL, v["_b"].cast("string")) \
+            .when(v["_vt"] == TAG_ARRAY,
+                  F.concat(F.lit("["),
+                           F.array_join(
+                               F.transform(v["_a"], _elem_render),
+                               ", ", "null"),
+                           F.lit("]")))
 
 
 def add(l: Column, r: Column) -> Column:
     """Per-row Cypher ``+`` over two VARIANT columns, returning a
-    variant: a string payload on either side concatenates (Cypher
-    ``'a' + 1 = 'a1'``), numeric payloads add (int+int stays int, any
-    float → float, src/value.h:176-187), anything else → null.
-    Normalize a typed operand with ``to_variant`` before calling."""
+    variant. Branch order mirrors SIValue_Add (src/value.c:408-418):
+    null → null; an array payload on either side concatenates/appends
+    (SIValue_ConcatList, src/value.c:380-406); then a string payload
+    concatenates (``'a' + 1 = 'a1'``); numeric payloads add (int+int
+    stays int, any float → float); anything else → null. Normalize a
+    typed operand with ``to_variant`` before calling."""
+    either_arr = (l["_vt"] == TAG_ARRAY) | (r["_vt"] == TAG_ARRAY)
     either_str = (l["_vt"] == TAG_STRING) | (r["_vt"] == TAG_STRING)
     num_sum = num_view(l) + num_view(r)
     both_int = (l["_vt"] == TAG_INT) & (r["_vt"] == TAG_INT)
+    # scalar side wraps into a one-element list before concat
+    l_arr = F.when(l["_vt"] == TAG_ARRAY, l["_a"]) \
+             .otherwise(F.array(elem_of(l)))
+    r_arr = F.when(r["_vt"] == TAG_ARRAY, r["_a"]) \
+             .otherwise(F.array(elem_of(r)))
     return (
         F.when(l.isNull() | r.isNull(), F.lit(None).cast(VARIANT_TYPE))
+         .when(either_arr, _pack(TAG_ARRAY, a=F.concat(l_arr, r_arr)))
          .when(either_str,
                _pack(TAG_STRING, s=F.concat(render(l), render(r))))
          .when(both_int, _pack(TAG_INT, i=num_sum.cast("long")))
          .when(num_sum.isNotNull(), _pack(TAG_FLOAT, d=num_sum)))
 
 
+def _elem_canon(e: Column) -> Column:
+    """Canonical comparable form of an array element: (type-rank,
+    payload) so struct comparison orders by type first (disjoint elems
+    order by type delta, src/value.c:553) then value, with int/double
+    unified by numeric value (src/value.h:58-60)."""
+    rank = (F.when(e["_vt"] == TAG_STRING, 1)
+             .when(e["_vt"] == TAG_BOOL, 2)
+             .when(e["_vt"].isin(TAG_INT, TAG_FLOAT), 3)).cast("tinyint")
+    num = F.when(e["_vt"] == TAG_INT, e["_i"].cast("double")) \
+           .when(e["_vt"] == TAG_FLOAT, e["_d"])
+    key = F.struct(rank.alias("r"), e["_s"].alias("s"),
+                   e["_b"].alias("b"), num.alias("n"))
+    return F.when(e.isNotNull(), key)
+
+
+def arr_canon(v: Column) -> Column:
+    """Canonical comparable array from a variant's array payload —
+    Spark's array ordering (elementwise, then length) matches
+    SIArray_Compare's common-range-then-lenDiff shape
+    (src/value.c:455-501). Null elements compare equal-to-each-other
+    here (Spark ordering) where the reference yields null — documented
+    deviation for arrays containing nulls."""
+    return F.when(v["_vt"] == TAG_ARRAY, F.transform(v["_a"], _elem_canon))
+
+
+def arr_canon_plain(col: Column, dt: T.ArrayType) -> Column:
+    """Canonical comparable array from a plain typed ``array<scalar>``
+    column (the non-variant side of a comparison)."""
+    et = dt.elementType
+    return F.transform(col, lambda x: _elem_canon(_elem_encode(x, et)))
+
+
 def sort_key(v: Column) -> Column:
-    """Global-type-order sort key (string < bool < numeric, from the
-    SIType enum ordering src/value.h:19-41). Rows of equal rank carry
-    identical null patterns in the payload fields, so struct comparison
-    falls through the inactive (null==null) fields to the active one."""
-    rank = (F.when(v["_vt"] == TAG_STRING, 1)
+    """Global-type-order sort key (array < string < bool < numeric,
+    from the SIType enum ordering src/value.h:19-41). Rows of equal
+    rank carry identical null patterns in the payload fields, so struct
+    comparison falls through the inactive (null==null) fields to the
+    active one."""
+    rank = (F.when(v["_vt"] == TAG_ARRAY, 0)
+             .when(v["_vt"] == TAG_STRING, 1)
              .when(v["_vt"] == TAG_BOOL, 2)
              .when(v["_vt"].isin(TAG_INT, TAG_FLOAT), 3)).cast("tinyint")
-    key = F.struct(rank.alias("r"), v["_s"].alias("s"),
-                   v["_b"].alias("b"), num_view(v).alias("n"))
+    key = F.struct(rank.alias("r"), arr_canon(v).alias("a"),
+                   v["_s"].alias("s"), v["_b"].alias("b"),
+                   num_view(v).alias("n"))
     # a null variant must yield a NULL key (not a struct of nulls) so
     # asc_nulls_last/desc_nulls_first see it as a null value
     return F.when(v.isNotNull(), key)

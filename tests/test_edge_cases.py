@@ -283,3 +283,9 @@ def test_out_of_bounds_and_missing_key_null(spark):
         "{a: 1}['a'] AS g").collect()[0]
     assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"], r["g"]) \
         == (None, None, None, None, None, None, 1)
+    # unparseable casts → null (reference toInteger semantics)
+    r = g.query("RETURN tointeger('abc') AS a, tofloat('x') AS b, "
+                "toboolean('x') AS c, tointeger('42') AS d, "
+                "tointeger(2.9) AS e").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) \
+        == (None, None, None, 42, 2)

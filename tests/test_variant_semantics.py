@@ -116,3 +116,72 @@ def test_variant_min_max_sum(vgraph):
     assert r["mx"] == "7"
     assert r["s"] == pytest.approx(sum(nums))
     assert r["c"] == len([v for _, v in VALUES if v is not None])
+
+
+# ---------------------------------------------------------- array payloads
+
+@pytest.fixture()
+def vagraph(spark):
+    """Labels whose shared property mixes scalars with array-of-scalar
+    payloads — merged scan encodes a variant with an array payload
+    (SI_VALID_PROPERTY_VALUE includes T_ARRAY, src/value.h:54)."""
+    from redisgraph_spark import Graph
+    nodes = {
+        "I": spark.createDataFrame([(0, 5), (1, -3)], "_id long, v long"),
+        "S": spark.createDataFrame([(20, "abc")], "_id long, v string"),
+        "AL": spark.createDataFrame(
+            [(50, [1, 2]), (51, [])], "_id long, v array<long>"),
+        "AS2": spark.createDataFrame(
+            [(60, ["x", "y"])], "_id long, v array<string>"),
+        "AD": spark.createDataFrame(
+            [(70, [1.0, 2.0]), (71, [9.5])], "_id long, v array<double>"),
+    }
+    return Graph(spark, nodes, {})
+
+
+def test_array_variant_equality_and_order(vagraph):
+    # plain-array literal vs variant array payload: elementwise, with
+    # int/double cross-comparable (src/value.h:58-60)
+    rows = vagraph.query(
+        "MATCH (n) WHERE n.v = [1, 2] RETURN id(n) AS k ORDER BY k"
+    ).collect()
+    assert [r["k"] for r in rows] == [50, 70]
+    # cross-type: array vs scalar is DISJOINT -> '=' false
+    rows = vagraph.query(
+        "MATCH (n) WHERE n.v = 5 RETURN id(n) AS k").collect()
+    assert [r["k"] for r in rows] == [0]
+    # global order: arrays sort before strings before numerics
+    # (SIType enum order, src/value.h:22-41); within arrays, elements
+    # compare elementwise with disjoint elements ordered by type delta
+    # (src/value.c:553) — so string elements precede numeric ones
+    got = [r["k"] for r in vagraph.query(
+        "MATCH (n) RETURN id(n) AS k ORDER BY n.v, id(n)").collect()]
+    assert got == [51, 60, 50, 70, 71, 20, 1, 0]
+
+
+def test_array_variant_concat_size_subscript(vagraph):
+    # '+' with an array payload concatenates/appends (SIValue_ConcatList,
+    # src/value.c:380-410); render shape is '[e1, e2]'
+    r = vagraph.query(
+        "MATCH (n) WHERE id(n) = 50 "
+        "RETURN n.v + [3] AS cat, n.v + 7 AS app, "
+        "size(n.v) AS sz, n.v[0] AS h, n.v[-1] AS t").collect()[0]
+    assert r["cat"] == "[1, 2, 3]"
+    assert r["app"] == "[1, 2, 7]"
+    assert r["sz"] == 2
+    assert r["h"] == "1"
+    assert r["t"] == "2"
+    # scalar rows: size/subscript of a non-array payload -> null
+    r = vagraph.query(
+        "MATCH (n) WHERE id(n) = 0 "
+        "RETURN size(n.v) AS sz, n.v[0] AS h").collect()[0]
+    assert r["sz"] is None and r["h"] is None
+
+
+def test_array_variant_min_max(vagraph):
+    r = vagraph.query(
+        "MATCH (n) RETURN min(n.v) AS mn, max(n.v) AS mx, "
+        "sum(n.v) AS s").collect()[0]
+    assert r["mn"] == "[]"      # empty array is globally first
+    assert r["mx"] == "5"       # largest numeric
+    assert r["s"] == pytest.approx(2.0)  # numeric view: 5 + (-3)
