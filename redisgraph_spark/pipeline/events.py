@@ -8,8 +8,14 @@ pipeline needs over event logs. Batch forms here; streaming variants in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_seconds(col: str) -> Column:
+    # TIMESTAMP_NTZ (how Spark reads DuckDB-written parquet) cannot cast
+    # straight to long; go through TIMESTAMP first. Session tz is UTC.
+    return F.col(col).cast("timestamp").cast("long")
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -33,7 +39,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .withColumn(
         "__new_session",
         F.when(F.col("__prev").isNull(), 1).when(
-            F.col("ts").cast("long") - F.col("__prev").cast("long")
+            _epoch_seconds("ts") - _epoch_seconds("__prev")
             > gap_minutes * 60, 1).otherwise(0))
     return with_gap.withColumn(
         "session_seq", F.sum("__new_session").over(
@@ -46,8 +52,8 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     s = sessionize(events, gap_minutes)
     return s.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col("ts").cast("long"))
-         - F.min(F.col("ts").cast("long"))).alias("span_seconds"),
+        (F.max(_epoch_seconds("ts"))
+         - F.min(_epoch_seconds("ts"))).alias("span_seconds"),
         F.round(F.sum("value"), 2).alias("total_value"))
 
 
