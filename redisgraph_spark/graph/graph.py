@@ -139,7 +139,9 @@ class Graph:
                  node_tables: Mapping[str, DataFrame],
                  edge_tables: Mapping[str, DataFrame],
                  name: str = "g",
-                 rel_endpoints: Mapping[str, tuple] | None = None) -> None:
+                 rel_endpoints: Mapping[str, tuple] | None = None,
+                 count_hints: Mapping[tuple[str, str], int] | None = None
+                 ) -> None:
         from collections import OrderedDict
         self.spark = spark
         self.name = name
@@ -160,6 +162,14 @@ class Graph:
         self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._version = 0
         self._count_cache: dict[tuple, int] = {}
+        # Metadata-known row counts ((kind, name) -> rows, kind in "n"/"e")
+        # seed the version-0 cache — the Delta/parquet-footer statistics
+        # analog of the reference's running counters
+        # (src/graph/graph_statistics.h:14-37). Any mutation bumps
+        # _version, which invalidates these keys automatically.
+        if count_hints:
+            for (kind, nm), cnt in count_hints.items():
+                self._count_cache[(kind, nm, 0)] = int(cnt)
         self._slow_log: list[dict] = []
         self._fulltext = None
         self._scan_cache: dict[tuple, DataFrame] = {}
