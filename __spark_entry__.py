@@ -778,6 +778,41 @@ def _p_embedding_dups(spark, sf_dir):
         .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
 
 
+def _lang_guess_oracle() -> str:
+    """DuckDB mirror of pipeline.text.lang_guess, generated from the same
+    LANG_MARKERS so the two can't drift: per-language marker-occurrence
+    score via the replace-count trick, greatest() + lexicographic
+    tie-break CASE. Counts are exact multiples of the needle length, so
+    DuckDB's round-half cast and Spark's truncating cast agree."""
+    from redisgraph_spark.pipeline.text import LANG_MARKERS
+
+    def score(lang: str) -> str:
+        terms = []
+        for m in LANG_MARKERS[lang]:
+            needle = f" {m} "
+            terms.append(
+                "CAST((length(t) - length(replace(t, '%s', ''))) / %d"
+                " AS BIGINT)" % (needle, len(needle)))
+        return "(" + " + ".join(terms) + ")"
+
+    scores = {lang: score(lang) for lang in LANG_MARKERS}
+    best = "greatest(" + ", ".join(scores[g] for g in sorted(scores)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {scores[g]} = best THEN '{g}'" for g in sorted(scores)) + " END"
+    return f"""
+        WITH scored AS (
+          SELECT lang AS lang_true, ' ' || lower(text) || ' ' AS t
+          FROM documents
+        ), b AS (
+          SELECT lang_true, t, {best} AS best FROM scored
+        )
+        SELECT CASE WHEN best > 0 THEN {case} ELSE 'unknown' END
+                 AS lang_guess,
+               lang_true, count(*) AS n
+        FROM b GROUP BY 1, 2 ORDER BY lang_guess, lang_true
+        """
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_fulltext": (_q_fulltext, """
         WITH toks AS (
@@ -918,7 +953,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         FROM documents ORDER BY doc_id
         """),
 
-    "p_lang_guess": (_p_lang_guess, None),  # heuristic vs truth: rows-only
+    "p_lang_guess": (_p_lang_guess, _lang_guess_oracle()),
 
     "p_events_rollup": (_p_events_rollup, """
         SELECT event_type, date_trunc('hour', ts) AS hour,
