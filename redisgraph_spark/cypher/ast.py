@@ -255,6 +255,16 @@ class CreateClause(Clause):
 
 
 @dataclass
+class IndexDDL(Clause):
+    """``CREATE INDEX ON :Label(prop[, …])`` / ``DROP INDEX ON
+    :Label(prop)`` — reference AST nodes CREATE/DROP_NODE_PROPS_INDEX
+    (``src/ast/cypher_whitelist.c:37-38``)."""
+    create: bool
+    label: str
+    props: list[str]
+
+
+@dataclass
 class MergeClause(Clause):
     path: PatternPath
     on_match: list["SetItem"]

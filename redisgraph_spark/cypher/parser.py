@@ -65,6 +65,10 @@ class Parser:
             return True
         return False
 
+    def _at_name(self, k: int, word: str) -> bool:
+        t = self.tok if k == 0 else self.peek(k)
+        return t.kind == "name" and str(t.value).lower() == word
+
     def name(self) -> str:
         # A keyword is a legal identifier in most positions (e.g. a label
         # named `order` or a property called `count`).
@@ -99,7 +103,14 @@ class Parser:
             elif self.at_kw("return"):
                 clauses.append(self.parse_return())
             elif self.at_kw("create"):
-                clauses.append(self.parse_create())
+                if self._at_name(1, "index") and \
+                        self.peek(2).kind == "kw" and \
+                        str(self.peek(2).value).lower() == "on":
+                    clauses.append(self.parse_index_ddl(create=True))
+                else:
+                    clauses.append(self.parse_create())
+            elif self._at_name(0, "drop") and self._at_name(1, "index"):
+                clauses.append(self.parse_index_ddl(create=False))
             elif self.at_kw("merge"):
                 clauses.append(self.parse_merge())
             elif self.at_kw("set"):
@@ -198,6 +209,22 @@ class Parser:
         while self.opt_op(","):
             paths.append(self.parse_pattern_path())
         return A.CreateClause(paths)
+
+    def parse_index_ddl(self, create: bool) -> A.IndexDDL:
+        """``CREATE INDEX ON :Label(prop[, …])`` / ``DROP INDEX ON
+        :Label(prop)`` (reference grammar: CREATE/DROP_NODE_PROPS_INDEX,
+        ``src/ast/cypher_whitelist.c:37-38``)."""
+        self.advance()            # CREATE kw / DROP name
+        self.advance()            # INDEX
+        self.eat_kw("on")
+        self.eat_op(":")
+        label = self.name()
+        self.eat_op("(")
+        props = [self.name()]
+        while self.opt_op(","):
+            props.append(self.name())
+        self.eat_op(")")
+        return A.IndexDDL(create=create, label=label, props=props)
 
     def parse_merge(self) -> A.MergeClause:
         self.eat_kw("merge")

@@ -49,13 +49,23 @@ def run_procedure(planner, clause: A.CallClause
         rows = [(k,) for k in g.property_keys()]
         return spark.createDataFrame(rows, ["propertyKey"]), ["propertyKey"]
     if name == "db.indexes":
-        # every property column is index-equivalent under parquet
+        # explicitly created exact-match indexes (CREATE INDEX ON
+        # :L(p) → sorted-layout re-partition) + fulltext indexes; note
+        # every property column is *also* index-equivalent under parquet
         # pushdown/data-skipping (reference: ops/op_index_scan.c →
         # our §2 IndexScan mapping)
-        rows = [("exact-match", l, list(g.node_tables[l].columns))
-                for l in g.labels]
-        return spark.createDataFrame(rows, ["type", "label", "properties"]), \
-            ["type", "label", "properties"]
+        rows = [("exact-match", l, list(props))
+                for l, props in sorted(g.indexes.items()) if props]
+        if g._fulltext is not None:
+            ft: dict[str, list[str]] = {}
+            for (l, p) in g._fulltext.indexes:
+                ft.setdefault(l, []).append(p)
+            rows += [("fulltext", l, sorted(ps))
+                     for l, ps in sorted(ft.items())]
+        schema = "type string, label string, properties array<string>"
+        df = spark.createDataFrame(rows, schema) if rows else \
+            spark.createDataFrame([], schema)
+        return df, ["type", "label", "properties"]
     if name == "dbms.procedures":
         rows = [(p, "READ") for p in sorted(PROCS)]
         return spark.createDataFrame(rows, ["name", "mode"]), ["name", "mode"]

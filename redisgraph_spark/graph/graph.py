@@ -179,6 +179,57 @@ class Graph:
         # src/graph/entities/node.h)
         self._multilabel = False
 
+    # ---------------------------------------------------------------- indexes
+    @property
+    def indexes(self) -> dict[str, list[str]]:
+        """Exact-match index catalog: label → indexed property names
+        (≈ reference ``GraphContext_AddIndex``, ``cmd_query.c:60-90``)."""
+        if not hasattr(self, "_indexes"):
+            self._indexes: dict[str, list[str]] = {}
+        return self._indexes
+
+    def create_index(self, label: str, props: list[str]) -> int:
+        """``CREATE INDEX ON :Label(p)``. In Spark the exact-match index
+        IS the storage layout: range-repartition + sort the label table
+        on the key so min/max stats (parquet row groups / in-memory
+        batches) skip non-matching partitions, and filter pushdown does
+        the rest — SURVEY.md §2.1 IndexScan mapping. Returns the number
+        of indexes newly added (reference counts per property,
+        ``cmd_query.c:66-75``)."""
+        if label not in self.node_tables:
+            return 0
+        existing = self.indexes.setdefault(label, [])
+        added = 0
+        for p in props:
+            if p in existing:
+                continue
+            existing.append(p)
+            added += 1
+        if added:
+            df = self.node_tables[label]
+            keys = [p for p in existing if p in df.columns]
+            if keys:
+                self.node_tables[label] = df.repartitionByRange(
+                    *[F.col(k) for k in keys]).sortWithinPartitions(*keys)
+            self._version += 1
+            self._plan_cache.clear()
+        return added
+
+    def drop_index(self, label: str, props: list[str]) -> int:
+        """``DROP INDEX ON :Label(p)`` — errors when absent, matching
+        ``cmd_query.c:86``."""
+        dropped = 0
+        for p in props:
+            if p not in self.indexes.get(label, []):
+                raise ValueError(
+                    f"Unable to drop index on :{label}({p}): no such index.")
+            self.indexes[label].remove(p)
+            dropped += 1
+        if dropped:
+            self._version += 1
+            self._plan_cache.clear()
+        return dropped
+
     @property
     def fulltext(self):
         """Fulltext index catalog (reference RediSearch procedures,
@@ -387,7 +438,7 @@ class Graph:
         df = CypherPlanner(self, params or {}).plan(ast)
         is_write = any(
             isinstance(c, (A.CreateClause, A.MergeClause, A.SetClause,
-                           A.DeleteClause, A.RemoveClause))
+                           A.DeleteClause, A.RemoveClause, A.IndexDDL))
             for part in ast.parts for c in part.clauses)
         if is_write:
             self._version += 1

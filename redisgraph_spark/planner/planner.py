@@ -285,6 +285,16 @@ class CypherPlanner:
                                      A.RemoveClause)):
                 from redisgraph_spark.planner.mutations import apply_mutation
                 result = apply_mutation(self, ctx, clause)
+            elif isinstance(clause, A.IndexDDL):
+                g = self.graph
+                if clause.create:
+                    n = g.create_index(clause.label, clause.props)
+                    self.stats["indices_created"] = \
+                        self.stats.get("indices_created", 0) + n
+                else:
+                    n = g.drop_index(clause.label, clause.props)
+                    self.stats["indices_deleted"] = \
+                        self.stats.get("indices_deleted", 0) + n
             else:
                 raise PlanError(f"Unsupported clause {type(clause).__name__}")
         if result is None:
