@@ -39,8 +39,11 @@ def get_spark(app_name: str = "redisgraph-spark",
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long
         # and convert (Spark has no native nanos timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local-mode driver IS the executor: size the heap for 32
+        # threads of shuffle + localCheckpoint blocks (8g heap showed
+        # GC-driven 3-4x tail latencies on long sessions)
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
