@@ -574,7 +574,12 @@ class ExprCompiler:
         return F.size(c).cast("long")
 
     def _fn_id(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).getField("_id")
+        c = self.compile(e.args[0])
+        # startNode()/endNode() yield node *references* (the edge's
+        # _src/_dst id, already a long) — id() of a reference is itself
+        if not isinstance(self.dtype(c), T.StructType):
+            return c
+        return c.getField("_id")
 
     def _fn_labels(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])

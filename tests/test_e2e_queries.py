@@ -349,3 +349,13 @@ def test_algo_triangle_count(spark):
     got = g.query("CALL algo.triangleCount() YIELD triangles "
                   "RETURN triangles").collect()
     assert got[0]["triangles"] == 1
+
+
+def test_startnode_endnode_ids(social):
+    """startNode()/endNode() are node references: id() of one equals
+    the bound endpoint's id (entity_funcs.c:186-230)."""
+    rows = social.query(
+        "MATCH (a:person)-[e:friend]->(b) "
+        "RETURN id(startNode(e)) = id(a) AS s, "
+        "id(endNode(e)) = id(b) AS d").collect()
+    assert rows and all(r["s"] and r["d"] for r in rows)
