@@ -33,6 +33,10 @@ class VarInfo:
     def __init__(self, kind: str, fields: tuple[str, ...] = ()) -> None:
         self.kind = kind  # 'node' | 'edge' | 'path' | 'scalar'
         self.fields = fields
+        # for edges: (src node var, dst node var) when the pattern bound
+        # them as structs — lets startNode()/endNode() return the full
+        # node instead of a bare id reference
+        self.endpoints: tuple[str | None, str | None] | None = None
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"VarInfo({self.kind})"
@@ -591,11 +595,25 @@ class ExprCompiler:
     def _fn_type(self, e: A.FuncCall) -> Column:
         return self.compile(e.args[0]).getField("_rel")
 
+    def _endpoint(self, e: A.FuncCall, side: int, field: str) -> Column:
+        # when the pattern bound the edge's endpoint as a node struct,
+        # startNode/endNode IS that node (entity_funcs.c:186-230);
+        # otherwise fall back to the id reference (edge's _src/_dst)
+        if isinstance(e.args[0], A.Variable):
+            info = self.vars.get(e.args[0].name)
+            if info is not None and info.kind == "edge" and info.endpoints:
+                ep = info.endpoints[side]
+                if ep is not None:
+                    ep_info = self.vars.get(ep)
+                    if ep_info is not None and ep_info.kind == "node":
+                        return F.col(ep)
+        return self.compile(e.args[0]).getField(field)
+
     def _fn_startnode(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).getField("_src")
+        return self._endpoint(e, 0, "_src")
 
     def _fn_endnode(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).getField("_dst")
+        return self._endpoint(e, 1, "_dst")
 
     def _fn_exists(self, e: A.FuncCall) -> Column:
         return self.compile(e.args[0]).isNotNull()

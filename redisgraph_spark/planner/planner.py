@@ -208,6 +208,7 @@ class CypherPlanner:
         from collections import Counter
         refs: set[str] = set()
         pat_count: Counter = Counter()
+        ep_edges: set[str] = set()
         star = False
         for n in _walk(q):
             if isinstance(n, A.Variable):
@@ -215,6 +216,10 @@ class CypherPlanner:
             elif isinstance(n, A.NodePattern):
                 if n.var:
                     pat_count[n.var] += 1
+            elif isinstance(n, A.FuncCall) \
+                    and n.name in ("startnode", "endnode") \
+                    and n.args and isinstance(n.args[0], A.Variable):
+                ep_edges.add(n.args[0].name)
             elif isinstance(n, (A.ReturnClause, A.WithClause)) \
                     and getattr(n, "star", False):
                 star = True
@@ -224,6 +229,21 @@ class CypherPlanner:
                         refs.add(el.var)
         if star:
             return None
+        if ep_edges:
+            # startNode(e)/endNode(e) reference e's pattern endpoints:
+            # keep (and if anonymous, name) them so the full node struct
+            # is available to the entity functions
+            for n in _walk(q):
+                if isinstance(n, A.PatternPath):
+                    els = n.elements
+                    for i, el in enumerate(els):
+                        if isinstance(el, A.RelPattern) \
+                                and el.var in ep_edges \
+                                and el.min_hops is None:
+                            for j in (i - 1, i + 1):
+                                if els[j].var is None:
+                                    els[j].var = self.sym("n")
+                                refs.add(els[j].var)
         refs.update(v for v, c in pat_count.items() if c >= 2)
         return refs
 
@@ -676,6 +696,15 @@ class CypherPlanner:
                     edge_uniq: list[str],
                     skippable: bool = False) -> tuple[str, str | None]:
         e_name = rel.var or self.sym("e")
+        left_var = prev[1] if prev[0] == "var" else None
+
+        def set_endpoints(right_var: str | None) -> None:
+            # record which bound node structs are the edge's actual
+            # _src/_dst (direction-aware); 'both' stays ambiguous
+            if rel.direction == "out":
+                ctx.vars[e_name].endpoints = (left_var, right_var)
+            elif rel.direction == "in":
+                ctx.vars[e_name].endpoints = (right_var, left_var)
         if e_name in ctx.vars:
             raise PlanError(f"Edge variable `{e_name}` reused")
         from_c, to_c = self.sym("from"), self.sym("to")
@@ -719,6 +748,7 @@ class CypherPlanner:
         # target node
         if skippable and (node.var is None or node.var not in ctx.vars):
             # no scan: the edge's endpoint column stands in for the node
+            set_endpoints(None)
             return ("col", to_c)
         tgt = node.var or self.sym("n")
         if tgt in ctx.vars:
@@ -736,6 +766,7 @@ class CypherPlanner:
                         comp.prop_eq(F.col(tgt).getField(k), comp.compile(v)))
                 else:
                     ctx.df = ctx.df.filter(F.lit(False))
+            set_endpoints(tgt)
             return ("var", tgt)
         flat, nprops = self._node_scan(node.labels or None)
         nid = self.sym("nid")
@@ -752,6 +783,7 @@ class CypherPlanner:
                     comp.prop_eq(F.col(tgt).getField(k), comp.compile(v)))
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
+        set_endpoints(tgt)
         return ("var", tgt)
 
     def _var_len_hop(self, ctx: Ctx, prev: tuple[str, str | None],

@@ -359,3 +359,26 @@ def test_startnode_endnode_ids(social):
         "RETURN id(startNode(e)) = id(a) AS s, "
         "id(endNode(e)) = id(b) AS d").collect()
     assert rows and all(r["s"] and r["d"] for r in rows)
+
+
+def test_startnode_endnode_structs(social):
+    """startNode()/endNode() resolve to the full node struct when the
+    pattern binds (or can bind) the endpoint — property access and
+    labels() work; anonymous endpoints are auto-named."""
+    rows = social.query(
+        "MATCH (a:person)-[e:visited]->(c:country) "
+        "RETURN startNode(e).name AS sn, endNode(e).name AS en, "
+        "labels(endNode(e))[0] AS lbl ORDER BY sn, en LIMIT 2").collect()
+    assert all(r["lbl"] == "country" for r in rows)
+    assert rows[0]["sn"] is not None and rows[0]["en"] is not None
+    # anonymous endpoints
+    rows = social.query(
+        "MATCH ()-[e:visited]->() RETURN endNode(e).name AS n "
+        "ORDER BY n LIMIT 1").collect()
+    assert rows[0]["n"] is not None
+    # reversed arrow: startNode is the edge's true source
+    rows = social.query(
+        "MATCH (c:country)<-[e:visited]-(p:person) "
+        "RETURN id(startNode(e)) = id(p) AS s, "
+        "id(endNode(e)) = id(c) AS d").collect()
+    assert rows and all(r["s"] and r["d"] for r in rows)
