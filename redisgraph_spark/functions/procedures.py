@@ -36,18 +36,19 @@ def run_procedure(planner, clause: A.CallClause
     spark = g.spark
     name = clause.proc
 
+    from redisgraph_spark.session import inline_df
+
     if name == "db.labels":
         rows = [(l,) for l in g.labels]
-        df = spark.createDataFrame(rows, ["label"]) if rows else \
-            spark.createDataFrame([("",)], ["label"]).limit(0)
-        return df, ["label"]
+        return inline_df(spark, rows, [("label", "string")]), ["label"]
     if name == "db.relationshiptypes":
         rows = [(r,) for r in g.relationship_types]
-        return spark.createDataFrame(rows, ["relationshipType"]), \
+        return inline_df(spark, rows, [("relationshipType", "string")]), \
             ["relationshipType"]
     if name == "db.propertykeys":
         rows = [(k,) for k in g.property_keys()]
-        return spark.createDataFrame(rows, ["propertyKey"]), ["propertyKey"]
+        return inline_df(spark, rows, [("propertyKey", "string")]), \
+            ["propertyKey"]
     if name == "db.indexes":
         # explicitly created exact-match indexes (CREATE INDEX ON
         # :L(p) → sorted-layout re-partition) + fulltext indexes; note
@@ -62,13 +63,15 @@ def run_procedure(planner, clause: A.CallClause
                 ft.setdefault(l, []).append(p)
             rows += [("fulltext", l, sorted(ps))
                      for l, ps in sorted(ft.items())]
-        schema = "type string, label string, properties array<string>"
-        df = spark.createDataFrame(rows, schema) if rows else \
-            spark.createDataFrame([], schema)
+        df = inline_df(spark, rows, [("type", "string"),
+                                     ("label", "string"),
+                                     ("properties", "array<string>")])
         return df, ["type", "label", "properties"]
     if name == "dbms.procedures":
         rows = [(p, "READ") for p in sorted(PROCS)]
-        return spark.createDataFrame(rows, ["name", "mode"]), ["name", "mode"]
+        return inline_df(spark, rows, [("name", "string"),
+                                       ("mode", "string")]), \
+            ["name", "mode"]
     if name == "algo.pagerank":
         from redisgraph_spark.algorithms.pagerank import pagerank_proc
         return pagerank_proc(planner, clause.args)
@@ -98,10 +101,10 @@ def run_procedure(planner, clause: A.CallClause
         label = str(_lit(clause.args[0]))
         for p in clause.args[1:]:
             g.fulltext.create(label, str(_lit(p)))
-        return spark.createDataFrame([(True,)], ["ok"]), ["ok"]
+        return inline_df(spark, [(True,)], [("ok", "boolean")]), ["ok"]
     if name == "db.idx.fulltext.drop":
         g.fulltext.drop(str(_lit(clause.args[0])))
-        return spark.createDataFrame([(True,)], ["ok"]), ["ok"]
+        return inline_df(spark, [(True,)], [("ok", "boolean")]), ["ok"]
     if name == "db.idx.fulltext.querynodes":
         label = str(_lit(clause.args[0]))
         text = str(_lit(clause.args[1]))

@@ -400,7 +400,9 @@ class Graph:
         if name is not None:
             cnt = tables[name].count() if name in tables else 0
         else:
-            cnt = sum(df.count() for df in tables.values())
+            # sum per-table counts through the cache so footer-seeded
+            # hints (count_hints) make the all-entities count cheap too
+            cnt = sum(self._counted(kind, nm, tables) for nm in tables)
         self._count_cache[key] = cnt
         return cnt
 

@@ -128,10 +128,39 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
         "CONTAINS": contains,
         "SUPPLIED_BY": supplied_by,
     }
+    # Seed entity counters from parquet footer metadata — zero Spark
+    # jobs (the Delta/parquet-statistics analog of the reference's
+    # running counters, src/graph/graph_statistics.h:14-37). Every
+    # projection above is 1 row : 1 entity except SUPPLIED_BY
+    # (distinct-derived → left to lazy counting).
+    count_hints: dict[tuple[str, str], int] = {}
+    try:
+        import pyarrow.parquet as _pq
+
+        def _rows(name: str) -> int:
+            return _pq.ParquetFile(f"{sf_dir}/{name}.parquet") \
+                .metadata.num_rows
+        tab_rows = {t: _rows(t) for t in (
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem")}
+        count_hints = {
+            ("n", "Region"): tab_rows["region"],
+            ("n", "Nation"): tab_rows["nation"],
+            ("n", "Customer"): tab_rows["customer"],
+            ("n", "Supplier"): tab_rows["supplier"],
+            ("n", "Part"): tab_rows["part"],
+            ("n", "Order"): tab_rows["orders"],
+            ("e", "IN_REGION"): tab_rows["nation"],
+            ("e", "IN_NATION"): tab_rows["customer"] + tab_rows["supplier"],
+            ("e", "PLACED"): tab_rows["orders"],
+            ("e", "CONTAINS"): tab_rows["lineitem"],
+        }
+    except Exception:
+        pass
     return Graph(spark, nodes, edges, name="tpch", rel_endpoints={
         "IN_REGION": ("Nation", "Region"),
         "IN_NATION": ({"Customer", "Supplier"}, "Nation"),
         "PLACED": ("Customer", "Order"),
         "CONTAINS": ("Order", "Part"),
         "SUPPLIED_BY": ("Part", "Supplier"),
-    })
+    }, count_hints=count_hints)

@@ -103,9 +103,11 @@ def ivf_build(emb: DataFrame, nlist: int = 16, iters: int = 3,
     spark = emb.sparkSession
     init = [r[vec_col] for r in
             emb.orderBy(id_col).limit(nlist).collect()]
-    centroids = spark.createDataFrame(
+    from redisgraph_spark.session import inline_df
+    centroids = inline_df(
+        spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(init)],
-        ["list_id", "center"])
+        [("list_id", "bigint"), ("center", "array<double>")])
     for _ in range(iters):
         scored = emb.crossJoin(F.broadcast(centroids)) \
             .withColumn("__sim", cosine_sim(F.col(vec_col),

@@ -306,6 +306,46 @@ class ExprCompiler:
             return F.pow(l, r)
         raise CompileError(f"Unknown binary op {op}")
 
+    def _cmp_class(self, col: Column) -> str | None:
+        """Coarse Cypher type class for cross-type comparison dispatch
+        (SIValue type groups, src/value.h:16-41). None = unknown/null —
+        no cross-type special-casing."""
+        try:
+            dt = self.dtype(col)
+        except Exception:
+            return None
+        if isinstance(dt, T.NullType):
+            return None
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.FloatType, T.DoubleType,
+                           T.DecimalType)):
+            return "num"       # int/double cross-comparable (value.h:58-60)
+        if isinstance(dt, T.StringType):
+            return "str"
+        if isinstance(dt, T.BooleanType):
+            return "bool"
+        if isinstance(dt, T.ArrayType):
+            return "array"
+        if isinstance(dt, (T.DateType, T.TimestampType,
+                           T.TimestampNTZType)):
+            return "temporal"
+        return None
+
+    @staticmethod
+    def _array_eq(l: Column, r: Column) -> Column:
+        """Ternary list equality: length mismatch or a definite element
+        mismatch → false; otherwise any null pair → null; else true
+        (openCypher list equality; reference SIArray compare)."""
+        pair = F.zip_with(l, r, lambda x, y: x == y)
+        any_false = F.exists(pair, lambda b: ~F.coalesce(b, F.lit(True)))
+        any_null = F.exists(pair, lambda b: b.isNull())
+        nullb = F.lit(None).cast("boolean")
+        return F.when(l.isNull() | r.isNull(), nullb) \
+                .when(F.size(l) != F.size(r), F.lit(False)) \
+                .when(any_false, F.lit(False)) \
+                .when(any_null, nullb) \
+                .otherwise(F.lit(True))
+
     def _c_Comparison(self, e: A.Comparison) -> Column:
         out: Column | None = None
         left = self.compile(e.first)
@@ -317,23 +357,46 @@ class ExprCompiler:
             if (_could_be_variant(left_ast) and self._is_variant(left)) or \
                     (_could_be_variant(right_ast) and self._is_variant(right)):
                 c = self._variant_cmp(left, right, op)
-            elif op == "=":
-                c = left == right
-            elif op == "<>":
-                c = left != right
-            elif op == "<":
-                c = left < right
-            elif op == "<=":
-                c = left <= right
-            elif op == ">":
-                c = left > right
             else:
-                c = left >= right
+                c = self._typed_cmp(left, right, op)
             out = c if out is None else (out & c)
             left = right
             left_ast = right_ast
         assert out is not None
         return out
+
+    def _typed_cmp(self, left: Column, right: Column, op: str) -> Column:
+        """Comparison with Cypher cross-type semantics: disjoint type
+        classes are allowed for = / <> (never equal — AR_EQ/AR_NE,
+        boolean_funcs.c:143-163) but a type-mismatch error for ordering
+        (AR_LT et al., boolean_funcs.c:77-136); null operands stay
+        null-propagating."""
+        lc, rc = self._cmp_class(left), self._cmp_class(right)
+        nullb = F.lit(None).cast("boolean")
+        if lc is not None and rc is not None and lc != rc:
+            if op == "=":
+                return F.when(left.isNull() | right.isNull(), nullb) \
+                        .otherwise(F.lit(False))
+            if op == "<>":
+                return F.when(left.isNull() | right.isNull(), nullb) \
+                        .otherwise(F.lit(True))
+            raise CompileError(
+                f"Type mismatch: cannot compare {lc} with {rc}")
+        if lc == "array" and rc == "array" and op in ("=", "<>"):
+            eq = self._array_eq(left, right)
+            return eq if op == "=" else \
+                F.when(eq.isNull(), nullb).otherwise(~eq)
+        if op == "=":
+            return left == right
+        if op == "<>":
+            return left != right
+        if op == "<":
+            return left < right
+        if op == "<=":
+            return left <= right
+        if op == ">":
+            return left > right
+        return left >= right
 
     def prop_eq(self, field_col: Column, value_col: Column) -> Column:
         """Pattern-property equality ``{k: v}`` — plain ``==`` unless the

@@ -111,7 +111,10 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             row = {"_id": ids[var], **props}
             by_label.setdefault(label, []).append(row)
         for label, rows in by_label.items():
-            df = spark.createDataFrame(rows)
+            from redisgraph_spark.session import inline_rows_df
+            df = inline_rows_df(spark, rows)
+            if df is None:
+                df = spark.createDataFrame(rows)
             g.node_tables[label] = _union_into(
                 g.node_tables.get(label), df)
             nodes_created += len(rows)
@@ -129,7 +132,10 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                 src_id, dst_id = dst_id, src_id
             row = {"_id": _fresh_ids(1)[0], "_src": src_id, "_dst": dst_id,
                    **props}
-            df = spark.createDataFrame([row])
+            from redisgraph_spark.session import inline_rows_df
+            df = inline_rows_df(spark, [row])
+            if df is None:
+                df = spark.createDataFrame([row])
             g.edge_tables[rtype] = _union_into(
                 g.edge_tables.get(rtype), df)
             edges_created += 1

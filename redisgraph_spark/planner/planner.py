@@ -134,7 +134,10 @@ class CypherPlanner:
         return v
 
     def _unit_df(self) -> DataFrame:
-        return self.graph.spark.range(1).select(F.lit(0).alias("__unit"))
+        # single-partition range: a 1-row unit plan must not schedule
+        # defaultParallelism empty tasks
+        return self.graph.spark.range(0, 1, 1, 1) \
+            .select(F.lit(0).alias("__unit"))
 
     def _node_scan(self, labels: list[str] | None) -> tuple[DataFrame, tuple[str, ...]]:
         flat = self.graph.nodes(labels if labels else None)
@@ -375,12 +378,14 @@ class CypherPlanner:
             cnt = g.edge_count(e.types[0] if e.types else None)
         else:
             return None
-        return g.spark.createDataFrame([(cnt,)], f"`{alias}` long")
+        from redisgraph_spark.session import inline_df
+        return inline_df(g.spark, [(cnt,)], [(alias, "long")])
 
     def _stats_df(self) -> DataFrame:
-        spark = self.graph.spark
+        from redisgraph_spark.session import inline_df
         items = list(self.stats.items()) or [("noop", 0)]
-        return spark.createDataFrame(items, ["stat", "value"])
+        return inline_df(self.graph.spark, items,
+                         [("stat", "string"), ("value", "long")])
 
     # ----------------------------------------------------------------- MATCH
     def _clause_match(self, ctx: Ctx, clause: A.MatchClause) -> None:

@@ -12,6 +12,80 @@ import os
 from pyspark.sql import SparkSession
 
 
+def inline_df(spark: SparkSession, rows: list[tuple],
+              schema: list[tuple[str, str]]):
+    """Tiny driver-side result as a ONE-task plan.
+
+    ``spark.createDataFrame(small_list)`` parallelizes into
+    defaultParallelism (32) mostly-empty tasks — ~1-3 s of scheduling
+    per collect for a handful of rows. Building the rows as an exploded
+    array of struct literals over a single-partition range keeps the
+    whole thing one task (~0.1 s). ``schema`` is [(name, sql_type)].
+    """
+    from pyspark.sql import functions as F
+    ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    structs = [
+        F.struct(*[F.lit(v).cast(t).alias(n)
+                   for v, (n, t) in zip(row, schema)])
+        for row in rows]
+    return (spark.range(0, 1, 1, 1)
+            .select(F.explode(F.array(*structs)).alias("__r"))
+            .select("__r.*"))
+
+
+def _lit_sql_type(v) -> str | None:
+    """SQL type for a python literal, mirroring createDataFrame's
+    inference; None = unsupported here (caller falls back)."""
+    import datetime
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, list):
+        inner = None
+        for x in v:
+            t = _lit_sql_type(x) if x is not None else None
+            if isinstance(x, (list, dict)):
+                return None
+            if t is not None:
+                if inner is not None and inner != t:
+                    return None
+                inner = t
+        return f"array<{inner or 'string'}>"
+    return None
+
+
+def inline_rows_df(spark: SparkSession, rows: list[dict]):
+    """``inline_df`` for row-dicts with inferred types (the CREATE/MERGE
+    pending-row path). Returns None when a value needs full
+    createDataFrame inference (structs, decimals, mixed-type lists)."""
+    cols: list[str] = []
+    types: dict[str, str | None] = {}
+    for r in rows:
+        for k, v in r.items():
+            if k not in types:
+                types[k] = None
+                cols.append(k)
+            if types[k] is None and v is not None:
+                t = _lit_sql_type(v)
+                if t is None:
+                    return None
+                types[k] = t
+    schema = [(k, types[k] or "string") for k in cols]
+    data = [tuple(r.get(k) for k in cols) for r in rows]
+    return inline_df(spark, data, schema)
+
+
 def get_spark(app_name: str = "redisgraph-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.

@@ -289,3 +289,34 @@ def test_out_of_bounds_and_missing_key_null(spark):
                 "tointeger(2.9) AS e").collect()[0]
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) \
         == (None, None, None, 42, 2)
+
+
+def test_cross_type_comparison_semantics(spark):
+    """Cypher type-class comparison rules (boolean_funcs.c:77-163):
+    = / <> across disjoint type classes → false / true (null
+    operands stay null); ordering across classes → type-mismatch
+    error; int/double stay cross-comparable."""
+    from redisgraph_spark import Graph
+    from redisgraph_spark.planner.expressions import CompileError
+    import pytest
+    g = Graph(spark, {}, {})
+    r = g.query(
+        "RETURN 1 = '1' AS a, 1 <> '1' AS b, true = 1 AS c, "
+        "null = '1' AS d, 1 = 1.0 AS e, 1 < 2.5 AS f").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) \
+        == (False, True, False, None, True, True)
+    with pytest.raises(CompileError, match="Type mismatch"):
+        g.query("RETURN 1 < 'a' AS x").collect()
+
+
+def test_list_equality_ternary(spark):
+    """List equality is ternary over elements: definite mismatch or
+    length mismatch → false; unresolved null pair → null."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    r = g.query(
+        "RETURN [1,2] = [1,null] AS a, [1,2] = [1,3] AS b, "
+        "[1,2] = [1,2] AS c, [1] = [1,null] AS d, "
+        "[1,2] <> [1,null] AS e, [null] = [null] AS f").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) \
+        == (None, False, True, False, None, None)
