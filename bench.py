@@ -26,6 +26,7 @@ HEADLINE = [
     "q_anti_semi_apply",
     "q_with_having",
     "q_var_len",
+    "q_mutation_roundtrip",
     "p_dedup_exact",
     "p_minhash_lsh",
     "p_cosine_topk",

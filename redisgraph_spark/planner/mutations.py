@@ -50,19 +50,26 @@ def apply_mutation(planner, ctx, clause) -> DataFrame | None:
 
 
 # ---------------------------------------------------------------- CREATE
+def _const_eval(planner, e: A.Expr):
+    """Driver-side evaluation of a constant expression (literals,
+    parameters, list/neg compositions) — the constant-folding subset a
+    standalone CREATE can use."""
+    if isinstance(e, A.Literal):
+        return e.value
+    if isinstance(e, A.Parameter):
+        return planner.params[e.name]
+    if isinstance(e, A.ListLiteral):
+        return [_const_eval(planner, x) for x in e.items]
+    if isinstance(e, A.Unary) and e.op in ("-", "+"):
+        v = _const_eval(planner, e.operand)
+        return -v if e.op == "-" else v
+    raise ValueError(
+        "CREATE property values must be constant (literals, parameters, "
+        "lists) when creating outside a MATCH context")
+
+
 def _eval_props(planner, ctx, props: list[tuple[str, A.Expr]]) -> dict:
-    comp = planner.compiler(ctx)
-    out = {}
-    for k, v in props:
-        if isinstance(v, A.Literal):
-            out[k] = v.value
-        elif isinstance(v, A.Parameter):
-            out[k] = planner.params[v.name]
-        else:
-            raise ValueError(
-                "CREATE property values must be literals or parameters "
-                "when creating outside a MATCH context")
-    return out
+    return {k: _const_eval(planner, v) for k, v in props}
 
 
 def _union_into(tbl: DataFrame | None, rows: DataFrame) -> DataFrame:
@@ -236,6 +243,7 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
                     A.Property(item.target, k), v, "="))
         else:
             expanded.append(item)
+    pending_refresh: list[tuple[str, str, object]] = []
     for item in expanded:
         if not isinstance(item.target, A.Property) or \
                 not isinstance(item.target.subject, A.Variable):
@@ -243,6 +251,7 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
         var = item.target.subject.name
         key = item.target.key
         info = ctx.vars[var]
+        pending_refresh.append((var, key, comp.compile(item.value)))
         # updates keyed by entity id
         upd = ctx.df.select(
             F.col(f"{var}._id").alias("__uid"),
@@ -295,6 +304,23 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
             out = joined.withColumn(key, newcol).drop("__uid", "__uval")
             tables[name] = out.localCheckpoint(eager=True)
         props_set += upd_cnt
+    # read-your-writes: later clauses (RETURN a.age after SET) must see
+    # the update — rebuild the bound struct columns in the pipeline
+    # (the reference streams records through Update with the entity
+    # already modified, op_update.c:66-100). Value expressions were
+    # compiled against the PRE-update record, matching the reference's
+    # buffer-then-commit evaluation order.
+    for var, key, val in pending_refresh:
+        dt = ctx.df.schema[var].dataType
+        names = [f.name for f in dt.fields]
+        cols = [(val if fn == key else F.col(var).getField(fn)).alias(fn)
+                for fn in names]
+        if key not in names:
+            cols.append(val.alias(key))
+        ctx.df = ctx.df.withColumn(var, F.struct(*cols))
+        info = ctx.vars[var]
+        if key not in info.fields:
+            info.fields = tuple(list(info.fields) + [key])
     planner.stats["properties_set"] = \
         planner.stats.get("properties_set", 0) + props_set
     planner.graph._scan_cache.clear()

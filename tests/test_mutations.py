@@ -231,3 +231,36 @@ def test_create_per_row_no_dedup(g):
             "CREATE (a)-[:X2]->(:T9 {k: 9})")
     assert g.query("MATCH (t:T9) RETURN count(*) AS c") \
         .collect()[0]["c"] == 2
+
+
+def test_set_read_your_writes(spark):
+    """RETURN after SET sees the updated property — the reference
+    streams records through Update already modified
+    (op_update.c:66-100)."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {"P": spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["_id", "name", "v"])}, {})
+    r = g.query("MATCH (p:P {name: 'a'}) SET p.v = p.v + 1 "
+                "RETURN p.v AS v").collect()
+    assert r[0]["v"] == 11
+    # persisted too
+    r = g.query("MATCH (p:P {name: 'a'}) RETURN p.v AS v").collect()
+    assert r[0]["v"] == 11
+    # new property visible downstream, and in a WITH pipeline
+    g2 = Graph(spark, {"P": spark.createDataFrame(
+        [(1, "a", 10)], ["_id", "name", "v"])}, {})
+    r = g2.query("MATCH (p:P) SET p.extra = 'x' "
+                 "WITH p WHERE p.extra = 'x' RETURN count(*) AS c"
+                 ).collect()
+    assert r[0]["c"] == 1
+
+
+def test_create_constant_list_props(spark):
+    """Standalone CREATE accepts constant list literals and signed
+    numbers (constant-folding subset)."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    g.query("CREATE (:P {name: 'ann', tags: ['x','y'], score: -2.5})"
+            ).collect()
+    r = g.query("MATCH (p:P) RETURN p.tags AS t, p.score AS s").collect()
+    assert list(r[0]["t"]) == ["x", "y"] and r[0]["s"] == -2.5
