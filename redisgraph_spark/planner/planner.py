@@ -884,10 +884,10 @@ class CypherPlanner:
     # -------------------------------------------------------- OPTIONAL MATCH
     def _optional_match(self, ctx: Ctx, clause: A.MatchClause) -> None:
         if ctx.df is None:
-            # leading OPTIONAL MATCH behaves like MATCH that may be empty
-            self._clause_match(
-                ctx, A.MatchClause(clause.paths, False, clause.where))
-            return
+            # leading OPTIONAL MATCH: one all-null record when the
+            # pattern is empty (Optional op, ops/op_optional.h:12-30) —
+            # a true-conditioned left join from the unit row
+            ctx.df = self._unit_df()
         sub = Ctx()
         edge_uniq: list[str] = []
         for path in clause.paths:
@@ -896,9 +896,6 @@ class CypherPlanner:
             self._apply_where(sub, clause.where)
         shared = [v for v in sub.vars if v in ctx.vars
                   and not v.startswith("__")]
-        if not shared:
-            raise PlanError(
-                "OPTIONAL MATCH must share a variable with the prior scope")
         public = [v for v in sub.vars
                   if not v.startswith("__") and v in sub.df.columns]
         sub_df = sub.df.select([F.col(v) for v in public])
@@ -912,7 +909,12 @@ class CypherPlanner:
             else:
                 c = F.col(v) == F.col(r)
             cond = c if cond is None else (cond & c)
+        if cond is None:
+            # disconnected OPTIONAL MATCH: optional cartesian product
+            cond = F.lit(True)
         ctx.df = ctx.df.join(sub_df, cond, "left").drop(*renames.values())
+        if "__unit" in ctx.df.columns:
+            ctx.df = ctx.df.drop("__unit")
         for v, info in sub.vars.items():
             if v not in ctx.vars:
                 ctx.vars[v] = info

@@ -382,3 +382,18 @@ def test_startnode_endnode_structs(social):
         "RETURN id(startNode(e)) = id(p) AS s, "
         "id(endNode(e)) = id(c) AS d").collect()
     assert rows and all(r["s"] and r["d"] for r in rows)
+
+
+def test_optional_match_empty_and_disconnected(social):
+    """Optional op semantics (ops/op_optional.h:12-30): a leading
+    OPTIONAL MATCH with no matches emits ONE all-null record;
+    a disconnected OPTIONAL MATCH is an optional cartesian product."""
+    rows = social.query(
+        "OPTIONAL MATCH (a:person {name: 'Nobody'})-[:friend]->(b) "
+        "RETURN a.name AS x, b.name AS y").collect()
+    assert [(r["x"], r["y"]) for r in rows] == [(None, None)]
+    rows = social.query(
+        "MATCH (a:person {name: 'Roi'}) "
+        "OPTIONAL MATCH (b:person {name: 'Ghost'}) "
+        "RETURN a.name AS x, b.name AS y").collect()
+    assert [(r["x"], r["y"]) for r in rows] == [("Roi", None)]
