@@ -37,6 +37,10 @@ class VarInfo:
         # them as structs — lets startNode()/endNode() return the full
         # node instead of a bare id reference
         self.endpoints: tuple[str | None, str | None] | None = None
+        # candidate label tables (nodes) / relation tables (edges) this
+        # variable can live in; None = unknown (all tables). Mutations
+        # use it to rewrite only the affected tables.
+        self.labels: tuple[str, ...] | None = None
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"VarInfo({self.kind})"

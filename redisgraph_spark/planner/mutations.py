@@ -95,9 +95,23 @@ def _union_into(tbl: DataFrame | None, rows: DataFrame) -> DataFrame:
     return tbl.unionByName(rows, allowMissingColumns=True)
 
 
+def _invalidate_rels(g, rtypes) -> None:
+    """Creating edges of a type can break that type's endpoint-label
+    guarantee — drop just those hint entries. Node creation and ALL
+    deletions are monotone w.r.t. the `src/dst labels ⊆ S` invariants
+    and keep the hints."""
+    if g.rel_endpoints is None:
+        return
+    for r in rtypes:
+        g.rel_endpoints.pop(r, None)
+
+
 def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
     g = planner.graph
-    g.rel_endpoints = None  # topology changed: hints invalid
+    _invalidate_rels(g, {(els[i].types[0] if els[i].types else "RELATED")
+                         for path in clause.paths
+                         for els in [path.elements]
+                         for i in range(1, len(els), 2)})
     spark = g.spark
     if ctx.df is not None:
         return _create_bound(planner, ctx, clause)
@@ -159,7 +173,10 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
     """CREATE after MATCH: new edges between matched nodes, or new nodes
     per input row."""
     g = planner.graph
-    g.rel_endpoints = None  # topology changed: hints invalid
+    _invalidate_rels(g, {(els[i].types[0] if els[i].types else "RELATED")
+                         for path in clause.paths
+                         for els in [path.elements]
+                         for i in range(1, len(els), 2)})
     comp = planner.compiler(ctx)
     edges_created = 0
     for path in clause.paths:
@@ -222,6 +239,17 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
 
 
 # ------------------------------------------------------------------- SET
+def _candidate_tables(g, info, tables) -> list:
+    """Tables a bound variable's entities can live in — label/rel-type
+    hints recorded at pattern-bind time restrict mutation rewrites to
+    the affected tables (multilabel graphs keep the conservative
+    all-tables path: one id may live in several label tables)."""
+    cand = getattr(info, "labels", None)
+    if not cand or (info.kind == "node" and g._multilabel):
+        return list(tables.items())
+    return [(n, tables[n]) for n in cand if n in tables]
+
+
 def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
     """SET n.prop = expr — rewrite the affected label tables: matched rows
     get the new value, others keep theirs (reference buffers then commits
@@ -265,7 +293,8 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
         val_t = upd.schema["__uval"].dataType
         numeric = (T.LongType, T.IntegerType, T.ShortType, T.DoubleType,
                    T.FloatType, T.DecimalType)
-        for name, tbl in list(tables.items()):
+        for name, tbl in (_candidate_tables(g, info, tables)
+                          if upd_cnt else []):
             joined = tbl.join(
                 F.broadcast(upd), tbl["_id"] == upd["__uid"], "left")
             if key in tbl.columns:
@@ -421,9 +450,9 @@ def _remove(planner, ctx, clause: A.RemoveClause) -> DataFrame | None:
 def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
     """DETACH DELETE semantics: node deletion cascades to incident edges
     (reference ``ops/op_delete.c``, ``Graph_BulkDelete``
-    ``src/graph/graph.h:172-181``) — expressed as anti-joins."""
+    ``src/graph/graph.h:172-181``) — expressed as anti-joins; deletion
+    preserves the rel-endpoint hint invariants (monotone removal)."""
     g = planner.graph
-    g.rel_endpoints = None  # topology changed: hints invalid
     nodes_deleted = 0
     edges_deleted = 0
     for e in clause.exprs:
@@ -441,19 +470,35 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
                     "left_anti").localCheckpoint(eager=True)
             edges_deleted += idc
         else:
-            for name, tbl in list(g.node_tables.items()):
+            for name, tbl in _candidate_tables(g, info, g.node_tables):
                 g.node_tables[name] = tbl.join(
                     F.broadcast(ids), tbl["_id"] == ids["__did"],
                     "left_anti").localCheckpoint(eager=True)
-            # cascade: remove incident edges
+            # cascade: remove incident edges — probe each relation with
+            # a cheap semi-join count first so untouched edge tables are
+            # neither rewritten nor re-materialized; rel-endpoint hints
+            # prove most relations can't touch a label-bound variable at
+            # all (no probe, no scan)
+            cand_labels = set(getattr(info, "labels", None) or ())
+            hints = g.rel_endpoints
             for name, tbl in list(g.edge_tables.items()):
-                before = tbl.count()
+                if cand_labels and hints and not g._multilabel:
+                    h = hints.get(name)
+                    if h is not None and not ((h[0] | h[1]) & cand_labels):
+                        continue
+                doomed = tbl.join(
+                    F.broadcast(ids),
+                    (tbl["_src"] == ids["__did"])
+                    | (tbl["_dst"] == ids["__did"]),
+                    "left_semi").count()
+                if not doomed:
+                    continue
                 kept = tbl.join(F.broadcast(ids),
                                 tbl["_src"] == ids["__did"], "left_anti")
                 kept = kept.join(F.broadcast(ids),
                                  kept["_dst"] == ids["__did"], "left_anti")
                 kept = kept.localCheckpoint(eager=True)
-                edges_deleted += before - kept.count()
+                edges_deleted += doomed
                 g.edge_tables[name] = kept
             nodes_deleted += idc
     planner.stats["nodes_deleted"] = \
@@ -559,7 +604,9 @@ def _create_path_rows(planner, ctx, path: A.PatternPath,
     Fresh ids are content-hashes salted with the graph version and a
     per-clause counter, so separate batches never collide."""
     g = planner.graph
-    g.rel_endpoints = None  # topology changed: hints invalid
+    _invalidate_rels(g, {(el.types[0] if el.types else "RELATED")
+                         for el in path.elements
+                         if isinstance(el, A.RelPattern)})
     els = path.elements
     comp = planner.compiler(ctx)
     salt = F.lit(int(g._version) * 1000 + next(planner._gensym))

@@ -679,6 +679,8 @@ class CypherPlanner:
         else:
             ctx.df = ctx.df.crossJoin(sdf)
         ctx.vars[name] = VarInfo("node", props)
+        if np.labels and not self.graph._multilabel:
+            ctx.vars[name].labels = tuple(np.labels)
         if np.props:
             comp = self.compiler(ctx)
             for k, v in np.props:
@@ -730,6 +732,8 @@ class CypherPlanner:
                 e_sel, F.col(f"{prev[1]}._id") == F.col(from_c), "inner") \
                 .drop(from_c)
         ctx.vars[e_name] = VarInfo("edge", props)
+        if rel.types:
+            ctx.vars[e_name].labels = tuple(rel.types)
         comp = self.compiler(ctx)
         for k, v in rel.props:
             if k in props:
@@ -781,6 +785,8 @@ class CypherPlanner:
         ctx.df = ctx.df.join(n_sel, F.col(to_c) == F.col(nid), "inner") \
                        .drop(to_c, nid)
         ctx.vars[tgt] = VarInfo("node", nprops)
+        if node.labels and not self.graph._multilabel:
+            ctx.vars[tgt].labels = tuple(node.labels)
         comp = self.compiler(ctx)
         for k, v in node.props:
             if k in nprops:
