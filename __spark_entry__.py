@@ -595,6 +595,31 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "CALL db.labels() YIELD label RETURN label ORDER BY label",
         "SELECT label FROM (VALUES ('Customer'),('Nation'),('Order'),"
         "('Part'),('Region'),('Supplier')) t(label) ORDER BY label"),
+
+    # startNode()/endNode() resolve to the full node struct
+    # (entity_funcs.c:186-230)
+    "q_entity_endpoints": (
+        "MATCH (n:Nation)-[e:IN_REGION]->(r:Region) "
+        "RETURN startNode(e).n_name AS nation, "
+        "endNode(e).r_name AS region ORDER BY nation",
+        """
+        SELECT n_name AS nation, r_name AS region
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY nation
+        """),
+
+    # Cypher cross-type comparison rules (boolean_funcs.c:143-163):
+    # = across disjoint classes is false (never implicit-cast true);
+    # list equality is ternary over elements. Golden values encoded in
+    # the oracle (DuckDB's own 1='1' coercion differs by design).
+    "q_ternary_compare": (
+        "MATCH (r:Region) RETURN r.r_name AS name, r.r_name = 1 AS ce, "
+        "[1,2] = [1,null] AS ln, [1,2] = [1,3] AS lf ORDER BY name",
+        """
+        SELECT r_name AS name, FALSE AS ce,
+               CAST(NULL AS BOOLEAN) AS ln, FALSE AS lf
+        FROM region ORDER BY name
+        """),
 }
 
 
@@ -738,6 +763,16 @@ def _q_merge_roundtrip(spark, sf_dir):
         "sum(r.r_regionkey) AS sk, count(r.touched) AS touched")
 
 
+def _q_index_ddl(spark, sf_dir):
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, sf_dir)   # fresh graph: DDL isolated
+    g.query("CREATE INDEX ON :Customer(c_acctbal)")
+    return g.query(
+        "MATCH (c:Customer) WHERE c.c_acctbal > 9000 "
+        "RETURN count(*) AS n, min(c.c_custkey) AS lo, "
+        "max(c.c_custkey) AS hi")
+
+
 def _q_variant_types(spark, sf_dir):
     """Heterogeneous property: one key holds int / string / float on
     different nodes; WHERE dispatches per value type."""
@@ -836,6 +871,13 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 
     "q_mutation_roundtrip": (_q_mutation_roundtrip,
         "SELECT count(*) + 1 AS n_regions, 991 AS max_key FROM region"),
+
+    # CREATE INDEX DDL (cmd_query.c:60-90): index re-lays the label
+    # table; the indexed filter still answers exactly
+    "q_index_ddl": (_q_index_ddl, """
+        SELECT count(*) AS n, min(c_custkey) AS lo, max(c_custkey) AS hi
+        FROM customer WHERE c_acctbal > 9000
+        """),
 
     "q_merge_roundtrip": (_q_merge_roundtrip, """
         SELECT count(*) + 1 AS n,
