@@ -299,13 +299,40 @@ class ExprCompiler:
             return l * r
         if op == "/":
             # division is always floating point in the reference
-            # (src/value.h:181-187); DuckDB agrees, so oracles line up.
-            lt, rt = self.dtype(l), self.dtype(r)
-            if isinstance(lt, _NUMERIC_INT) and isinstance(rt, _NUMERIC_INT):
-                return l.cast("double") / r.cast("double")
-            return l / r
+            # (src/value.h:181-187, SIValue_Divide value.c:438-441) with
+            # IEEE semantics: x/0 → ±inf, 0/0 → nan. Spark's ANSI mode
+            # would error instead — guard the zero divisor explicitly
+            # (try_divide in the live branch so constant folding of a
+            # literal /0 can't throw at plan time).
+            try:
+                lt, rt = self.dtype(l), self.dtype(r)
+                both_int = isinstance(lt, _NUMERIC_INT) \
+                    and isinstance(rt, _NUMERIC_INT)
+            except Exception:   # un-probe-able (lambda var) → int rules
+                both_int = True
+            if both_int:
+                l, r = l.cast("double"), r.cast("double")
+            ieee = F.when(l > 0, F.lit(float("inf"))) \
+                    .when(l < 0, F.lit(float("-inf"))) \
+                    .otherwise(F.lit(float("nan")))
+            return F.when(l.isNull() | r.isNull(),
+                          F.lit(None).cast("double")) \
+                    .when(r == 0, ieee).otherwise(F.try_divide(l, r))
         if op == "%":
-            return l % r
+            # int % 0 errors (the reference's machine-mod would trap,
+            # value.c:444-453); float mod follows fmod → nan
+            try:
+                lt, rt = self.dtype(l), self.dtype(r)
+                both_int = isinstance(lt, _NUMERIC_INT) \
+                    and isinstance(rt, _NUMERIC_INT)
+            except Exception:   # un-probe-able (lambda var) → int rules
+                both_int = True
+            if both_int:
+                return l % r
+            return F.when(l.isNull() | r.isNull(),
+                          F.lit(None).cast("double")) \
+                    .when(r == 0, F.lit(float("nan"))) \
+                    .otherwise(F.try_mod(l, r))
         if op == "^":
             return F.pow(l, r)
         raise CompileError(f"Unknown binary op {op}")

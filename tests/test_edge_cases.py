@@ -320,3 +320,17 @@ def test_list_equality_ternary(spark):
         "[1,2] <> [1,null] AS e, [null] = [null] AS f").collect()[0]
     assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) \
         == (None, False, True, False, None, None)
+
+
+def test_division_ieee_semantics(spark):
+    """Division is always floating point with IEEE zero-divisor results
+    (SIValue_Divide, value.c:438-441): x/0 → ±inf, 0/0 → nan, null
+    propagates; float modulo follows fmod (x % 0.0 → nan)."""
+    import math
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    r = g.query("RETURN 1/0 AS a, -1/0 AS b, 0.0/0.0 AS c, 10/4 AS d, "
+                "null/0 AS e, 5.5 % 0 AS f, 7 % 3 AS g").collect()[0]
+    assert r["a"] == float("inf") and r["b"] == float("-inf")
+    assert math.isnan(r["c"]) and r["d"] == 2.5 and r["e"] is None
+    assert math.isnan(r["f"]) and r["g"] == 1
