@@ -103,7 +103,8 @@ class ExprCompiler:
     def _is_variant(self, col: Column) -> bool:
         """Column is a per-value variant union struct (planner/variant.py
         — heterogeneous property types, SURVEY §7.3)."""
-        if not self.variants_possible:
+        if not self.variants_possible \
+                and not getattr(self, "_made_variant", False):
             return False
         from .variant import is_variant_type
         try:
@@ -167,6 +168,9 @@ class ExprCompiler:
                 else:
                     dt = dts.get(cat) or T.NullType()
                 elems.append(V._elem_encode(c, dt))
+            # downstream variant checks must fire even on graphs with no
+            # variant table columns (variants_possible False)
+            self._made_variant = True
             return V._pack(V.TAG_ARRAY, a=F.array(*elems))
         return F.array(*cols)
 
@@ -741,6 +745,28 @@ class ExprCompiler:
                          c.getField(f).cast("string")).otherwise(out)
         return out
 
+    def _fn_tomap(self, e: A.FuncCall) -> Column:
+        """``tomap(k1, v1, k2, v2, …)`` — alternating string keys and
+        values (AR_TOMAP, map_funcs.c:14-41). Literal keys build a
+        struct (per-value types preserved); runtime keys fall back to a
+        string-valued map."""
+        if len(e.args) == 1:
+            return self.compile(e.args[0])   # passthrough of a map value
+        if len(e.args) % 2 != 0:
+            raise CompileError("map expects even number of elements")
+        if not e.args:
+            return F.create_map()
+        pairs = list(zip(e.args[::2], e.args[1::2]))
+        if all(isinstance(k, A.Literal) and isinstance(k.value, str)
+               for k, _ in pairs):
+            return F.struct(*[
+                self.compile(v).alias(k.value) for k, v in pairs])
+        kvs: list[Column] = []
+        for k, v in pairs:
+            kvs.append(self.compile(k).cast("string"))
+            kvs.append(self.compile(v).cast("string"))
+        return F.create_map(*kvs)
+
     def _fn_keys(self, e: A.FuncCall) -> Column:
         """keys(entity) = names of present (non-null) properties;
         keys(map) = map_keys."""
@@ -754,7 +780,15 @@ class ExprCompiler:
                     return F.array().cast("array<string>")
                 return F.filter(F.array(*pairs),
                                 lambda x: x.isNotNull())
-        return F.map_keys(self.compile(e.args[0]))
+        c = self.compile(e.args[0])
+        try:
+            dt = self.dtype(c)
+        except Exception:
+            dt = None
+        if isinstance(dt, T.StructType):
+            # map literals compile to structs — keys are the field names
+            return F.array(*[F.lit(f) for f in dt.fieldNames()])
+        return F.map_keys(c)
 
     def _fn_datetrunc(self, e: A.FuncCall) -> Column:
         if not isinstance(e.args[0], A.Literal):

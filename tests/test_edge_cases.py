@@ -334,3 +334,24 @@ def test_division_ieee_semantics(spark):
     assert r["a"] == float("inf") and r["b"] == float("-inf")
     assert math.isnan(r["c"]) and r["d"] == 2.5 and r["e"] is None
     assert math.isnan(r["f"]) and r["g"] == 1
+
+
+def test_tomap_varargs_and_keys(spark):
+    """tomap(k1, v1, k2, v2, …) builds a map from alternating pairs
+    (AR_TOMAP, map_funcs.c:14-41); keys() of a map literal lists its
+    keys."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    r = g.query("RETURN tomap('k1', 1, 'k2', 'v').k2 AS v2, "
+                "keys({a: 1, b: 2}) AS ks").collect()[0]
+    assert r["v2"] == "v" and list(r["ks"]) == ["a", "b"]
+
+
+def test_unwind_heterogeneous_list(spark):
+    """UNWIND of a mixed-type list literal works via the variant
+    encoding even on graphs with no variant columns."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    rows = g.query("UNWIND [3, 'a', null, 1.5, true] AS x "
+                   "RETURN x ORDER BY x").collect()
+    assert len(rows) == 5 and rows[-1]["x"] is None
