@@ -22,7 +22,7 @@ KEYWORDS = {
 }
 
 _TOKEN_RE = re.compile(r"""
-    (?P<ws>\s+|//[^\n]*)
+    (?P<ws>\s+|//[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
   | (?P<float>(?:\d+\.\d+|\.\d+)(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
   | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")

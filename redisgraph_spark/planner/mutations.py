@@ -263,9 +263,19 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
         if isinstance(item, A.LabelItem):
             _add_labels(planner, ctx, item)
             continue
-        if isinstance(item.target, A.Variable) and item.op == "+=" and \
+        if isinstance(item.target, A.Variable) and \
                 isinstance(item.value, A.MapLiteral):
-            # SET n += {k: v, …} expands to per-key property sets
+            # SET n += {k: v, …} merges (MERGE_PROPERTIES); SET n = {…}
+            # replaces — clear every other existing property first
+            # (UPDATE_REPLACE, ast_build_op_contexts.c:59-72,
+            # update_functions.c:167-177)
+            if item.op == "=":
+                map_keys = {k for k, _ in item.value.items}
+                info = ctx.vars.get(item.target.name)
+                for k in (info.fields if info is not None else ()):
+                    if k not in map_keys:
+                        expanded.append(A.SetItem(
+                            A.Property(item.target, k), A.Literal(None), "="))
             for k, v in item.value.items:
                 expanded.append(A.SetItem(
                     A.Property(item.target, k), v, "="))

@@ -264,3 +264,19 @@ def test_create_constant_list_props(spark):
             ).collect()
     r = g.query("MATCH (p:P) RETURN p.tags AS t, p.score AS s").collect()
     assert list(r[0]["t"]) == ["x", "y"] and r[0]["s"] == -2.5
+
+
+def test_set_replace_all_properties(g):
+    # SET n = {map} clears every other property (UPDATE_REPLACE,
+    # reference ast_build_op_contexts.c:59-72, update_functions.c:167)
+    g.query("MATCH (n:L {name: 'a'}) SET n = {name: 'a2', w: 7}")
+    got = rows(g.query(
+        "MATCH (n:L) RETURN n.name AS n, n.v AS v, n.w AS w"))
+    assert ("a2", None, 7) in got and ("b", 20, None) in got
+
+
+def test_set_merge_properties_keeps_others(g):
+    g.query("MATCH (n:L {name: 'a'}) SET n += {w: 7}")
+    got = rows(g.query(
+        "MATCH (n:L) RETURN n.name AS n, n.v AS v, n.w AS w"))
+    assert ("a", 10, 7) in got

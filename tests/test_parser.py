@@ -146,3 +146,9 @@ def test_with_where_skip_limit():
     w = q.clauses[1]
     assert isinstance(w, A.WithClause)
     assert w.where is not None and not w.order_by[0].ascending
+
+
+def test_block_comment_tokenizes():
+    from redisgraph_spark.cypher.parser import parse
+    q = parse("MATCH (n) /* a\n block */ RETURN /* x */ n // tail")
+    assert q is not None
