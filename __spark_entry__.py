@@ -620,6 +620,66 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
                CAST(NULL AS BOOLEAN) AS ln, FALSE AS lf
         FROM region ORDER BY name
         """),
+
+    # map projection w/ property selectors + computed entry
+    # (CYPHER_AST_MAP_PROJECTION; compared via canonical JSON rendering
+    # since the contract hash needs scalar columns)
+    "q_map_projection": (
+        "MATCH (p:Part) WHERE p.p_partkey <= 20 "
+        "RETURN p.p_partkey AS k, "
+        "tojson(p {.p_name, .p_size, pricey: p.p_retailprice > 1500}) AS m "
+        "ORDER BY k",
+        """
+        SELECT p_partkey AS k,
+               to_json(struct_pack(p_name := p_name, p_size := p_size,
+                                   pricey := p_retailprice > 1500)) AS m
+        FROM part WHERE p_partkey <= 20 ORDER BY k
+        """),
+
+    # reduce() fold over a list (extension beyond the whitelist, which
+    # comments out CYPHER_AST_REDUCE)
+    "q_reduce": (
+        "MATCH (o:Order) WHERE o.o_orderkey <= 100 "
+        "RETURN o.o_orderkey AS k, "
+        "reduce(acc = 0.0, x IN [o.o_totalprice, 1.0, 2.0] | acc + x) AS s "
+        "ORDER BY k",
+        """
+        SELECT o_orderkey AS k, o_totalprice + 3.0 AS s
+        FROM orders WHERE o_orderkey <= 100 ORDER BY k
+        """),
+
+    # quantifiers any/all/none/single (CYPHER_AST_ANY/ALL + extensions)
+    "q_quantifiers": (
+        "MATCH (p:Part) WHERE p.p_partkey <= 50 "
+        "RETURN p.p_partkey AS k, "
+        "any(x IN [p.p_size, 10] WHERE x > 20) AS qa, "
+        "all(x IN [p.p_size, 10] WHERE x > 5) AS qb, "
+        "none(x IN [p.p_size] WHERE x = 13) AS qc, "
+        "single(x IN [p.p_size, 30] WHERE x > 20) AS qd "
+        "ORDER BY k",
+        """
+        SELECT p_partkey AS k,
+               p_size > 20 AS qa,
+               p_size > 5 AS qb,
+               p_size <> 13 AS qc,
+               NOT (p_size > 20) AS qd
+        FROM part WHERE p_partkey <= 50 ORDER BY k
+        """),
+
+    # chained comparison (CYPHER_AST_COMPARISON with >1 operator)
+    "q_chained_comparison": (
+        "MATCH (p:Part) WHERE 10 <= p.p_size <= 20 RETURN count(*) AS n",
+        "SELECT count(*) AS n FROM part WHERE p_size BETWEEN 10 AND 20"),
+
+    # list slice operator over split() output (CYPHER_AST_SLICE_OPERATOR)
+    "q_slice": (
+        "MATCH (p:Part) WHERE p.p_partkey <= 10 "
+        "RETURN p.p_partkey AS k, split(p.p_name, ' ')[1..3] AS mid "
+        "ORDER BY k",
+        """
+        SELECT p_partkey AS k, str_split(p_name, ' ')[2:3] AS mid
+        FROM part WHERE p_partkey <= 10 ORDER BY k
+        """),
 }
 
 
@@ -848,7 +908,43 @@ def _lang_guess_oracle() -> str:
         """
 
 
+def _q_set_replace(spark, sf_dir):
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, sf_dir)   # fresh graph: mutations isolated
+    # SET n = {map} replaces ALL properties (UPDATE_REPLACE,
+    # ast_build_op_contexts.c:59-72): r_regionkey is cleared too
+    g.query("MATCH (r:Region {r_regionkey: 0}) "
+            "SET r = {r_name: 'ZONE-0', code: 7}")
+    return g.query(
+        "MATCH (r:Region) RETURN count(*) AS n, "
+        "count(r.r_regionkey) AS with_key, count(r.code) AS with_code")
+
+
+def _p_multimodal(spark, sf_dir):
+    """Multimodal plumbing: synthetic binary media → Arrow-batched
+    mapInPandas feature extraction (decoders are deterministic stubs —
+    the image/audio libs are not in this container)."""
+    from redisgraph_spark.pipeline.multimodal import (
+        extract_features, synthetic_media)
+    media = synthetic_media(spark, n=200)
+    return extract_features(media) \
+        .select("media_id", "kind", "n_bytes", "width", "height",
+                "duration_ms") \
+        .orderBy("media_id")
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    # SET n = {map} replace-all + merge counts; oracle encodes the
+    # golden post-mutation property counts against the source table
+    "q_set_replace": (_q_set_replace, """
+        SELECT count(*) AS n, count(*) - 1 AS with_key, 1 AS with_code
+        FROM region
+        """),
+
+    # multimodal binary plumbing — deterministic synthetic media, so
+    # rows-only (no parquet table to express the oracle over)
+    "p_multimodal": (_p_multimodal, None),
+
     "q_fulltext": (_q_fulltext, """
         WITH toks AS (
           SELECT p_partkey,

@@ -746,6 +746,15 @@ class CypherPlanner:
         # fixed edges AND earlier named var-len edge arrays
         for kind, other in edge_uniq:
             if kind == "e":
+                # two edges with disjoint known rel-type sets can never
+                # be the same edge — skip the id inequality (edge ids
+                # are globally unique across rel tables, which the
+                # check itself already relies on)
+                mine = ctx.vars[e_name].labels
+                theirs = ctx.vars[other].labels
+                if mine is not None and theirs is not None and \
+                        not (set(mine) & set(theirs)):
+                    continue
                 ctx.df = ctx.df.filter(
                     F.col(f"{e_name}._id") != F.col(f"{other}._id"))
             else:
