@@ -52,6 +52,28 @@ def oriented_edges(edge_df: DataFrame, direction: str,
     return fwd.unionByName(rev)
 
 
+def slim_cache_key(types, direction: str, track: bool, unbounded: bool,
+                   version) -> tuple:
+    """Graph-scoped cache key for the materialized slim-edge projection
+    (shared between the planner and ``Graph.warm_traversal``)."""
+    return ("vlckpt", tuple(sorted(types or ())), direction, track,
+            unbounded, version)
+
+
+def slim_projection(edges: DataFrame, from_col: str, to_col: str,
+                    need_uniq: bool, track: bool,
+                    edge_struct: Column | None) -> DataFrame:
+    """The pre-projected edge side every hop joins against: traversal
+    key + next id (+ edge id for uniqueness, + struct when the edge
+    variable is referenced)."""
+    esel = [F.col(from_col), F.col(to_col).alias("__vl_next")]
+    if need_uniq:
+        esel.append(F.col("_id").alias("__vl_eid"))
+    if track:
+        esel.append(edge_struct.alias("__vl_estruct"))
+    return edges.select(esel)
+
+
 def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
                    min_hops: int, max_hops: int | None,
                    out_id: str, out_edges: str | None,
@@ -82,15 +104,9 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
     if edge_struct is None:
         edge_struct = F.struct(*[F.col(c) for c in edges.columns
                                  if not c.startswith("__")])
-    eid = F.col("_id")
-
     # Pre-project the edge side once: traversal key + edge id (+ struct).
-    esel = [F.col(from_col), F.col(to_col).alias("__vl_next")]
-    if need_uniq:
-        esel.append(eid.alias("__vl_eid"))
-    if track:
-        esel.append(edge_struct.alias("__vl_estruct"))
-    e = edges.select(esel)
+    e = slim_projection(edges, from_col, to_col, need_uniq, track,
+                        edge_struct)
     cached = ckpt_cache.get(cache_key) if ckpt_cache is not None \
         and cache_key is not None else None
     if cached is not None:

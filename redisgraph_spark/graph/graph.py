@@ -380,6 +380,28 @@ class Graph:
         self._scan_cache[key] = out
         return out
 
+    # ------------------------------------------------------------- warm-up
+    def warm_traversal(self, direction: str = "out") -> "Graph":
+        """Materialize the slim all-relations oriented-edge projection
+        that anonymous bounded var-len traversals join per hop — the
+        analog of the reference building its relation matrices at graph
+        load (``src/graph/graph.h:72-77``) rather than at query time.
+        Mutations bump ``_version``/clear the cache, so the projection
+        is rebuilt lazily after any topology change. Call it from the
+        bulk-load phase; queries then never pay the one-time
+        materialization."""
+        from redisgraph_spark.algorithms import traversal as TRAV
+        key = TRAV.slim_cache_key((), direction, False, False,
+                                  self._version)
+        if key not in self._scan_cache:
+            oriented = TRAV.oriented_edges(
+                self.edges(None), direction, "__vlf", "__vlt")
+            e = TRAV.slim_projection(
+                oriented, "__vlf", "__vlt", need_uniq=False, track=False,
+                edge_struct=None).localCheckpoint(eager=True)
+            self._scan_cache[key] = e
+        return self
+
     # ---------------------------------------------------------------- stats
     def node_count(self, label: str | None = None) -> int:
         """Metadata-answerable count — the ``reduceCount`` optimization

@@ -842,9 +842,9 @@ class CypherPlanner:
         # (only when no dynamic edge-prop filters narrowed it)
         cache_key = None
         if not rel.props:
-            cache_key = ("vlckpt", tuple(sorted(rel.types or ())),
-                         rel.direction, out_edges is not None,
-                         rel.max_hops is None, self.graph._version)
+            cache_key = TRAV.slim_cache_key(
+                rel.types, rel.direction, out_edges is not None,
+                rel.max_hops is None, self.graph._version)
         ctx.df = TRAV.var_len_expand(
             base, start_col, oriented,
             rel.min_hops, rel.max_hops, out_id, out_edges,
