@@ -951,6 +951,15 @@ class CypherPlanner:
                 clause.alias, elem_to_variant(F.col("__uw_elem"))) \
                 .drop("__uw_elem")
         else:
+            try:
+                dt = comp.dtype(col)
+            except Exception:
+                dt = None
+            from pyspark.sql import types as T
+            if isinstance(dt, T.NullType):
+                # UNWIND null produces zero rows (op_unwind.c: null list
+                # is empty); explode() of an untyped NULL won't analyze
+                col = col.cast("array<string>")
             ctx.df = ctx.df.select("*", F.explode(col).alias(clause.alias))
         if "__unit" in ctx.df.columns:
             ctx.df = ctx.df.drop("__unit")

@@ -355,3 +355,11 @@ def test_unwind_heterogeneous_list(spark):
     rows = g.query("UNWIND [3, 'a', null, 1.5, true] AS x "
                    "RETURN x ORDER BY x").collect()
     assert len(rows) == 5 and rows[-1]["x"] is None
+
+
+def test_unwind_null_zero_rows(graph):
+    # UNWIND null expands to no rows (null list is empty, op_unwind.c)
+    assert graph.query("UNWIND null AS x RETURN x").count() == 0
+    got = graph.query(
+        "MATCH (r:Region) UNWIND null AS x RETURN count(*) AS c").collect()
+    assert got[0][0] == 0
