@@ -117,50 +117,58 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
         return _create_bound(planner, ctx, clause)
     nodes_created = 0
     edges_created = 0
+    from redisgraph_spark.session import inline_rows_df
+    # pass 1: collect every node element across ALL paths — a variable
+    # shared between paths in one CREATE is the same node (first
+    # occurrence declares label/props; later occurrences are bare refs);
+    # anonymous elements get positional symbols so edges can wire to
+    # them (reference buffers pending creations keyed by alias,
+    # ops/shared/create_functions.c)
     pending_nodes: dict[str, tuple[str, dict]] = {}  # var -> (label, props)
+    path_vars: list[list[str]] = []
     for path in clause.paths:
-        els = path.elements
-        # first pass: nodes
-        for el in els[::2]:
+        vars_: list[str] = []
+        for el in path.elements[::2]:
             var = el.var or planner.sym("cn")
-            label = el.labels[0] if el.labels else ""
-            pending_nodes[var] = (label, _eval_props(planner, ctx, el.props))
-        # assign ids & append node rows per label
-        ids = dict(zip(pending_nodes, _fresh_ids(len(pending_nodes))))
-        by_label: dict[str, list[dict]] = {}
-        for var, (label, props) in pending_nodes.items():
-            row = {"_id": ids[var], **props}
-            by_label.setdefault(label, []).append(row)
-        for label, rows in by_label.items():
-            from redisgraph_spark.session import inline_rows_df
-            df = inline_rows_df(spark, rows)
-            if df is None:
-                df = spark.createDataFrame(rows)
-            g.node_tables[label] = _union_into(
-                g.node_tables.get(label), df)
-            nodes_created += len(rows)
-        # second pass: edges
+            vars_.append(var)
+            if var not in pending_nodes:
+                label = el.labels[0] if el.labels else ""
+                pending_nodes[var] = (
+                    label, _eval_props(planner, ctx, el.props))
+        path_vars.append(vars_)
+    ids = dict(zip(pending_nodes, _fresh_ids(len(pending_nodes))))
+    by_label: dict[str, list[dict]] = {}
+    for var, (label, props) in pending_nodes.items():
+        by_label.setdefault(label, []).append({"_id": ids[var], **props})
+    for label, rows in by_label.items():
+        df = inline_rows_df(spark, rows)
+        if df is None:
+            df = spark.createDataFrame(rows)
+        g.node_tables[label] = _union_into(g.node_tables.get(label), df)
+        nodes_created += len(rows)
+    # pass 2: edges, batched per relation type
+    edge_rows: dict[str, list[dict]] = {}
+    for path, vars_ in zip(clause.paths, path_vars):
+        els = path.elements
         i = 1
         while i < len(els):
             rel: A.RelPattern = els[i]
-            src_var = els[i - 1].var or list(pending_nodes)[0]
-            dst_var = els[i + 1].var
             rtype = rel.types[0] if rel.types else "RELATED"
             props = _eval_props(planner, ctx, rel.props)
-            src_id = ids.get(src_var)
-            dst_id = ids.get(dst_var)
+            src_id = ids[vars_[(i - 1) // 2]]
+            dst_id = ids[vars_[(i + 1) // 2]]
             if rel.direction == "in":
                 src_id, dst_id = dst_id, src_id
-            row = {"_id": _fresh_ids(1)[0], "_src": src_id, "_dst": dst_id,
-                   **props}
-            from redisgraph_spark.session import inline_rows_df
-            df = inline_rows_df(spark, [row])
-            if df is None:
-                df = spark.createDataFrame([row])
-            g.edge_tables[rtype] = _union_into(
-                g.edge_tables.get(rtype), df)
-            edges_created += 1
+            edge_rows.setdefault(rtype, []).append(
+                {"_id": _fresh_ids(1)[0], "_src": src_id, "_dst": dst_id,
+                 **props})
             i += 2
+    for rtype, rows in edge_rows.items():
+        df = inline_rows_df(spark, rows)
+        if df is None:
+            df = spark.createDataFrame(rows)
+        g.edge_tables[rtype] = _union_into(g.edge_tables.get(rtype), df)
+        edges_created += len(rows)
     planner.stats["nodes_created"] = \
         planner.stats.get("nodes_created", 0) + nodes_created
     planner.stats["relationships_created"] = \

@@ -280,3 +280,41 @@ def test_set_merge_properties_keeps_others(g):
     got = rows(g.query(
         "MATCH (n:L) RETURN n.name AS n, n.v AS v, n.w AS w"))
     assert ("a", 10, 7) in got
+
+
+def test_create_multi_path_no_duplication(spark):
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    g.query("CREATE (:A {x: 1}), (:B {y: 2})")
+    assert g.node_tables["A"].count() == 1
+    assert g.node_tables["B"].count() == 1
+
+
+def test_create_cross_path_var_reuse(spark):
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    g.query("CREATE (a:A)-[:T]->(b:B), (b)-[:T]->(c:C)")
+    assert sorted((k, v.count()) for k, v in g.node_tables.items()) == \
+        [("A", 1), ("B", 1), ("C", 1)]
+    # b is one node: the two edges share its id
+    rows = [tuple(r) for r in g.edge_tables["T"].select("_src", "_dst").collect()]
+    mids = {rows[0][1]} & {rows[1][0]} | {rows[1][1]} & {rows[0][0]}
+    assert mids, f"chain not wired through shared b: {rows}"
+
+
+def test_create_anonymous_endpoints_wired(spark):
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    g.query("CREATE (:A {x: 1})-[:T {w: 2}]->(:B)")
+    got = g.query("MATCH (a)-[e]->(b) RETURN a.x AS ax, e.w AS w, "
+                  "labels(b)[0] AS bl").collect()
+    assert [tuple(r) for r in got] == [(1, 2, "B")]
+
+
+def test_create_reversed_direction(spark):
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    g.query("CREATE (a:A)<-[:T]-(b:B)")
+    got = g.query("MATCH (x)-[:T]->(y) RETURN labels(x)[0] AS f, "
+                  "labels(y)[0] AS t").collect()
+    assert [tuple(r) for r in got] == [("B", "A")]
