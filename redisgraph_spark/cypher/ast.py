@@ -220,6 +220,10 @@ class UnwindClause(Clause):
 class ProjectionItem:
     expr: Expr
     alias: str | None
+    # raw source text of the expression — unaliased projections name
+    # their column by it (the reference names columns by the expression
+    # text, resultset column headers)
+    text: str | None = None
 
 
 @dataclass

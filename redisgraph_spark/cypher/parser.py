@@ -18,6 +18,7 @@ _COMPARE_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 
 class Parser:
     def __init__(self, text: str) -> None:
+        self.text = text
         self.tokens = tokenize(text)
         self.i = 0
 
@@ -178,11 +179,13 @@ class Parser:
             if not self.opt_op(","):
                 return items, star
         while True:
+            start = self.tok.pos
             expr = self.parse_expr()
+            raw = self.text[start:self.tok.pos].strip()
             alias = None
             if self.opt_kw("as"):
                 alias = self.name()
-            items.append(A.ProjectionItem(expr, alias))
+            items.append(A.ProjectionItem(expr, alias, raw or None))
             if not self.opt_op(","):
                 break
         return items, star

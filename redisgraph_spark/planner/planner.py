@@ -345,7 +345,7 @@ class CypherPlanner:
         if m.paths[0].var is not None:
             return None
         expr = r.items[0].expr
-        alias = r.items[0].alias or _deparse(expr)
+        alias = r.items[0].alias or r.items[0].text or _deparse(expr)
         counted = None  # variable the count must target, None = count(*)
         if isinstance(expr, A.FuncCall) and expr.name == "count" \
                 and not expr.distinct and len(expr.args) == 1 \
@@ -1058,12 +1058,12 @@ class CypherPlanner:
             raise PlanError("empty projection")
         all_items = [
             A.ProjectionItem(self._rewrite_graph_funcs(ctx, it.expr),
-                             it.alias)
+                             it.alias, it.text)
             for it in all_items]
 
         aliases: list[str] = []
         for it in all_items:
-            aliases.append(it.alias or _deparse(it.expr))
+            aliases.append(it.alias or it.text or _deparse(it.expr))
 
         has_agg = any(_has_agg(it.expr) for it in all_items)
         comp = self.compiler(ctx)
