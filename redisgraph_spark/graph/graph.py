@@ -459,7 +459,11 @@ class Graph:
             self._log_query(cypher, _time.time() - t0, cache_hit=True)
             return cached
         ast = parse(cypher)
-        df = CypherPlanner(self, params or {}).plan(ast)
+        planner = CypherPlanner(self, params or {})
+        df = planner.plan(ast)
+        # mutation statistics for the last executed query
+        # (≈ resultset_statistics.h:12-20, returned out-of-band)
+        self.last_stats = dict(planner.stats)
         is_write = any(
             isinstance(c, (A.CreateClause, A.MergeClause, A.SetClause,
                            A.DeleteClause, A.RemoveClause, A.IndexDDL))

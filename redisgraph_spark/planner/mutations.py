@@ -148,6 +148,7 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
         nodes_created += len(rows)
     # pass 2: edges, batched per relation type
     edge_rows: dict[str, list[dict]] = {}
+    named_edges: dict[str, tuple[str, dict]] = {}
     for path, vars_ in zip(clause.paths, path_vars):
         els = path.elements
         i = 1
@@ -159,9 +160,11 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             dst_id = ids[vars_[(i + 1) // 2]]
             if rel.direction == "in":
                 src_id, dst_id = dst_id, src_id
-            edge_rows.setdefault(rtype, []).append(
-                {"_id": _fresh_ids(1)[0], "_src": src_id, "_dst": dst_id,
-                 **props})
+            row = {"_id": _fresh_ids(1)[0], "_src": src_id, "_dst": dst_id,
+                   **props}
+            edge_rows.setdefault(rtype, []).append(row)
+            if rel.var:
+                named_edges[rel.var] = (rtype, row)
             i += 2
     for rtype, rows in edge_rows.items():
         df = inline_rows_df(spark, rows)
@@ -169,6 +172,10 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             df = spark.createDataFrame(rows)
         g.edge_tables[rtype] = _union_into(g.edge_tables.get(rtype), df)
         edges_created += len(rows)
+    # bind explicitly-named created entities so a following RETURN/SET
+    # can reference them (CREATE (n) RETURN n — the reference streams
+    # the created record onward, op_create.c consume)
+    _bind_created(planner, ctx, clause, pending_nodes, ids, named_edges)
     planner.stats["nodes_created"] = \
         planner.stats.get("nodes_created", 0) + nodes_created
     planner.stats["relationships_created"] = \
@@ -244,6 +251,60 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             planner.stats.get("relationships_created", 0) + edges_created
     planner.graph._scan_cache.clear()
     return None
+
+
+def _lit_col(v):
+    """A constant value as a typed Column (None → string-typed null so
+    the struct field stays addressable)."""
+    if v is None:
+        return F.lit(None).cast("string")
+    if isinstance(v, (list, tuple)):
+        if not v:
+            return F.array().cast("array<string>")
+        return F.array(*[_lit_col(x) for x in v])
+    return F.lit(v)
+
+
+def _bind_created(planner, ctx, clause, pending_nodes, ids,
+                  named_edges) -> None:
+    """After a standalone CREATE, bind the explicitly-named entities as
+    one-row struct columns so later clauses (RETURN/SET/DELETE in the
+    same query) can reference them (the reference streams the created
+    record onward — op_create.c consume)."""
+    explicit = {el.var for path in clause.paths
+                for el in path.elements[::2] if el.var}
+    cols = []
+    infos: dict[str, VarInfo] = {}
+    for var in explicit:
+        label, props = pending_nodes[var]
+        fields = [F.lit(ids[var]).alias("_id"),
+                  F.lit(label if label else None).alias("_label")]
+        fields += [_lit_col(v).alias(k) for k, v in props.items()]
+        cols.append(F.struct(*fields).alias(var))
+        info = VarInfo("node", tuple(props))
+        if label:
+            info.labels = (label,)
+        infos[var] = info
+    for var, (rtype, row) in named_edges.items():
+        fields = [F.lit(row["_id"]).alias("_id"),
+                  F.lit(row["_src"]).alias("_src"),
+                  F.lit(row["_dst"]).alias("_dst"),
+                  F.lit(rtype).alias("_rel")]
+        fields += [_lit_col(v).alias(k) for k, v in row.items()
+                   if k not in ("_id", "_src", "_dst")]
+        cols.append(F.struct(*fields).alias(var))
+        info = VarInfo("edge", tuple(k for k in row
+                                     if k not in ("_id", "_src", "_dst")))
+        info.labels = (rtype,)
+        infos[var] = info
+    if not cols:
+        return
+    base = planner._unit_df().select(cols)
+    if ctx.df is None:
+        ctx.df = base
+    else:
+        ctx.df = ctx.df.crossJoin(base)
+    ctx.vars.update(infos)
 
 
 # ------------------------------------------------------------------- SET

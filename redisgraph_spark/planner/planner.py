@@ -321,8 +321,11 @@ class CypherPlanner:
             else:
                 raise PlanError(f"Unsupported clause {type(clause).__name__}")
         if result is None:
-            # mutation-only query: return statistics frame
-            result = self._stats_df()
+            # mutation-only query: empty result set — statistics travel
+            # out-of-band (Graph.last_stats), matching the reference's
+            # empty reply + statistics footer
+            # (src/resultset/resultset_statistics.h:12-20)
+            result = self.graph.spark.range(0, 0, 1, 1).select()
         return result
 
     def _try_reduce_count(self, q: A.SingleQuery) -> DataFrame | None:

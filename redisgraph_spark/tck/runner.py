@@ -1,0 +1,213 @@
+"""openCypher TCK scenario executor.
+
+Runs TCK scenarios (parsed by ``gherkin.py``) against a fresh
+``Graph`` per scenario, comparing collected Spark rows with the
+expected tables via ``values.py`` canonicalization. This mirrors the
+reference's conformance harness (``tests/tck/test_tck.py:13-23`` runs
+the same corpus under behave, tags ``-crash -skip``).
+
+Outcomes per scenario: PASS / FAIL / SKIP (uses a fixture or feature
+the harness doesn't model: binary-tree graphs, procedure
+registration, CSV resources) / ERROR. Side-effect assertions ("And
+the side effects should be") are not asserted — the result-table
+comparison is the gate — and are recorded as unchecked.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from dataclasses import dataclass
+
+from .gherkin import Scenario, parse_feature
+from .values import (TCKParseError, parse_cell, sort_lists_deep,
+                     spark_to_canon)
+
+DEFAULT_FEATURES = "/root/reference/tests/tck/features"
+
+
+@dataclass
+class Outcome:
+    scenario: str        # "feature::name"
+    status: str          # PASS | FAIL | SKIP | ERROR
+    detail: str = ""
+
+
+def load_scenarios(root: str | None = None) -> list[Scenario]:
+    root = root or os.environ.get("SPARK_GRAFT_TCK_DIR", DEFAULT_FEATURES)
+    out: list[Scenario] = []
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            if not f.endswith(".feature"):
+                continue
+            path = os.path.join(dirpath, f)
+            with open(path, encoding="utf-8") as fh:
+                text = fh.read()
+            out.extend(parse_feature(text, os.path.splitext(f)[0]))
+    return out
+
+
+def _cell_to_python(s: str):
+    """Parameter values must be real Python lists/dicts/scalars."""
+    v = parse_cell(s)
+    return _thaw(v)
+
+
+def _thaw(v):
+    if isinstance(v, tuple) and v and v[0] in ("node", "rel", "path"):
+        raise TCKParseError("entity parameters unsupported")
+    if isinstance(v, tuple) and all(
+            isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], str)
+            for x in v) and len(v) > 0:
+        # ambiguous: frozen map vs list of pairs — TCK params use maps
+        # only via {..} cells, which freeze to pair tuples
+        return {k: _thaw(x) for k, x in v}
+    if isinstance(v, tuple):
+        return [_thaw(x) for x in v]
+    return v
+
+
+class _Skip(Exception):
+    pass
+
+
+class _Fail(Exception):
+    pass
+
+
+def run_scenario(spark, sc: Scenario) -> Outcome:
+    from redisgraph_spark import Graph
+    name = f"{sc.feature}::{sc.name}"
+    g = None
+    params: dict = {}
+    result = None            # collected rows (list of Row) or None
+    result_cols: list[str] = []
+    error: Exception | None = None
+    executed_main = False
+
+    def ensure_graph():
+        nonlocal g
+        if g is None:
+            g = Graph(spark, {}, {})
+        return g
+
+    try:
+        for st in sc.steps:
+            t = st.text
+            if t in ("an empty graph", "any graph"):
+                g = Graph(spark, {}, {})
+            elif t.startswith("the binary-tree"):
+                raise _Skip("binary-tree fixture")
+            elif t.startswith("there exists a procedure") or \
+                    t.startswith("there exists a CSV file"):
+                raise _Skip("fixture registration")
+            elif t == "having executed:" or t == "having executed":
+                ensure_graph().query(st.doc or "")
+            elif t == "parameters are:" or t == "parameters are":
+                for row in (st.table or []):
+                    if len(row) >= 2:
+                        params[row[0]] = _cell_to_python(row[1])
+            elif t.startswith("executing query:") or \
+                    t == "executing query" or \
+                    t.startswith("executing control query:"):
+                executed_main = True
+                error = None
+                result = None
+                try:
+                    df = ensure_graph().query(st.doc or "", params or None)
+                    result_cols = list(df.columns)
+                    result = df.collect()
+                except Exception as ex:  # expected by negative tests
+                    error = ex
+            elif t.startswith("the result should be empty"):
+                _expect_no_error(error)
+                if result is None or len(result) != 0:
+                    raise _Fail(f"expected empty, got "
+                                f"{0 if result is None else len(result)} "
+                                f"rows")
+            elif t.startswith("the result should be, in order"):
+                _compare(result_cols, result, st.table, error,
+                         ordered=True)
+            elif t.startswith("the result should be, in any order") or \
+                    t.startswith("the result should be:"):
+                _compare(result_cols, result, st.table, error,
+                         ordered=False)
+            elif t.startswith("the result should be (ignoring element "
+                              "order for lists)"):
+                _compare(result_cols, result, st.table, error,
+                         ordered=False, sort_lists=True)
+            elif "should be raised" in t:
+                if not executed_main:
+                    raise _Skip("error-step without query")
+                if error is None:
+                    raise _Fail(f"expected error ({t}), query succeeded")
+                error = None  # consumed
+            elif t == "no side effects" or \
+                    t.startswith("the side effects should be"):
+                continue  # recorded as unchecked (see module docstring)
+            else:
+                raise _Skip(f"unsupported step: {t[:60]}")
+        if error is not None:
+            raise _Fail(f"query raised {type(error).__name__}: "
+                        f"{str(error)[:120]}")
+        if not executed_main:
+            raise _Skip("no query executed")
+        return Outcome(name, "PASS")
+    except _Skip as ex:
+        return Outcome(name, "SKIP", str(ex))
+    except _Fail as ex:
+        return Outcome(name, "FAIL", str(ex))
+    except TCKParseError as ex:
+        return Outcome(name, "SKIP", f"expected-value parse: {ex}")
+    except Exception as ex:
+        return Outcome(name, "ERROR",
+                       f"{type(ex).__name__}: {str(ex)[:160]}")
+
+
+def _expect_no_error(error):
+    if error is not None:
+        raise _Fail(f"query raised {type(error).__name__}: "
+                    f"{str(error)[:160]}")
+
+
+def _compare(cols, rows, table, error, ordered: bool,
+             sort_lists: bool = False) -> None:
+    _expect_no_error(error)
+    if rows is None:
+        raise _Fail("no result captured")
+    if not table:
+        raise _Fail("expected table missing")
+    exp_cols = table[0]
+    if list(cols) != list(exp_cols):
+        raise _Fail(f"columns {cols} != expected {exp_cols}")
+    exp_rows = [tuple(parse_cell(c) for c in r) for r in table[1:]]
+    got_rows = [tuple(spark_to_canon(v) for v in r) for r in rows]
+    if sort_lists:
+        exp_rows = [tuple(sort_lists_deep(v) for v in r) for r in exp_rows]
+        got_rows = [tuple(sort_lists_deep(v) for v in r) for r in got_rows]
+    if ordered:
+        if got_rows != exp_rows:
+            raise _Fail(_diff(got_rows, exp_rows))
+    else:
+        if Counter(map(repr, got_rows)) != Counter(map(repr, exp_rows)):
+            raise _Fail(_diff(got_rows, exp_rows))
+
+
+def _diff(got, exp) -> str:
+    g = Counter(map(repr, got))
+    e = Counter(map(repr, exp))
+    missing = list((e - g).elements())[:3]
+    extra = list((g - e).elements())[:3]
+    return (f"{len(got)} rows vs {len(exp)} expected; "
+            f"missing={missing} extra={extra}")
+
+
+def run_all(spark, scenarios=None, root: str | None = None,
+            progress=None) -> list[Outcome]:
+    scenarios = scenarios if scenarios is not None else load_scenarios(root)
+    outcomes = []
+    for k, sc in enumerate(scenarios):
+        outcomes.append(run_scenario(spark, sc))
+        if progress and (k + 1) % 50 == 0:
+            progress(k + 1, len(scenarios), outcomes)
+    return outcomes

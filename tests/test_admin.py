@@ -141,9 +141,8 @@ def test_set_type_conflict_demotes(spark):
 def test_create_index_ddl(social):
     """CREATE INDEX ON :L(p) — reference cmd_query.c:60-75; the index
     re-lays the label table sorted on the key and is cataloged."""
-    res = social.query("CREATE INDEX ON :person(age)").collect()
-    stats = {r["stat"]: r["value"] for r in res}
-    assert stats.get("indices_created") == 1
+    social.query("CREATE INDEX ON :person(age)").collect()
+    assert social.last_stats.get("indices_created") == 1
     assert social.indexes["person"] == ["age"]
     rows = social.query("CALL db.indexes() YIELD type, label, properties "
                         "RETURN type, label, properties").collect()
@@ -154,16 +153,14 @@ def test_create_index_ddl(social):
                        "RETURN p.name AS n ORDER BY n").collect()
     assert [r["n"] for r in got] == ["Noam", "Omri"]
     # duplicate create is a no-op
-    res2 = social.query("CREATE INDEX ON :person(age)").collect()
-    stats2 = {r["stat"]: r["value"] for r in res2}
-    assert stats2.get("indices_created", 0) == 0
+    social.query("CREATE INDEX ON :person(age)").collect()
+    assert social.last_stats.get("indices_created", 0) == 0
 
 
 def test_drop_index_ddl(social):
     social.query("CREATE INDEX ON :person(age)")
-    res = social.query("DROP INDEX ON :person(age)").collect()
-    stats = {r["stat"]: r["value"] for r in res}
-    assert stats.get("indices_deleted") == 1
+    social.query("DROP INDEX ON :person(age)").collect()
+    assert social.last_stats.get("indices_deleted") == 1
     import pytest
     with pytest.raises(ValueError, match="no such index"):
         social.query("DROP INDEX ON :person(age)")
