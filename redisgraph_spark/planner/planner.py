@@ -715,8 +715,16 @@ class CypherPlanner:
                 ctx.vars[e_name].endpoints = (left_var, right_var)
             elif rel.direction == "in":
                 ctx.vars[e_name].endpoints = (right_var, left_var)
+        rebound: str | None = None
         if e_name in ctx.vars:
-            raise PlanError(f"Edge variable `{e_name}` reused")
+            # a bound edge variable in a later pattern is a constraint,
+            # not a redeclaration: match the hop with a hidden edge and
+            # require identity with the bound one (the reference resolves
+            # the shared alias to the same record entry)
+            if ctx.vars[e_name].kind != "edge":
+                raise PlanError(f"Variable `{e_name}` is not an edge")
+            rebound = e_name
+            e_name = self.sym("re")
         from_c, to_c = self.sym("from"), self.sym("to")
         oriented, props = self._oriented_edge_sel(rel, from_c, to_c)
         base_cols = [c for c in oriented.columns if c not in (from_c, to_c)]
@@ -737,6 +745,9 @@ class CypherPlanner:
         ctx.vars[e_name] = VarInfo("edge", props)
         if rel.types:
             ctx.vars[e_name].labels = tuple(rel.types)
+        if rebound is not None:
+            ctx.df = ctx.df.filter(
+                F.col(f"{e_name}._id") == F.col(f"{rebound}._id"))
         comp = self.compiler(ctx)
         for k, v in rel.props:
             if k in props:
@@ -966,7 +977,24 @@ class CypherPlanner:
             ctx.df = ctx.df.select("*", F.explode(col).alias(clause.alias))
         if "__unit" in ctx.df.columns:
             ctx.df = ctx.df.drop("__unit")
-        ctx.vars[clause.alias] = VarInfo("scalar")
+        # an exploded node/edge struct stays usable as a graph entity in
+        # later patterns (UNWIND collect(n) AS m MATCH (m)-[:R]->() …)
+        from pyspark.sql import types as T
+        dt = ctx.df.schema[clause.alias].dataType
+        if isinstance(dt, T.StructType):
+            names = set(dt.fieldNames())
+            props = tuple(f for f in dt.fieldNames()
+                          if f not in ("_id", "_label", "_labels",
+                                       "_src", "_dst", "_rel"))
+            if "_id" in names and ("_src" in names and "_dst" in names):
+                ctx.vars[clause.alias] = VarInfo("edge", props)
+            elif "_id" in names and ("_label" in names
+                                     or "_labels" in names):
+                ctx.vars[clause.alias] = VarInfo("node", props)
+            else:
+                ctx.vars[clause.alias] = VarInfo("scalar")
+        else:
+            ctx.vars[clause.alias] = VarInfo("scalar")
 
     # ------------------------------------------------------------------ CALL
     def _clause_call(self, ctx: Ctx, clause: A.CallClause) -> None:
@@ -1053,7 +1081,9 @@ class CypherPlanner:
             ctx.df = self._unit_df()
         all_items: list[A.ProjectionItem] = []
         if star:
-            for v, info in ctx.vars.items():
+            # star expansion is alphabetical (openCypher RETURN *
+            # column order, per the TCK)
+            for v in sorted(ctx.vars):
                 if not v.startswith("__"):
                     all_items.append(A.ProjectionItem(A.Variable(v), v))
         all_items.extend(items)

@@ -323,10 +323,32 @@ def path_canon(d: dict):
     return ("path", tuple(elems))
 
 
+_VARIANT_FIELDS = ("_vt", "_i", "_d", "_s", "_b")
+
+
+def _variant_decode(d: dict):
+    """Per-value variant struct (planner/variant.py) → plain value."""
+    tag = d.get("_vt")
+    if tag == 1:
+        return d.get("_i")
+    if tag == 2:
+        return _canon(d.get("_d"))
+    if tag == 3:
+        return d.get("_s")
+    if tag == 4:
+        return d.get("_b")
+    if tag == 5:
+        return tuple(spark_to_canon(x) for x in (d.get("_a") or []))
+    return None
+
+
 def spark_to_canon(v):
     """A collected Spark value → canonical comparable form."""
     if hasattr(v, "asDict"):  # Row
         d = v.asDict(recursive=False)
+        if tuple(d)[:5] == _VARIANT_FIELDS and \
+                set(d) <= set(_VARIANT_FIELDS) | {"_a"}:
+            return _variant_decode(d)
         if set(d) == {"nodes", "edges"}:
             return path_canon(d)
         if _is_rel_row(d):
