@@ -46,6 +46,10 @@ AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect", "stdev",
 class Ctx:
     df: DataFrame | None = None
     vars: dict[str, VarInfo] = field(default_factory=dict)
+    # variables bound before the MATCH clause currently being compiled;
+    # edge reuse inside one clause is VariableAlreadyBound, reuse of an
+    # earlier-clause binding is an identity constraint
+    clause_bound: frozenset = frozenset()
 
 
 def _walk(e):
@@ -396,6 +400,7 @@ class CypherPlanner:
             self._optional_match(ctx, clause)
             return
         edge_uniq: list[str] = []
+        ctx.clause_bound = frozenset(ctx.vars)
         for path in clause.paths:
             self._compile_path(ctx, path, edge_uniq)
         if clause.where is not None:
@@ -723,6 +728,10 @@ class CypherPlanner:
             # the shared alias to the same record entry)
             if ctx.vars[e_name].kind != "edge":
                 raise PlanError(f"Variable `{e_name}` is not an edge")
+            if e_name not in ctx.clause_bound:
+                # same-clause reuse of a relationship variable is a
+                # syntax error (ast_validations.c edge-alias checks)
+                raise PlanError(f"Edge variable `{e_name}` reused")
             rebound = e_name
             e_name = self.sym("re")
         from_c, to_c = self.sym("from"), self.sym("to")
