@@ -43,25 +43,29 @@ def compile_shortest_path(planner, ctx, path: A.PatternPath) -> None:
     e = oriented.select(F.col(from_c), F.col(to_c).alias("__sp_next"),
                         F.col("_id").alias("__sp_eid"))
 
-    base = ctx.df
-    base_cols = [F.col(c) for c in base.columns]
-    # origin key for per-row BFS state
-    frontier = base.select(
-        *base_cols,
-        F.col(f"{src}._id").alias("__sp_cur"),
+    # BFS state is (origin id, current node, path ids) over DISTINCT
+    # origins only — never the full input rows.  Input rows re-attach by
+    # an origin-id join afterwards, so many rows sharing a source (e.g.
+    # a bound destination varying per row) cost one BFS, and the frontier
+    # size is bounded by |reachable nodes|, not |input rows| — the shape
+    # that survives a 100× scale-up.
+    frontier = ctx.df.select(
+        F.col(f"{src}._id").alias("__sp_origin")).dropDuplicates().select(
+        F.col("__sp_origin"),
+        F.col("__sp_origin").alias("__sp_cur"),
         F.array().cast("array<long>").alias("__sp_eids"),
-        F.array(F.col(f"{src}._id")).alias("__sp_nids"),
+        F.array(F.col("__sp_origin")).alias("__sp_nids"),
     )
     results = []
     if rel.min_hops == 0:
         results.append(frontier)
-    seen = frontier.select(F.col(f"{src}._id").alias("__sp_origin"),
-                           F.col("__sp_cur")).dropDuplicates()
+    seen = frontier.select(F.col("__sp_origin").alias("__so"),
+                           F.col("__sp_cur").alias("__sc")).dropDuplicates()
     hop = 0
     while hop < max_hops:
         hop += 1
         nxt = frontier.join(e, frontier["__sp_cur"] == e[from_c], "inner") \
-            .select(*base_cols,
+            .select(F.col("__sp_origin"),
                     F.col("__sp_next").alias("__sp_cur"),
                     F.array_append(F.col("__sp_eids"),
                                    F.col("__sp_eid")).alias("__sp_eids"),
@@ -71,20 +75,20 @@ def compile_shortest_path(planner, ctx, path: A.PatternPath) -> None:
         # smaller hop count (first reach = shortest)
         nxt = nxt.join(
             seen,
-            (F.col(f"{src}._id") == seen["__sp_origin"])
-            & (nxt["__sp_cur"] == seen["__sp_cur"]),
+            (nxt["__sp_origin"] == seen["__so"])
+            & (nxt["__sp_cur"] == seen["__sc"]),
             "left_anti")
         if path.shortest == "all":
             # allShortestPaths: keep every distinct first-reach path
-            nxt = nxt.dropDuplicates(["__sp_eids", "__sp_cur", src])
+            nxt = nxt.dropDuplicates(["__sp_origin", "__sp_cur",
+                                      "__sp_eids"])
         else:
             # one deterministic shortest path per (origin, node)
-            nxt = nxt.groupBy(F.col(f"{src}._id").alias("__sp_o"),
-                              F.col("__sp_cur")) \
-                .agg(F.min(F.struct("__sp_eids", "__sp_nids",
-                                    *[c for c in base.columns]))
+            nxt = nxt.groupBy("__sp_origin", "__sp_cur") \
+                .agg(F.min(F.struct("__sp_eids", "__sp_nids"))
                      .alias("__m")) \
-                .select(F.col("__m.*"), F.col("__sp_cur"))
+                .select("__sp_origin", "__sp_cur", F.col("__m.__sp_eids"),
+                        F.col("__m.__sp_nids"))
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
@@ -92,15 +96,20 @@ def compile_shortest_path(planner, ctx, path: A.PatternPath) -> None:
         if hop >= rel.min_hops:
             results.append(nxt)
         seen = seen.unionByName(
-            nxt.select(F.col(f"{src}._id").alias("__sp_origin"),
-                       F.col("__sp_cur"))).dropDuplicates() \
+            nxt.select(F.col("__sp_origin").alias("__so"),
+                       F.col("__sp_cur").alias("__sc"))).dropDuplicates() \
             .localCheckpoint(eager=True)
 
     if not results:
         results = [frontier.limit(0)]
-    out = results[0]
+    paths = results[0]
     for r in results[1:]:
-        out = out.unionByName(r)
+        paths = paths.unionByName(r)
+
+    # re-attach the input rows by origin id
+    out = ctx.df.join(
+        paths, F.col(f"{src}._id") == paths["__sp_origin"],
+        "inner").drop("__sp_origin")
 
     # bind destination node
     tgt = dst_np.var or planner.sym("n")

@@ -471,6 +471,7 @@ class CypherPlanner:
         """Replace indegree(n)/outdegree(n) with degree columns joined
         from an edge aggregation (reference entity funcs
         ``src/arithmetic/entity_funcs/entity_funcs.c:186-230``)."""
+        e = self._rewrite_shortest_paths(ctx, e)
         calls = [n for n in _walk(e)
                  if isinstance(n, A.FuncCall)
                  and n.name in ("indegree", "outdegree")
@@ -497,6 +498,72 @@ class CypherPlanner:
             ctx.vars[hidden] = VarInfo("scalar")
             mapping[id(call)] = A.FuncCall(
                 "coalesce", [A.Variable(hidden), A.Literal(0)])
+        return _substitute(e, mapping)
+
+    def _rewrite_shortest_paths(self, ctx: Ctx, e: A.Expr) -> A.Expr:
+        """shortestPath() in expression position (RETURN / WITH / WHERE):
+        evaluate the BFS once over the distinct bound endpoint pairs and
+        left-join the path value back, so rows with no path get NULL
+        (reference ``src/arithmetic/path_funcs/path_funcs.c:119-179`` —
+        AR_ShortestPath requires both endpoints resolved and yields NULL
+        when the destination is unreachable)."""
+        sps = [n for n in _walk(e) if isinstance(n, A.ShortestPathExpr)]
+        if not sps:
+            return e
+        import dataclasses
+        from redisgraph_spark.algorithms.shortest_path import \
+            compile_shortest_path
+        # length(shortestPath(..)) / size(..) never needs entity structs
+        light_ids = {id(n.args[0]) for n in _walk(e)
+                     if isinstance(n, A.FuncCall)
+                     and n.name in ("length", "size") and n.args}
+        mapping: dict[int, A.Expr] = {}
+        for sp in sps:
+            path = sp.pattern
+            if sp.all_paths:
+                raise PlanError(
+                    "allShortestPaths() is only allowed inside MATCH")
+            if len(path.elements) != 3:
+                raise PlanError(
+                    "shortestPath() expects a single-hop pattern "
+                    "(a)-[*..]->(b)")
+            s_np, _rel, t_np = path.elements
+            s, t = s_np.var, t_np.var
+            for np in (s_np, t_np):
+                if np.var is None or np.var not in ctx.vars \
+                        or ctx.vars[np.var].kind != "node":
+                    raise PlanError(
+                        "shortestPath() in an expression requires both "
+                        "endpoints to be bound nodes")
+                if np.labels or np.props:
+                    raise PlanError(
+                        "shortestPath() endpoints in an expression must "
+                        "be bare bound variables")
+            pvar = self.sym("sp")
+            if id(sp) in light_ids:
+                self._light_paths.add(pvar)
+            sk, tk = self.sym("spsrc"), self.sym("spdst")
+            pairs = ctx.df.select(
+                F.col(f"{s}._id").alias(sk),
+                F.col(f"{t}._id").alias(tk)).dropDuplicates()
+            sub = Ctx()
+            sub.df = pairs.select(
+                F.struct(F.col(sk).alias("_id")).alias(s),
+                F.struct(F.col(tk).alias("_id")).alias(t))
+            sub.vars[s] = VarInfo("node", ())
+            sub.vars[t] = VarInfo("node", ())
+            compile_shortest_path(
+                self, sub, dataclasses.replace(path, var=pvar))
+            res = sub.df.select(
+                F.col(f"{s}._id").alias(sk),
+                F.col(f"{t}._id").alias(tk), F.col(pvar))
+            ctx.df = ctx.df.join(
+                res,
+                (F.col(f"{s}._id") == F.col(sk))
+                & (F.col(f"{t}._id") == F.col(tk)),
+                "left").drop(sk, tk)
+            ctx.vars[pvar] = VarInfo("path")
+            mapping[id(sp)] = A.Variable(pvar)
         return _substitute(e, mapping)
 
     def _rewrite_pattern_flags(self, ctx: Ctx, e: A.Expr) -> A.Expr:

@@ -397,3 +397,38 @@ def test_optional_match_empty_and_disconnected(social):
         "OPTIONAL MATCH (b:person {name: 'Ghost'}) "
         "RETURN a.name AS x, b.name AS y").collect()
     assert [(r["x"], r["y"]) for r in rows] == [("Roi", None)]
+
+
+class TestShortestPathExpr:
+    """shortestPath() in expression position (path_funcs.c:119-179)."""
+
+    def test_return_position(self, social):
+        # Roi -> Ori is 2 hops (Roi->Alon->Ori)
+        got = rows(social.query(
+            "MATCH (a:person {name: 'Roi'}), (b:person {name: 'Ori'}) "
+            "RETURN length(shortestPath((a)-[:friend*..5]->(b))) AS l"))
+        assert got == [(2,)]
+
+    def test_unreachable_is_null(self, social):
+        got = rows(social.query(
+            "MATCH (a:person {name: 'Ori'}), (b:person {name: 'Roi'}) "
+            "RETURN length(shortestPath((a)-[:friend*..5]->(b))) AS l"))
+        assert got == [(None,)]
+
+    def test_where_position_multi_target(self, social):
+        # every person Roi can reach in exactly 2 friend hops
+        got = rows(social.query(
+            "MATCH (a:person {name: 'Roi'}), (b:person) WHERE "
+            "length(shortestPath((a)-[:friend*..5]->(b))) = 2 "
+            "RETURN b.name AS n ORDER BY n"))
+        assert got == [("Jane",), ("Noam",), ("Omri",), ("Ori",),
+                       ("Shelly",)]
+
+    def test_match_bound_dst_multi_row(self, social):
+        # regression: BFS dedup must not collapse rows sharing an origin
+        # when the destination is bound and varies per row
+        got = rows(social.query(
+            "MATCH (a:person {name: 'Roi'})-[:friend]->(b) "
+            "MATCH p = shortestPath((a)-[:friend*..3]->(b)) "
+            "RETURN count(p) AS k"))
+        assert got == [(4,)]
