@@ -37,6 +37,9 @@ class VarInfo:
         # them as structs — lets startNode()/endNode() return the full
         # node instead of a bare id reference
         self.endpoints: tuple[str | None, str | None] | None = None
+        # undirected hop: endpoints are (left, right) pattern-side vars;
+        # which one is the edge's _src depends on the matched row
+        self.undirected = False
         # candidate label tables (nodes) / relation tables (edges) this
         # variable can live in; None = unknown (all tables). Mutations
         # use it to rewrite only the affected tables.
@@ -698,9 +701,22 @@ class ExprCompiler:
         # startNode/endNode IS that node (entity_funcs.c:186-230);
         # otherwise fall back to the id reference (edge's _src/_dst)
         if isinstance(e.args[0], A.Variable):
-            info = self.vars.get(e.args[0].name)
+            name = e.args[0].name
+            info = self.vars.get(name)
             if info is not None and info.kind == "edge" and info.endpoints:
-                ep = info.endpoints[side]
+                left, right = info.endpoints
+                if info.undirected and left is not None \
+                        and right is not None and \
+                        all(self.vars.get(v) is not None
+                            and self.vars[v].kind == "node"
+                            for v in (left, right)):
+                    # undirected hop: the edge's _src decides per row
+                    # which bound endpoint is the start node
+                    a, b = (left, right) if side == 0 else (right, left)
+                    return F.when(
+                        F.col(f"{name}._src") == F.col(f"{left}._id"),
+                        F.col(a)).otherwise(F.col(b))
+                ep = (left, right)[side]
                 if ep is not None:
                     ep_info = self.vars.get(ep)
                     if ep_info is not None and ep_info.kind == "node":

@@ -29,6 +29,23 @@ def _fresh_ids(n: int) -> list[int]:
     return [next(_id_counter) for _ in range(n)]
 
 
+# Distributed id allocation for per-row CREATE/MERGE: each created
+# element gets a driver-reserved block, and rows take
+# block + monotonically_increasing_id() (partition_id * 2^33 + row).
+# Collision-free (unlike content hashes, which repeat for identical
+# rows) and overflow-free (unlike abs(hash)+offset, which wraps past
+# 2^63 under ANSI mode).  Stride 2^46 supports up to 2^13 partitions
+# per created batch.  Mono ids are pinned by the eager localCheckpoint
+# of the batch before any table union, so they never recompute.
+_BLOCK_BASE = 4_600_000_000_000_000_000
+_BLOCK_STRIDE = 1 << 46
+_block_counter = itertools.count(0)
+
+
+def _alloc_block() -> int:
+    return _BLOCK_BASE + next(_block_counter) * _BLOCK_STRIDE
+
+
 def apply_mutation(planner, ctx, clause) -> DataFrame | None:
     # mutated tables invalidate the graph's unified-scan cache so later
     # clauses in this same query see the new state (read-your-writes)
@@ -199,19 +216,30 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
         if len(els) == 1:
             np = els[0]
             label = np.labels[0] if np.labels else ""
-            cols = [F.lit(None).cast("long").alias("_id")] + [
-                comp.compile(v).alias(k) for k, v in np.props]
-            rows = ctx.df.select(cols)
-            # deterministic ids: hash of row content offset into the
-            # mutation namespace
-            rows = rows.withColumn(
-                "_id", F.abs(F.xxhash64(*[c for c in rows.columns
-                                          if c != "_id"])) +
-                F.lit(20_000_000_000_000_000))
+            rk = planner.sym("cbrow")
+            base = ctx.df.withColumn(
+                rk, F.monotonically_increasing_id() + F.lit(_alloc_block())
+            ).localCheckpoint(eager=True)
+            comp = planner.compiler(ctx)
+            prop_cols = [comp.compile(v).alias(k) for k, v in np.props]
+            rows = base.select(F.col(rk).alias("_id"), *prop_cols) \
+                .localCheckpoint(eager=True)
             g.node_tables[label] = _union_into(
                 g.node_tables.get(label), rows)
             planner.stats["nodes_created"] = \
                 planner.stats.get("nodes_created", 0) + rows.count()
+            if np.var and np.var not in ctx.vars:
+                # bind the created node per row so later clauses in this
+                # query (CREATE edges, SET, RETURN) can reference it
+                struct = F.struct(
+                    F.col(rk).alias("_id"),
+                    F.lit(label).alias("_label"),
+                    *prop_cols).alias(np.var)
+                ctx.df = base.select("*", struct).drop(rk)
+                ctx.vars[np.var] = VarInfo(
+                    "node", tuple(k for k, _ in np.props))
+            else:
+                ctx.df = base.drop(rk)
             continue
         unbound = any(
             isinstance(el, A.NodePattern)
@@ -235,16 +263,33 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             dst_c = F.col(f"{dst_np.var}._id")
             if rel.direction == "in":
                 src_c, dst_c = dst_c, src_c
-            cols = [src_c.alias("_src"), dst_c.alias("_dst")] + [
-                comp.compile(v).alias(k) for k, v in rel.props]
-            rows = ctx.df.select(cols)
-            rows = rows.withColumn(
-                "_id", F.abs(F.xxhash64("_src", "_dst")) +
-                F.lit(21_000_000_000_000_000))
+            comp = planner.compiler(ctx)
+            rk = planner.sym("cberow")
+            # pin the edge id on the input row, so the table row and
+            # the per-row binding are the same edge
+            base = ctx.df.withColumn(
+                rk, F.monotonically_increasing_id() + F.lit(_alloc_block())
+            ).localCheckpoint(eager=True)
+            prop_cols = [comp.compile(v).alias(k) for k, v in rel.props]
+            rows = base.select(
+                F.col(rk).alias("_id"), src_c.alias("_src"),
+                dst_c.alias("_dst"), *prop_cols).localCheckpoint(eager=True)
             cnt = rows.count()
             g.edge_tables[rtype] = _union_into(
                 g.edge_tables.get(rtype), rows)
             edges_created += cnt
+            if rel.var and rel.var not in ctx.vars:
+                # bind the created edge per row (CREATE ()-[r:T]->()
+                # ... RETURN r / SET r.p)
+                struct = F.struct(
+                    F.col(rk).alias("_id"), src_c.alias("_src"),
+                    dst_c.alias("_dst"), F.lit(rtype).alias("_rel"),
+                    *prop_cols).alias(rel.var)
+                ctx.df = base.select("*", struct).drop(rk)
+                ctx.vars[rel.var] = VarInfo(
+                    "edge", tuple(k for k, _ in rel.props))
+            else:
+                ctx.df = base.drop(rk)
             i += 2
     if edges_created:
         planner.stats["relationships_created"] = \
@@ -600,9 +645,36 @@ def _merge(planner, ctx, clause: A.MergeClause) -> DataFrame | None:
       pattern's property expressions, with MergeCreate-style dedup of
       identical pending creations (``ops/op_merge_create.c``).
     """
-    from redisgraph_spark.planner.planner import Ctx
+    from redisgraph_spark.planner.planner import Ctx, PlanError
 
     els = clause.path.elements
+    for el in els[1::2]:
+        if el.min_hops is not None:
+            raise PlanError("MERGE cannot contain variable-length patterns")
+        if not el.types or len(el.types) != 1:
+            # NoSingleRelationshipType (TCK Merge5 [23]-[25])
+            raise PlanError(
+                "MERGE requires exactly one relationship type")
+    for el in els:
+        for k, v in el.props:
+            if (isinstance(v, A.Literal) and v.value is None) or \
+                    (isinstance(v, A.Parameter)
+                     and planner.params.get(v.name, object()) is None):
+                # merging on a null property can never match nor create
+                raise PlanError(
+                    f"Cannot merge using null property value for `{k}`")
+    # ON MATCH / ON CREATE variables must be in scope even when the
+    # branch never runs (UndefinedVariable at compile time)
+    from redisgraph_spark.planner.planner import _walk
+    in_scope = set(ctx.vars) | {clause.path.var} | {
+        getattr(el, "var", None) for el in els}
+    for item in (clause.on_match or []) + (clause.on_create or []):
+        target = getattr(item, "target", None)
+        if target is None:
+            continue
+        for n in _walk(target):
+            if isinstance(n, A.Variable) and n.name not in in_scope:
+                raise PlanError(f"Unknown variable `{n.name}`")
     if ctx.df is None:
         probe = Ctx()
         planner._compile_path(probe, clause.path, [])
@@ -618,9 +690,22 @@ def _merge(planner, ctx, clause: A.MergeClause) -> DataFrame | None:
                 _set(planner, ctx, A.SetClause(clause.on_create))
         return None
 
-    if len(els) != 1:
-        return _merge_path_per_row(planner, ctx, clause)
-    return _merge_per_row(planner, ctx, clause)
+    # a bound variable may re-appear bare (the pattern reuses the
+    # entity) but may NOT carry new labels/types/props
+    # (VariableAlreadyBound, TCK Merge5 [22]); relationship variables
+    # can never be rebound
+    for el in els:
+        if isinstance(el, A.NodePattern):
+            if el.var and el.var in ctx.vars and (el.labels or el.props):
+                raise PlanError(f"Variable `{el.var}` already bound")
+        elif el.var and el.var in ctx.vars:
+            raise PlanError(f"Variable `{el.var}` already bound")
+    np = els[0]
+    if len(els) == 1 and np.labels and np.props and \
+            not (np.var and np.var in ctx.vars):
+        # keyed single-node fast path (the entity-resolution shape)
+        return _merge_per_row(planner, ctx, clause)
+    return _merge_path_per_row(planner, ctx, clause)
 
 
 def _merge_path_per_row(planner, ctx, clause: A.MergeClause) -> None:
@@ -680,15 +765,14 @@ def _create_path_rows(planner, ctx, path: A.PatternPath,
     ``per_row=False`` (MERGE semantics) one instance per DISTINCT
     creation content (bound endpoint ids + unbound property values);
     with ``per_row=True`` (CREATE semantics) one instance per input row.
-    Fresh ids are content-hashes salted with the graph version and a
-    per-clause counter, so separate batches never collide."""
+    Fresh ids are a driver-reserved block plus the pinned row index,
+    so separate batches never collide."""
     g = planner.graph
     _invalidate_rels(g, {(el.types[0] if el.types else "RELATED")
                          for el in path.elements
                          if isinstance(el, A.RelPattern)})
     els = path.elements
     comp = planner.compiler(ctx)
-    salt = F.lit(int(g._version) * 1000 + next(planner._gensym))
 
     ded: list = []            # dedup-key columns (aliased)
     node_ref: dict[int, str | None] = {}   # el idx -> bound alias | None
@@ -722,13 +806,19 @@ def _create_path_rows(planner, ctx, path: A.PatternPath,
         ded.append(F.monotonically_increasing_id().alias("__m_row"))
         dd = ctx.df.select(ded).localCheckpoint(eager=True)
     else:
-        dd = ctx.df.select(ded).dropDuplicates().localCheckpoint(eager=True)
-    ded_names = dd.columns
+        dd = ctx.df.select(ded).dropDuplicates() \
+            .withColumn("__m_row", F.monotonically_increasing_id()) \
+            .localCheckpoint(eager=True)
+
+    # block + pinned row index: collision-free ids per created element
+    # (content hashes repeat for identical rows; abs(hash)+offset
+    # overflows under ANSI)
+    _blocks: dict[int, int] = {}
 
     def fresh(idx: int, ns: int):
-        return (F.abs(F.xxhash64(salt, F.lit(idx),
-                                 *[F.col(n) for n in ded_names]))
-                + F.lit(ns))
+        if idx not in _blocks:
+            _blocks[idx] = _alloc_block()
+        return F.col("__m_row") + F.lit(_blocks[idx])
 
     node_id_expr: dict[int, object] = {}
     n_created = 0
@@ -793,11 +883,12 @@ def _merge_per_row(planner, ctx, clause: A.MergeClause) -> None:
         c = tbl[k] == F.col(f"__mk_{k}") if k in tbl.columns else F.lit(False)
         cond = c if cond is None else (cond & c)
     missing = want.join(tbl, cond, "left_anti")
-    # MergeCreate dedup + deterministic content-addressed ids
+    # MergeCreate dedup (keys are distinct here) + block-unique ids
     created = missing.select(
-        (F.abs(F.xxhash64(*[F.col(f"__mk_{k}") for k, _ in keys]))
-         + F.lit(22_000_000_000_000_000)).alias("_id"),
-        *[F.col(f"__mk_{k}").alias(k) for k, _ in keys])
+        (F.monotonically_increasing_id()
+         + F.lit(_alloc_block())).alias("_id"),
+        *[F.col(f"__mk_{k}").alias(k) for k, _ in keys]
+    ).localCheckpoint(eager=True)
     n_created = created.count()
     if n_created:
         g.node_tables[label] = tbl.unionByName(

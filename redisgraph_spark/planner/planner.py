@@ -600,6 +600,16 @@ class CypherPlanner:
             compile_shortest_path(self, ctx, path)
             return
         elements = path.elements
+        if path.var is not None:
+            # a path variable can never be rebound — not by a later
+            # MATCH, not in the same pattern, and not shared with a
+            # node/edge in its own pattern (openCypher
+            # VariableAlreadyBound; the TCK "Fail when a path has the
+            # same variable ..." scenarios)
+            own = {getattr(el, "var", None) for el in path.elements}
+            if path.var in ctx.vars or path.var in own:
+                raise PlanError(
+                    f"Variable `{path.var}` already declared")
         need_ids = path.var is not None
         hidden_edges: list[str] = []
         if need_ids:
@@ -782,11 +792,15 @@ class CypherPlanner:
 
         def set_endpoints(right_var: str | None) -> None:
             # record which bound node structs are the edge's actual
-            # _src/_dst (direction-aware); 'both' stays ambiguous
+            # _src/_dst (direction-aware); 'both' records the pattern
+            # sides and defers src/dst to a per-row _src comparison
             if rel.direction == "out":
                 ctx.vars[e_name].endpoints = (left_var, right_var)
             elif rel.direction == "in":
                 ctx.vars[e_name].endpoints = (right_var, left_var)
+            else:
+                ctx.vars[e_name].endpoints = (left_var, right_var)
+                ctx.vars[e_name].undirected = True
         rebound: str | None = None
         if e_name in ctx.vars:
             # a bound edge variable in a later pattern is a constraint,
@@ -900,6 +914,11 @@ class CypherPlanner:
                      rel: A.RelPattern, node: A.NodePattern,
                      edge_uniq: list | None = None,
                      skippable: bool = False) -> tuple[str, str | None]:
+        if rel.var is not None and rel.var in ctx.vars:
+            # var-len relationship variables bind a fresh edge LIST —
+            # they can never re-match an existing binding
+            # (VariableAlreadyBound)
+            raise PlanError(f"Variable `{rel.var}` already declared")
         from_c, to_c = "__vlf", "__vlt"
         oriented, props = self._oriented_edge_sel(rel, from_c, to_c)
         comp = self.compiler(ctx)

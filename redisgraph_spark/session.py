@@ -119,6 +119,7 @@ def get_spark(app_name: str = "redisgraph-spark",
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     active = SparkSession.getActiveSession()

@@ -59,6 +59,7 @@ def parse_feature(text: str, feature_name: str = "") -> list[Scenario]:
 
     cur: Scenario | None = None
     outline: Scenario | None = None
+    background: Scenario | None = None   # steps prepended to every scenario
     examples_mode = False
     examples_rows: list[list[str]] = []
 
@@ -92,6 +93,14 @@ def parse_feature(text: str, feature_name: str = "") -> list[Scenario]:
             continue
         if line.startswith("Feature:"):
             feature = line[len("Feature:"):].strip()
+            background = None
+            continue
+        if line.startswith("Background:"):
+            # steps collected here are replayed at the start of every
+            # scenario in the feature (the TCK uses it for shared
+            # graph fixtures)
+            background = Scenario(feature, "__background__", [])
+            cur = background
             continue
         if line.startswith("Scenario Outline:") or \
                 line.startswith("Scenario Template:"):
@@ -99,12 +108,16 @@ def parse_feature(text: str, feature_name: str = "") -> list[Scenario]:
             cur = None
             outline = Scenario(feature,
                                line.split(":", 1)[1].strip(), pending_tags)
+            if background is not None:
+                outline.steps.extend(background.steps)
             pending_tags = []
             continue
         if line.startswith("Scenario:"):
             flush_outline()
             cur = Scenario(feature, line.split(":", 1)[1].strip(),
                            pending_tags)
+            if background is not None:
+                cur.steps.extend(background.steps)
             pending_tags = []
             scenarios.append(cur)
             continue
