@@ -532,7 +532,14 @@ class Parser:
     def parse_unary(self) -> A.Expr:
         if self.at_op("-"):
             self.advance()
-            return A.Unary("-", self.parse_unary())
+            inner = self.parse_unary()
+            # fold into the literal so INT64_MIN (-9223372036854775808,
+            # whose positive form overflows int64) survives
+            if isinstance(inner, A.Literal) and \
+                    isinstance(inner.value, (int, float)) and \
+                    not isinstance(inner.value, bool):
+                return A.Literal(-inner.value)
+            return A.Unary("-", inner)
         if self.at_op("+"):
             self.advance()
             return self.parse_unary()

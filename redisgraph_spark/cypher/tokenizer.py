@@ -23,7 +23,9 @@ KEYWORDS = {
 
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|//[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
+  | (?P<hexint>0[xX][0-9a-fA-F]+)
   | (?P<float>(?:\d+\.\d+|\.\d+)(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<octint>0[oO][0-7]+|0[0-7]+(?![0-9a-zA-Z_.]))
   | (?P<int>\d+)
   | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
@@ -81,6 +83,11 @@ def tokenize(text: str) -> list[Token]:
             continue
         if kind == "int":
             tokens.append(Token("int", int(raw), m.start()))
+        elif kind == "hexint":
+            tokens.append(Token("int", int(raw, 16), m.start()))
+        elif kind == "octint":
+            body = raw[2:] if raw[1:2] in ("o", "O") else raw[1:]
+            tokens.append(Token("int", int(body, 8), m.start()))
         elif kind == "float":
             tokens.append(Token("float", float(raw), m.start()))
         elif kind == "string":

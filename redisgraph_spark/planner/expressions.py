@@ -172,8 +172,12 @@ class ExprCompiler:
                     dt = dts.get(cat) or T.NullType()
                 elems.append(V._elem_encode(c, dt))
             # downstream variant checks must fire even on graphs with no
-            # variant table columns (variants_possible False)
+            # variant table columns (variants_possible False) — including
+            # in LATER clauses' compilers (UNWIND/WITH pipelines)
             self._made_variant = True
+            p = getattr(self, "_planner", None)
+            if p is not None:
+                p._variant_made = True
             return V._pack(V.TAG_ARRAY, a=F.array(*elems))
         return F.array(*cols)
 
@@ -202,6 +206,13 @@ class ExprCompiler:
         return subject.getField(e.key)
 
     def _c_Subscript(self, e: A.Subscript) -> Column:
+        if isinstance(e.index, A.Literal) and (
+                isinstance(e.index.value, bool)
+                or isinstance(e.index.value, (float,))):
+            # list[1.5] / list[true] — ListElementAccessByNonInteger
+            raise CompileError(
+                "list index must be an integer, not "
+                f"{type(e.index.value).__name__}")
         subject = self.compile(e.subject)
         idx = self.compile(e.index)
         if _could_be_variant(e.subject) and self._is_variant(subject):
@@ -214,6 +225,15 @@ class ExprCompiler:
                     .otherwise(F.try_element_at(arr, idx.cast("int")))
             return elem_to_variant(elem)
         if self._is_array(subject):
+            try:
+                idt = self.dtype(idx)
+            except Exception:
+                idt = None
+            if isinstance(idt, (T.DoubleType, T.FloatType, T.DecimalType,
+                                T.BooleanType, T.StringType)):
+                raise CompileError(
+                    "list index must be an integer, not "
+                    f"{idt.simpleString()}")
             # Cypher is 0-based with negative wrap; element_at is 1-based
             # with negative-from-end. Out-of-bounds → null (Cypher), so
             # try_element_at, not the ANSI-throwing element_at.
@@ -241,12 +261,19 @@ class ExprCompiler:
             end = self.compile(e.end)
         else:
             end = F.size(subject)
-        # negative bounds wrap from the end, Cypher-style
+        # negative bounds wrap from the end and clamp to the list,
+        # Cypher-style; a null bound nulls the whole slice (check BEFORE
+        # clamping: least/greatest skip nulls)
+        bound_null = start.isNull() | end.isNull()
         n = F.size(subject)
-        start = F.when(start < 0, start + n).otherwise(start)
-        end = F.when(end < 0, end + n).otherwise(end)
+        start = F.when(start < 0, F.greatest(start + n, F.lit(0))) \
+            .otherwise(F.least(start, n))
+        end = F.when(end < 0, F.greatest(end + n, F.lit(0))) \
+            .otherwise(F.least(end, n))
         length = F.greatest(end - start, F.lit(0))
-        return F.slice(subject, (start + 1).cast("int"), length.cast("int"))
+        sliced = F.slice(subject, (start + 1).cast("int"),
+                         length.cast("int"))
+        return F.when(bound_null, F.lit(None)).otherwise(sliced)
 
     # ------------------------------------------------------------- operators
     def _c_Unary(self, e: A.Unary) -> Column:
@@ -352,6 +379,10 @@ class ExprCompiler:
             dt = self.dtype(col)
         except Exception:
             return None
+        return self._class_of_dt(dt)
+
+    @staticmethod
+    def _class_of_dt(dt: T.DataType) -> str | None:
         if isinstance(dt, T.NullType):
             return None
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
@@ -367,7 +398,65 @@ class ExprCompiler:
         if isinstance(dt, (T.DateType, T.TimestampType,
                            T.TimestampNTZType)):
             return "temporal"
+        if isinstance(dt, T.StructType):
+            return "map"       # map literals / entities compile to structs
         return None
+
+    def _elem_eq_for(self, lin: T.DataType, rin: T.DataType):
+        """Element-equality lambda for typed array comparison: disjoint
+        type classes are definitively unequal (never a Spark cast),
+        nested arrays recurse."""
+        lcls, rcls = self._class_of_dt(lin), self._class_of_dt(rin)
+        nullb = F.lit(None).cast("boolean")
+        if lcls is not None and rcls is not None and lcls != rcls:
+            return lambda x, y: F.when(x.isNull() | y.isNull(), nullb) \
+                .otherwise(F.lit(False))
+        if lcls == "array" and rcls == "array":
+            inner = self._elem_eq_for(lin.elementType, rin.elementType)
+            return lambda x, y: self._array_eq2(x, y, inner)
+        if lcls == "map" and rcls == "map":
+            return lambda x, y: self._map_eq_typed(x, y, lin, rin)
+        return lambda x, y: x == y
+
+    def _array_eq_typed(self, l: Column, r: Column,
+                        ldt: T.ArrayType, rdt: T.ArrayType) -> Column:
+        return self._array_eq2(
+            l, r, self._elem_eq_for(ldt.elementType, rdt.elementType))
+
+    def _map_eq_typed(self, l: Column, r: Column,
+                      ldt: T.StructType, rdt: T.StructType) -> Column:
+        """Ternary map equality (openCypher): different key sets →
+        false; same keys → Kleene AND over per-key value equality."""
+        nullb = F.lit(None).cast("boolean")
+        lf, rf = set(ldt.fieldNames()), set(rdt.fieldNames())
+        if "_id" in lf and "_id" in rf:
+            # graph entities compare by identity (SIValue entity compare)
+            return l.getField("_id") == r.getField("_id")
+        if lf != rf:
+            return F.when(l.isNull() | r.isNull(), nullb) \
+                .otherwise(F.lit(False))
+        if not lf:
+            return F.when(l.isNull() | r.isNull(), nullb) \
+                .otherwise(F.lit(True))
+        out: Column | None = None
+        for k in sorted(lf):
+            eq = self._elem_eq_for(ldt[k].dataType, rdt[k].dataType)(
+                l.getField(k), r.getField(k))
+            out = eq if out is None else (out & eq)
+        return F.when(l.isNull() | r.isNull(), nullb).otherwise(out)
+
+    @classmethod
+    def _array_eq2(cls, l: Column, r: Column, elem_eq) -> Column:
+        """Ternary list equality with a custom element comparator."""
+        pair = F.zip_with(l, r, elem_eq)
+        any_false = F.exists(pair, lambda b: ~F.coalesce(b, F.lit(True)))
+        any_null = F.exists(pair, lambda b: b.isNull())
+        nullb = F.lit(None).cast("boolean")
+        return F.when(l.isNull() | r.isNull(), nullb) \
+                .when(F.size(l) != F.size(r), F.lit(False)) \
+                .when(any_false, F.lit(False)) \
+                .when(any_null, nullb) \
+                .otherwise(F.lit(True))
 
     @staticmethod
     def _array_eq(l: Column, r: Column) -> Column:
@@ -384,11 +473,73 @@ class ExprCompiler:
                 .when(any_null, nullb) \
                 .otherwise(F.lit(True))
 
+    def _lit_list_eq(self, la: A.ListLiteral, ra: A.ListLiteral) -> Column:
+        """Structural equality of two list literals — item-by-item Kleene
+        AND of compiled ``=``, so heterogeneous/nested literals never
+        need a single Spark array type."""
+        if len(la.items) != len(ra.items):
+            return F.lit(False)
+        if not la.items:
+            return F.lit(True)
+        out: Column | None = None
+        for x, y in zip(la.items, ra.items):
+            c = self._c_Comparison(A.Comparison(x, [("=", y)]))
+            out = c if out is None else (out & c)
+        return out
+
+    @staticmethod
+    def _het_list(ast) -> bool:
+        """A list literal mixing type categories (incl. nested lists
+        beside scalars) — unbuildable as one Spark array type."""
+        if not isinstance(ast, A.ListLiteral):
+            return False
+        cats = set()
+        for x in ast.items:
+            if isinstance(x, A.ListLiteral):
+                cats.add("a")
+            elif isinstance(x, A.Literal):
+                v = x.value
+                if v is None:
+                    continue
+                cats.add("b" if isinstance(v, bool)
+                         else "n" if isinstance(v, (int, float))
+                         else "s" if isinstance(v, str) else "?")
+            else:
+                cats.add("?")
+        return "?" not in cats and len(cats) > 1
+
     def _c_Comparison(self, e: A.Comparison) -> Column:
         out: Column | None = None
-        left = self.compile(e.first)
-        left_ast = e.first
+        left: Column | None = None   # compiled lazily: a heterogeneous
+        left_ast = e.first           # list literal may be uncompilable
+        nullb = F.lit(None).cast("boolean")
         for op, right_ast in e.rest:
+            if op in ("=", "<>"):
+                if isinstance(left_ast, A.ListLiteral) and \
+                        isinstance(right_ast, A.ListLiteral):
+                    c = self._lit_list_eq(left_ast, right_ast)
+                    if op == "<>":
+                        c = ~c     # Kleene NOT
+                    out = c if out is None else (out & c)
+                    left, left_ast = None, right_ast
+                    continue
+                if self._het_list(left_ast) or self._het_list(right_ast):
+                    # mixed-type list vs non-list: never equal; only a
+                    # null other side yields null
+                    other_ast = right_ast if self._het_list(left_ast) \
+                        else left_ast
+                    if isinstance(other_ast, A.Literal) and \
+                            other_ast.value is None:
+                        c = nullb
+                    else:
+                        oc = self.compile(other_ast)
+                        c = F.when(oc.isNull(), nullb) \
+                            .otherwise(F.lit(op == "<>"))
+                    out = c if out is None else (out & c)
+                    left, left_ast = None, right_ast
+                    continue
+            if left is None:
+                left = self.compile(left_ast)
             right = self.compile(right_ast)
             # dtype probes are py4j round trips — only pay them for
             # expressions that can structurally BE a variant column
@@ -421,7 +572,19 @@ class ExprCompiler:
             raise CompileError(
                 f"Type mismatch: cannot compare {lc} with {rc}")
         if lc == "array" and rc == "array" and op in ("=", "<>"):
-            eq = self._array_eq(left, right)
+            try:
+                eq = self._array_eq_typed(
+                    left, right, self.dtype(left), self.dtype(right))
+            except Exception:
+                eq = self._array_eq(left, right)
+            return eq if op == "=" else \
+                F.when(eq.isNull(), nullb).otherwise(~eq)
+        if lc == "map" and rc == "map" and op in ("=", "<>"):
+            try:
+                eq = self._map_eq_typed(
+                    left, right, self.dtype(left), self.dtype(right))
+            except Exception:
+                eq = left == right
             return eq if op == "=" else \
                 F.when(eq.isNull(), nullb).otherwise(~eq)
         if op == "=":
@@ -496,9 +659,86 @@ class ExprCompiler:
         return c.isNotNull() if e.negated else c.isNull()
 
     def _c_In(self, e: A.In) -> Column:
+        """``x IN list`` — ternary membership (Kleene OR over the
+        element equalities, openCypher semantics; reference
+        ``src/arithmetic/boolean_funcs`` op_in). A literal haystack
+        unrolls into compiled ``=`` comparisons per element, which
+        covers heterogeneous and nested lists that a single Spark
+        array type cannot hold."""
+        nullb = F.lit(None).cast("boolean")
+        if isinstance(e.haystack, A.ListLiteral):
+            items = e.haystack.items
+            if not items:
+                return F.lit(False)
+            out: Column | None = None
+            for it in items:
+                c = self._c_Comparison(A.Comparison(e.needle, [("=", it)]))
+                out = c if out is None else (out | c)   # Kleene OR
+            return out
         needle = self.compile(e.needle)
-        haystack = self.compile(e.haystack)
-        return F.array_contains(haystack, needle)
+        hay = self.compile(e.haystack)
+        try:
+            hdt = self.dtype(hay)
+            ndt = self.dtype(needle)
+        except Exception:
+            # lambda-scoped columns can't be type-probed
+            return F.array_contains(hay, needle)
+        from . import variant as V
+        if V.is_variant_type(hdt):
+            if V.is_variant_type(ndt):
+                scalar = None  # variant needle: compare views below
+            else:
+                scalar = self._class_of_dt(ndt)
+            nv = needle
+
+            def eq(el):
+                # el: scalar ELEM struct {_vt,_i,_d,_s,_b}
+                num = F.when(el.getField("_vt") == V.TAG_INT,
+                             el.getField("_i").cast("double")) \
+                    .when(el.getField("_vt") == V.TAG_FLOAT,
+                          el.getField("_d"))
+                if V.is_variant_type(ndt):
+                    cands = [(num, V.num_view(nv)),
+                             (el.getField("_s"), V.str_view(nv)),
+                             (el.getField("_b"), V.bool_view(nv))]
+                elif scalar == "num":
+                    cands = [(num, nv.cast("double"))]
+                elif scalar == "str":
+                    cands = [(el.getField("_s"), nv)]
+                elif scalar == "bool":
+                    cands = [(el.getField("_b"), nv)]
+                else:
+                    cands = []
+                inner = F.coalesce(
+                    *[a == b for a, b in cands], F.lit(False)) \
+                    if cands else F.lit(False)
+                return F.when(el.isNull() | needle.isNull(), nullb) \
+                    .otherwise(inner)
+            elems = hay.getField("_a")
+            lead = hay.isNull() | (hay.getField("_vt") != V.TAG_ARRAY)
+        elif isinstance(hdt, T.ArrayType):
+            ecls = self._class_of_dt(hdt.elementType)
+            ncls = self._class_of_dt(ndt)
+
+            def eq(el):
+                if ecls is not None and ncls is not None and ecls != ncls:
+                    return F.when(el.isNull() | needle.isNull(), nullb) \
+                        .otherwise(F.lit(False))
+                if ecls == "array" and ncls == "array":
+                    return self._array_eq_typed(
+                        el, needle, hdt.elementType, ndt)
+                return el == needle
+            elems = hay
+            lead = hay.isNull()
+        else:
+            raise CompileError("IN expects a list on the right-hand side")
+        eqs = F.transform(elems, eq)
+        any_true = F.exists(eqs, lambda b: F.coalesce(b, F.lit(False)))
+        any_null = F.exists(eqs, lambda b: b.isNull())
+        return F.when(lead, nullb) \
+            .when(any_true, F.lit(True)) \
+            .when(any_null, nullb) \
+            .otherwise(F.lit(False))
 
     def _c_StringOp(self, e: A.StringOp) -> Column:
         l = self.compile(e.left)
@@ -761,6 +1001,27 @@ class ExprCompiler:
                          c.getField(f).cast("string")).otherwise(out)
         return out
 
+    def _fn_range(self, e: A.FuncCall) -> Column:
+        """``range(start, end[, step])`` — inclusive; empty when the
+        step cannot reach the bound (list_funcs.c range); non-integer
+        arguments are a type error."""
+        for x in e.args:
+            while isinstance(x, A.Unary) and x.op in ("-", "+"):
+                x = x.operand
+            if isinstance(x, A.Literal) and (
+                    isinstance(x.value, bool)
+                    or not isinstance(x.value, (int, type(None)))):
+                raise CompileError("range() expects integer arguments")
+        args = [self.compile(x) for x in e.args]
+        a = args[0].cast("long")
+        b = args[1].cast("long")
+        step = args[2].cast("long") if len(args) > 2 \
+            else F.lit(1).cast("long")
+        empty = F.array().cast("array<bigint>")
+        return F.when((step > 0) & (a > b), empty) \
+                .when((step < 0) & (a < b), empty) \
+                .otherwise(F.sequence(a, b, step))
+
     def _fn_tomap(self, e: A.FuncCall) -> Column:
         """``tomap(k1, v1, k2, v2, …)`` — alternating string keys and
         values (AR_TOMAP, map_funcs.c:14-41). Literal keys build a
@@ -887,6 +1148,7 @@ class _LambdaCompiler(ExprCompiler):
         super().__init__(parent.df, parent.vars, parent.params,
                          parent.query_time_ms)
         self.variants_possible = parent.variants_possible
+        self._planner = getattr(parent, "_planner", None)
         self.bindings = dict(bindings)
         if isinstance(parent, _LambdaCompiler):
             for k, v in parent.bindings.items():
@@ -941,9 +1203,8 @@ _SIMPLE_FUNCS = {
     "head": lambda c: F.try_element_at(c, F.lit(1)),   # head([]) = null
     "last": lambda c: F.try_element_at(c, F.lit(-1)),
     "tail": lambda c: F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0))),
-    "range": lambda a, b, *step: F.sequence(
-        a.cast("long"), b.cast("long"),
-        (step[0].cast("long") if step else F.lit(1).cast("long"))),
+    # range() is a method (_fn_range): literal type validation + empty
+    # result when the step direction cannot reach the bound
     "keys": lambda c: F.map_keys(c),
     "tomap": lambda c: c,
     # tolist: wrap the arguments as a list (list_funcs.c:222-263)

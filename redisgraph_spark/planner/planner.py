@@ -124,7 +124,9 @@ class CypherPlanner:
     def compiler(self, ctx: Ctx) -> ExprCompiler:
         df = ctx.df if ctx.df is not None else self._unit_df()
         c = ExprCompiler(df, ctx.vars, self.params)
-        c.variants_possible = self._variants_possible()
+        c.variants_possible = self._variants_possible() \
+            or getattr(self, "_variant_made", False)
+        c._planner = self   # lets literal-built variants flip the flag
         return c
 
     def _variants_possible(self) -> bool:
@@ -914,11 +916,18 @@ class CypherPlanner:
                      rel: A.RelPattern, node: A.NodePattern,
                      edge_uniq: list | None = None,
                      skippable: bool = False) -> tuple[str, str | None]:
+        vl_rebound: str | None = None
         if rel.var is not None and rel.var in ctx.vars:
-            # var-len relationship variables bind a fresh edge LIST —
-            # they can never re-match an existing binding
-            # (VariableAlreadyBound)
-            raise PlanError(f"Variable `{rel.var}` already declared")
+            if rel.var not in ctx.clause_bound:
+                # same-clause reuse of a var-len variable is
+                # VariableAlreadyBound
+                raise PlanError(
+                    f"Variable `{rel.var}` already declared")
+            # deprecated openCypher form: a bound relationship LIST in
+            # var-len position constrains the matched edge list to it
+            import dataclasses
+            vl_rebound = rel.var
+            rel = dataclasses.replace(rel, var=self.sym("rvl"))
         from_c, to_c = "__vlf", "__vlt"
         oriented, props = self._oriented_edge_sel(rel, from_c, to_c)
         comp = self.compiler(ctx)
@@ -978,6 +987,12 @@ class CypherPlanner:
                             ids, F.transform(F.col(other),
                                              lambda x: x["_id"])))
                 edge_uniq.append(("vl", rel.var))
+        if vl_rebound is not None:
+            # identity constraint: matched edge-id list must equal the
+            # bound list's ids
+            ctx.df = ctx.df.filter(
+                F.transform(F.col(rel.var), lambda x: x["_id"]) ==
+                F.transform(F.col(vl_rebound), lambda x: x["_id"]))
         if skippable and (node.var is None or node.var not in ctx.vars):
             return ("col", out_id)
         tgt = node.var or self.sym("n")
@@ -1150,6 +1165,9 @@ class CypherPlanner:
         out_df, _ = self._project(
             ctx, clause.items, clause.star, clause.distinct,
             clause.order_by, clause.skip, clause.limit)
+        if not getattr(self.graph, "render_variants", True):
+            # conformance harnesses decode the typed union themselves
+            return out_df
         return self._render_variants(out_df)
 
     @staticmethod

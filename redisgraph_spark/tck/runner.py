@@ -85,17 +85,23 @@ def run_scenario(spark, sc: Scenario) -> Outcome:
     error: Exception | None = None
     executed_main = False
 
+    def fresh_graph():
+        gg = Graph(spark, {}, {})
+        # keep variant unions typed — spark_to_canon decodes them
+        gg.render_variants = False
+        return gg
+
     def ensure_graph():
         nonlocal g
         if g is None:
-            g = Graph(spark, {}, {})
+            g = fresh_graph()
         return g
 
     try:
         for st in sc.steps:
             t = st.text
             if t in ("an empty graph", "any graph"):
-                g = Graph(spark, {}, {})
+                g = fresh_graph()
             elif t.startswith("the binary-tree"):
                 raise _Skip("binary-tree fixture")
             elif t.startswith("there exists a procedure") or \

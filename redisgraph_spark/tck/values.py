@@ -152,6 +152,10 @@ def _parse_rel(p: _P):
     if p.opt(":"):
         rtype = _parse_name(p)
         p.ws()
+    else:
+        # a TCK relationship cell always carries ``:TYPE`` — without it
+        # this is a list (e.g. ``[0]``), not a relationship
+        raise TCKParseError("not a relationship")
     if p.peek() == "{":
         props = _parse_props(p)
         p.ws()
