@@ -194,6 +194,11 @@ class Parser:
         self.eat_kw("with")
         distinct = self.opt_kw("distinct")
         items, star = self._projection_items()
+        for it in items:
+            if it.alias is None and not isinstance(it.expr, A.Variable):
+                # NoExpressionAlias: WITH requires AS for non-variables
+                raise SyntaxError(
+                    "Expression in WITH must be aliased (use AS)")
         order_by, skip, limit = self._projection_tail()
         where = self.parse_expr() if self.opt_kw("where") else None
         return A.WithClause(items, star, distinct, order_by, skip, limit,

@@ -179,6 +179,36 @@ class ExprCompiler:
             if p is not None:
                 p._variant_made = True
             return V._pack(V.TAG_ARRAY, a=F.array(*elems))
+        # [n, r, m] — entities of different struct schemas (nodes and
+        # relationships) normalize to one field-union element type
+        if e.items and all(
+                isinstance(x, A.Variable) and x.name in self.vars
+                and self.vars[x.name].kind in ("node", "edge")
+                for x in e.items):
+            try:
+                dts = [self.dtype(c) for c in cols]
+            except Exception:
+                dts = None
+            if dts and len({d.simpleString() for d in dts}) > 1:
+                union: dict[str, T.DataType] = {}
+                for d in dts:
+                    for f in d.fields:
+                        union.setdefault(f.name, f.dataType)
+                norm = []
+                for c, d in zip(cols, dts):
+                    have = {f.name: f.dataType for f in d.fields}
+                    parts = []
+                    for fn, ft in union.items():
+                        if fn in have:
+                            cc = c.getField(fn)
+                            if have[fn] != ft:
+                                cc = cc.cast(ft)
+                            parts.append(cc.alias(fn))
+                        else:
+                            parts.append(
+                                F.lit(None).cast(ft).alias(fn))
+                    norm.append(F.struct(*parts))
+                return F.array(*norm)
         return F.array(*cols)
 
     def _c_MapLiteral(self, e: A.MapLiteral) -> Column:
@@ -206,6 +236,24 @@ class ExprCompiler:
         return subject.getField(e.key)
 
     def _c_Subscript(self, e: A.Subscript) -> Column:
+        if isinstance(e.subject, A.ListLiteral) \
+                and isinstance(e.index, A.Literal) \
+                and isinstance(e.index.value, int) \
+                and not isinstance(e.index.value, bool):
+            # static index into a literal list: compile the selected item
+            # directly (works for heterogeneous literals too)
+            i = e.index.value
+            items = e.subject.items
+            if -len(items) <= i < len(items):
+                return self.compile(items[i])
+            return F.lit(None)
+        if isinstance(e.subject, A.Variable) \
+                and e.subject.name in self.vars \
+                and self.vars[e.subject.name].kind in ("node", "edge"):
+            # n['name'] — dynamic property access on an entity
+            # (cmd_query GRAPH7; same dispatch as property())
+            return self._fn_property(
+                A.FuncCall("property", [e.subject, e.index]))
         if isinstance(e.index, A.Literal) and (
                 isinstance(e.index.value, bool)
                 or isinstance(e.index.value, (float,))):
@@ -281,6 +329,12 @@ class ExprCompiler:
         if e.op == "-":
             return -operand
         if e.op == "NOT":
+            if self._is_variant(operand):
+                from .variant import bool_view
+                return ~bool_view(operand)
+            if self._cmp_class(operand) in ("num", "str", "array",
+                                            "map", "temporal"):
+                raise CompileError("NOT expects a boolean")
             return ~operand.cast("boolean")
         return operand
 
@@ -782,33 +836,51 @@ class ExprCompiler:
         return out
 
     # --------------------------------------------- higher-order list support
-    def _lambda1(self, var: str, body: A.Expr):
+    def _lambda1(self, var: str, body: A.Expr,
+                 elem_dtype: T.DataType | None = None):
         """Compile a 1-arg lambda body where `var` is the lambda variable.
 
         Spark higher-order functions give us a Column for the element; we
         temporarily map the variable onto it via a nested compiler.
+        ``elem_dtype`` lets the nested compiler answer dtype probes for
+        the lambda variable (they can't be analyzed against the plan).
         """
         outer = self
 
         def fn(elem: Column) -> Column:
             sub = _LambdaCompiler(outer, {var: elem})
+            if elem_dtype is not None:
+                sub._binding_types[var] = elem_dtype
             return sub.compile(body)
 
         return fn
 
+    def _as_list(self, col: Column) -> tuple[Column, T.DataType | None]:
+        """Normalize a list-valued expression for higher-order functions:
+        a variant whose payload is an array widens each element back to
+        a full variant. Returns (array column, element dtype hint)."""
+        if self._is_variant(col):
+            from .variant import VARIANT_TYPE, arr_view, elem_to_variant
+            return F.transform(arr_view(col), elem_to_variant), VARIANT_TYPE
+        try:
+            dt = self.dtype(col)
+        except Exception:
+            return col, None
+        return col, dt.elementType if isinstance(dt, T.ArrayType) else None
+
     def _c_ListComprehension(self, e: A.ListComprehension) -> Column:
-        source = self.compile(e.source)
+        source, hint = self._as_list(self.compile(e.source))
         if e.where is not None:
-            pred = self._lambda1(e.var, e.where)
+            pred = self._lambda1(e.var, e.where, hint)
             source = F.filter(source, lambda x: pred(x).cast("boolean"))
         if e.projection is not None:
-            proj = self._lambda1(e.var, e.projection)
+            proj = self._lambda1(e.var, e.projection, hint)
             source = F.transform(source, proj)
         return source
 
     def _c_Quantifier(self, e: A.Quantifier) -> Column:
-        source = self.compile(e.source)
-        pred = self._lambda1(e.var, e.where)
+        source, hint = self._as_list(self.compile(e.source))
+        pred = self._lambda1(e.var, e.where, hint)
         wrapped = lambda x: pred(x).cast("boolean")  # noqa: E731
         if e.kind == "any":
             return F.exists(source, wrapped)
@@ -929,12 +1001,22 @@ class ExprCompiler:
     def _fn_labels(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])
         t = self.dtype(c)
+        if isinstance(t, T.NullType):
+            return F.lit(None)             # labels(null) → null
         if isinstance(t, T.StructType) and "_labels" in t.fieldNames():
             return c.getField("_labels")   # multi-label graph (SET n:L)
-        return F.array(c.getField("_label"))
+        # a null entity (failed OPTIONAL MATCH) yields null, not [null]
+        return F.when(c.isNull(), F.lit(None)) \
+            .otherwise(F.array(c.getField("_label")))
 
     def _fn_type(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).getField("_rel")
+        c = self.compile(e.args[0])
+        try:
+            if isinstance(self.dtype(c), T.NullType):
+                return F.lit(None)   # type(null) → null
+        except Exception:
+            pass
+        return c.getField("_rel")
 
     def _endpoint(self, e: A.FuncCall, side: int, field: str) -> Column:
         # when the pattern bound the edge's endpoint as a node struct,
@@ -1078,11 +1160,20 @@ class ExprCompiler:
         # time_funcs.c:22)
         return F.lit(self.query_time_ms)
 
+    def _path_field(self, e: A.FuncCall, field: str) -> Column:
+        c = self.compile(e.args[0])
+        try:
+            if isinstance(self.dtype(c), T.NullType):
+                return F.lit(None)   # nodes(null) / relationships(null)
+        except Exception:
+            pass
+        return c.getField(field)
+
     def _fn_nodes(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).getField("nodes")
+        return self._path_field(e, "nodes")
 
     def _fn_relationships(self, e: A.FuncCall) -> Column:
-        return self.compile(e.args[0]).getField("edges")
+        return self._path_field(e, "edges")
 
     def _fn_point(self, e: A.FuncCall) -> Column:
         m = self.compile(e.args[0])
@@ -1105,8 +1196,12 @@ class ExprCompiler:
         if self._is_variant(c):
             from .variant import num_view, str_view
             return F.coalesce(num_view(c).cast("long"),
-                              str_view(c).try_cast("long"))
-        return c.try_cast("long")   # unparseable → null, not ANSI error
+                              str_view(c).try_cast("long"),
+                              str_view(c).try_cast("double").cast("long"))
+        # unparseable → null, not ANSI error; toInteger('2.9')
+        # truncates through the float parse
+        return F.coalesce(c.try_cast("long"),
+                          c.try_cast("double").try_cast("long"))
 
     def _fn_tofloat(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])
@@ -1119,8 +1214,18 @@ class ExprCompiler:
     def _fn_toboolean(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])
         if self._is_variant(c):
-            from .variant import bool_view, str_view
-            return F.coalesce(bool_view(c), str_view(c).try_cast("boolean"))
+            from .variant import TAG_BOOL, TAG_STRING, bool_view, str_view
+            tag = c.getField("_vt")
+            ok = F.coalesce(bool_view(c), str_view(c).try_cast("boolean"))
+            return F.when(
+                tag.isNotNull() & ~tag.isin(TAG_BOOL, TAG_STRING),
+                F.raise_error(
+                    F.lit("toBoolean(): invalid argument type")
+                ).cast("boolean")).otherwise(ok)
+        cls = self._cmp_class(c)
+        if cls in ("num", "array", "map", "temporal"):
+            raise CompileError(
+                "toBoolean() expects a boolean or string")
         return c.try_cast("boolean")
 
     def _fn_tostring(self, e: A.FuncCall) -> Column:
@@ -1150,14 +1255,25 @@ class _LambdaCompiler(ExprCompiler):
         self.variants_possible = parent.variants_possible
         self._planner = getattr(parent, "_planner", None)
         self.bindings = dict(bindings)
+        self._binding_types: dict[str, T.DataType] = {}
         if isinstance(parent, _LambdaCompiler):
             for k, v in parent.bindings.items():
                 self.bindings.setdefault(k, v)
+            for k, v in parent._binding_types.items():
+                self._binding_types.setdefault(k, v)
 
     def _c_Variable(self, e: A.Variable) -> Column:
         if e.name in self.bindings:
             return self.bindings[e.name]
         return super()._c_Variable(e)
+
+    def dtype(self, col: Column) -> T.DataType:
+        # lambda-bound columns can't be analyzed against the plan; use
+        # the element dtype hint when the column IS a binding
+        for k, v in self.bindings.items():
+            if col is v and k in self._binding_types:
+                return self._binding_types[k]
+        return super().dtype(col)
 
 
 # Registry of functions that are a direct pyspark.sql.functions mapping.

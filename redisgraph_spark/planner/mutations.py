@@ -125,12 +125,32 @@ def _invalidate_rels(g, rtypes) -> None:
 
 def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
     g = planner.graph
+    from redisgraph_spark.planner.planner import PlanError
+    for path in clause.paths:
+        for el in path.elements[1::2]:
+            if el.min_hops is not None:
+                raise PlanError(
+                    "CREATE cannot contain variable-length patterns")
+            if not el.types or len(el.types) != 1:
+                # NoSingleRelationshipType
+                raise PlanError(
+                    "CREATE requires exactly one relationship type")
+            if el.direction == "both":
+                # RequiresDirectedRelationship
+                raise PlanError(
+                    "CREATE requires a directed relationship")
+            if el.var and el.var in ctx.vars:
+                raise PlanError(f"Variable `{el.var}` already bound")
+        for el in path.elements[::2]:
+            # a bound node may be referenced bare, never re-declared
+            if el.var and el.var in ctx.vars and (el.labels or el.props):
+                raise PlanError(f"Variable `{el.var}` already bound")
     _invalidate_rels(g, {(els[i].types[0] if els[i].types else "RELATED")
                          for path in clause.paths
                          for els in [path.elements]
                          for i in range(1, len(els), 2)})
     spark = g.spark
-    if ctx.df is not None:
+    if ctx.df is not None and not _driver_creatable(planner, ctx, clause):
         return _create_bound(planner, ctx, clause)
     nodes_created = 0
     edges_created = 0
@@ -152,6 +172,9 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                 label = el.labels[0] if el.labels else ""
                 pending_nodes[var] = (
                     label, _eval_props(planner, ctx, el.props))
+            elif el.labels or el.props:
+                # later occurrences must be bare references
+                raise PlanError(f"Variable `{var}` already declared")
         path_vars.append(vars_)
     ids = dict(zip(pending_nodes, _fresh_ids(len(pending_nodes))))
     by_label: dict[str, list[dict]] = {}
@@ -199,6 +222,27 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
         planner.stats.get("relationships_created", 0) + edges_created
     planner.graph._scan_cache.clear()
     return None
+
+
+def _driver_creatable(planner, ctx, clause: A.CreateClause) -> bool:
+    """A CREATE in a pipeline can use the cheap driver-side path when it
+    references nothing from the pipeline, every property is constant,
+    and the input is a single row (the chained standalone-CREATE shape —
+    dozens of CREATE clauses in one query would otherwise pay a
+    checkpoint per clause)."""
+    for path in clause.paths:
+        for el in path.elements:
+            if el.var and el.var in ctx.vars:
+                return False
+            for _k, v in el.props:
+                try:
+                    _const_eval(planner, v)
+                except Exception:
+                    return False
+    try:
+        return len(ctx.df.take(2)) == 1
+    except Exception:
+        return False
 
 
 def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
@@ -407,7 +451,9 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
         # updates keyed by entity id
         upd = ctx.df.select(
             F.col(f"{var}._id").alias("__uid"),
-            comp.compile(item.value).alias("__uval")).dropDuplicates(["__uid"])
+            comp.compile(item.value).alias("__uval")) \
+            .filter(F.col("__uid").isNotNull()) \
+            .dropDuplicates(["__uid"])
         upd_cnt = upd.count()
         if info.kind == "node":
             tables = g.node_tables
@@ -470,7 +516,11 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
                 for fn in names]
         if key not in names:
             cols.append(val.alias(key))
-        ctx.df = ctx.df.withColumn(var, F.struct(*cols))
+        # a null entity (failed OPTIONAL MATCH) is not updated — SET on
+        # null is a no-op and the variable stays null
+        ctx.df = ctx.df.withColumn(
+            var, F.when(F.col(f"{var}._id").isNotNull(),
+                        F.struct(*cols)).otherwise(F.lit(None)))
         info = ctx.vars[var]
         if key not in info.fields:
             info.fields = tuple(list(info.fields) + [key])
@@ -584,6 +634,55 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
             raise ValueError("DELETE expects variables")
         var = e.name
         info = ctx.vars[var]
+        if info.kind == "path":
+            # deleting a path deletes its relationships and nodes
+            # (cascade included); a null path contributes nothing
+            eids = ctx.df.select(
+                F.explode(F.col(f"{var}.edges")).alias("__e")) \
+                .select(F.col("__e._id").alias("__did")).dropDuplicates()
+            n = eids.count()
+            if n:
+                for name, tbl in list(g.edge_tables.items()):
+                    g.edge_tables[name] = tbl.join(
+                        F.broadcast(eids), tbl["_id"] == eids["__did"],
+                        "left_anti").localCheckpoint(eager=True)
+                edges_deleted += n
+            nids = ctx.df.select(
+                F.explode(F.col(f"{var}.nodes")).alias("__n")) \
+                .select(F.col("__n._id").alias("__did")).dropDuplicates()
+            n = nids.count()
+            if n:
+                for name, tbl in list(g.node_tables.items()):
+                    g.node_tables[name] = tbl.join(
+                        F.broadcast(nids), tbl["_id"] == nids["__did"],
+                        "left_anti").localCheckpoint(eager=True)
+                for name, tbl in list(g.edge_tables.items()):
+                    doomed = tbl.join(
+                        F.broadcast(nids),
+                        (tbl["_src"] == nids["__did"])
+                        | (tbl["_dst"] == nids["__did"]),
+                        "left_semi").count()
+                    if not doomed:
+                        continue
+                    kept = tbl.join(
+                        F.broadcast(nids),
+                        tbl["_src"] == nids["__did"], "left_anti")
+                    kept = kept.join(
+                        F.broadcast(nids),
+                        kept["_dst"] == nids["__did"], "left_anti")
+                    g.edge_tables[name] = kept.localCheckpoint(eager=True)
+                    edges_deleted += doomed
+                nodes_deleted += n
+            continue
+        if info.kind == "scalar":
+            comp = planner.compiler(ctx)
+            try:
+                from pyspark.sql import types as T
+                if isinstance(comp.dtype(F.col(var)), T.NullType):
+                    continue      # DELETE null is a no-op
+            except Exception:
+                pass
+            raise ValueError("DELETE expects a node, relationship or path")
         ids = ctx.df.select(
             F.col(f"{var}._id").alias("__did")).dropDuplicates()
         idc = ids.count()

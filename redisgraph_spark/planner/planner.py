@@ -168,6 +168,9 @@ class CypherPlanner:
 
     # ------------------------------------------------------------------ plan
     def plan(self, q: A.Query) -> DataFrame:
+        if len(set(q.union_all)) > 1:
+            # InvalidClauseComposition (TCK Union3)
+            raise PlanError("cannot mix UNION and UNION ALL")
         dfs = [self.plan_single(p) for p in q.parts]
         out = dfs[0]
         for df in dfs[1:]:
@@ -298,7 +301,7 @@ class CypherPlanner:
         self._light_paths = self._light_path_vars(q)
         self._referenced = self._referenced_vars(q)
         result: DataFrame | None = None
-        for clause in q.clauses:
+        for clause in _merge_creates(q.clauses):
             if isinstance(clause, A.MatchClause):
                 self._clause_match(ctx, clause)
             elif isinstance(clause, A.UnwindClause):
@@ -695,7 +698,53 @@ class CypherPlanner:
             return F.struct(*parts)
 
         full_n = self.graph.nodes(None).schema
-        nodes_arr = F.array(*[norm(F.col(v), full_n) for v in node_vars])
+        has_vl = any(isinstance(el, A.RelPattern) and el.min_hops is not None
+                     for el in path.elements[1::2])
+        if not has_vl:
+            nodes_arr = F.array(*[norm(F.col(v), full_n) for v in node_vars])
+        else:
+            # a var-len hop contributes INTERMEDIATE nodes: walk the
+            # matched edge array from the start id (undirected hops pick
+            # the far endpoint per edge), then join the id sequence back
+            # to node structs position-ordered
+            ids = F.array(F.col(f"{node_vars[0]}._id"))
+            vi, i = 1, 1
+            els = path.elements
+            while i < len(els):
+                rel = els[i]
+                if rel.min_hops is None:
+                    ids = F.array_append(
+                        ids, F.col(f"{node_vars[vi]}._id"))
+                else:
+                    ids = F.aggregate(
+                        F.col(rel.var), ids,
+                        lambda acc, x: F.array_append(
+                            acc,
+                            F.when(x["_src"] == F.element_at(
+                                acc, F.lit(-1)), x["_dst"])
+                            .otherwise(x["_src"])))
+                vi += 1
+                i += 2
+            rk = self.sym("prow")
+            ctx.df = ctx.df.withColumn("__pnids", ids) \
+                .withColumn(rk, F.monotonically_increasing_id()) \
+                .localCheckpoint(eager=True)
+            flat = self.graph.nodes(None)
+            ns = F.struct(*[F.col(c) for c in flat.columns])
+            pos = ctx.df.select(
+                F.col(rk), F.posexplode("__pnids").alias("__pos", "__nid"))
+            pos = pos.join(
+                flat.select(F.col("_id").alias("__nid"), ns.alias("__ns")),
+                "__nid")
+            packed = pos.groupBy(rk).agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__ns"))),
+                    lambda x: x["__ns"]).alias("__pnodes"))
+            ctx.df = ctx.df.join(packed, rk, "left") \
+                .drop("__pnids", rk)
+            nodes_arr = F.coalesce(
+                F.col("__pnodes"),
+                F.array().cast(T.ArrayType(full_n)))
 
         full_e = self.graph.edges(None).schema
         edge_cols = []
@@ -734,6 +783,8 @@ class CypherPlanner:
         ctx.df = ctx.df.withColumn(
             path.var, F.struct(nodes_arr.alias("nodes"),
                                edges_arr.alias("edges")))
+        if "__pnodes" in ctx.df.columns:
+            ctx.df = ctx.df.drop("__pnodes")
         ctx.vars[path.var] = VarInfo("path")
 
     def _bind_node(self, ctx: Ctx, np: A.NodePattern) -> str:
@@ -1031,8 +1082,23 @@ class CypherPlanner:
         edge_uniq: list[str] = []
         for path in clause.paths:
             self._compile_path(sub, path, edge_uniq)
+        mixed: list[A.Expr] = []
         if clause.where is not None:
-            self._apply_where(sub, clause.where)
+            # the WHERE of an OPTIONAL MATCH is part of the match: a
+            # conjunct referencing outer-scope variables becomes part
+            # of the LEFT JOIN condition (rows failing it null-extend,
+            # they are not dropped)
+            local: list[A.Expr] = []
+            outer_only = set(ctx.vars) - set(sub.vars)
+            for cj in self._split_and(clause.where):
+                refs = {n.name for n in _walk(cj)
+                        if isinstance(n, A.Variable)}
+                (mixed if refs & outer_only else local).append(cj)
+            if local:
+                w = local[0]
+                for x in local[1:]:
+                    w = A.Binary("AND", w, x)
+                self._apply_where(sub, w)
         shared = [v for v in sub.vars if v in ctx.vars
                   and not v.startswith("__")]
         public = [v for v in sub.vars
@@ -1051,6 +1117,16 @@ class CypherPlanner:
         if cond is None:
             # disconnected OPTIONAL MATCH: optional cartesian product
             cond = F.lit(True)
+        if mixed:
+            mvars = dict(ctx.vars)
+            for v, i in sub.vars.items():
+                mvars.setdefault(v, i)
+            probe = ctx.df.crossJoin(
+                sub_df.drop(*[c for c in renames.values()]).limit(0))
+            mctx = Ctx(df=probe, vars=mvars)
+            mcomp = self.compiler(mctx)
+            for cj in mixed:
+                cond = cond & mcomp.compile(cj).cast("boolean")
         ctx.df = ctx.df.join(sub_df, cond, "left").drop(*renames.values())
         if "__unit" in ctx.df.columns:
             ctx.df = ctx.df.drop("__unit")
@@ -1153,13 +1229,37 @@ class CypherPlanner:
 
     # ----------------------------------------------------------- WITH/RETURN
     def _clause_with(self, ctx: Ctx, clause: A.WithClause) -> None:
+        where = clause.where
+        if where is not None and ctx.df is not None \
+                and not any(_has_agg(it.expr) for it in clause.items):
+            # WHERE attached to a non-aggregating WITH sees the
+            # pre-projection scope too (openCypher extended scope:
+            # `WITH a.x AS name WHERE a.y = ...`); when it references a
+            # variable the projection drops, filter the input rows first
+            refs = {n.name for n in _walk(where)
+                    if isinstance(n, A.Variable)}
+            aliases = {it.alias for it in clause.items if it.alias}
+            outside = refs - aliases - {None}
+            if outside and outside <= set(ctx.vars):
+                ext = Ctx(df=ctx.df, vars=dict(ctx.vars))
+                comp = self.compiler(ext)
+                for it in clause.items:
+                    if it.alias and it.alias not in ext.vars:
+                        ext.df = ext.df.withColumn(
+                            it.alias, comp.compile(it.expr))
+                        ext.vars[it.alias] = VarInfo("scalar")
+                self._apply_where(ext, where)
+                ctx.df = ext.df.drop(
+                    *[a for a in aliases if a not in ctx.vars])
+                where = None
         out_df, out_vars = self._project(
             ctx, clause.items, clause.star, clause.distinct,
-            clause.order_by, clause.skip, clause.limit)
+            clause.order_by, clause.skip, clause.limit,
+            allow_empty_star=True)
         ctx.df = out_df
         ctx.vars = out_vars
-        if clause.where is not None:
-            self._apply_where(ctx, clause.where)
+        if where is not None:
+            self._apply_where(ctx, where)
 
     def _clause_return(self, ctx: Ctx, clause: A.ReturnClause) -> DataFrame:
         out_df, _ = self._project(
@@ -1188,7 +1288,8 @@ class CypherPlanner:
 
     def _project(self, ctx: Ctx, items: list[A.ProjectionItem], star: bool,
                  distinct: bool, order_by: list[A.OrderItem],
-                 skip: A.Expr | None, limit: A.Expr | None
+                 skip: A.Expr | None, limit: A.Expr | None,
+                 allow_empty_star: bool = False
                  ) -> tuple[DataFrame, dict[str, VarInfo]]:
         if ctx.df is None:
             ctx.df = self._unit_df()
@@ -1201,6 +1302,12 @@ class CypherPlanner:
                     all_items.append(A.ProjectionItem(A.Variable(v), v))
         all_items.extend(items)
         if not all_items:
+            if star and allow_empty_star:
+                # WITH * over an empty scope (e.g. CREATE () WITH *
+                # CREATE ...): pass the rows through unchanged
+                unit = self.sym("unit")
+                df = ctx.df.select(F.lit(0).alias(unit))
+                return df, {}
             raise PlanError("empty projection")
         all_items = [
             A.ProjectionItem(self._rewrite_graph_funcs(ctx, it.expr),
@@ -1243,6 +1350,18 @@ class CypherPlanner:
     def _infer_kind(self, ctx: Ctx, e: A.Expr) -> VarInfo:
         if isinstance(e, A.Variable) and e.name in ctx.vars:
             return ctx.vars[e.name]
+        if isinstance(e, A.FuncCall) and e.name == "coalesce" and e.args:
+            # coalesce over same-kind entities stays that kind
+            # (WITH coalesce(b, c) AS x MATCH (x)--> …)
+            infos = [self._infer_kind(ctx, a) for a in e.args]
+            kinds = {i.kind for i in infos}
+            if kinds == {"node"} or kinds == {"edge"}:
+                fields: list[str] = []
+                for i in infos:
+                    for f in i.fields:
+                        if f not in fields:
+                            fields.append(f)
+                return VarInfo(infos[0].kind, tuple(fields))
         return VarInfo("scalar")
 
     def _project_agg(self, ctx: Ctx, items: list[A.ProjectionItem],
@@ -1434,6 +1553,24 @@ class _PostAggCompiler(ExprCompiler):
             return F.col(e.name)
         raise CompileError(
             f"Variable `{e.name}` must be a grouping key to appear here")
+
+
+def _merge_creates(clauses: list) -> list:
+    """Fuse runs of consecutive CREATE clauses into one (their paths
+    concatenate; variables bound by an earlier clause in the run are
+    cross-path references, which standalone CREATE already supports).
+    A 380-clause CREATE script (TCK Create4) then costs one batched
+    driver-side creation instead of one pipeline checkpoint per clause.
+    Redeclaration (a later clause re-declaring a var with labels/props)
+    is validated by the CREATE compiler itself."""
+    out: list = []
+    for c in clauses:
+        if isinstance(c, A.CreateClause) and out \
+                and isinstance(out[-1], A.CreateClause):
+            out[-1] = A.CreateClause(out[-1].paths + c.paths)
+        else:
+            out.append(c)
+    return out
 
 
 def _substitute(e: A.Expr, mapping: dict[int, A.Expr]) -> A.Expr:

@@ -280,12 +280,14 @@ _REL_INTERNAL = {"_id", "_src", "_dst", "_rel"}
 
 
 def _is_node_row(d: dict) -> bool:
+    # union-schema entity lists carry null _src/_dst on node elements
     return "_id" in d and ("_label" in d or "_labels" in d) \
-        and "_src" not in d
+        and d.get("_src") is None
 
 
 def _is_rel_row(d: dict) -> bool:
-    return "_id" in d and "_src" in d and "_dst" in d
+    return "_id" in d and d.get("_src") is not None \
+        and d.get("_dst") is not None
 
 
 def _row_props(d: dict, internal: set) -> tuple:
