@@ -513,6 +513,25 @@ class ExprCompiler:
                 .otherwise(F.lit(True))
 
     @staticmethod
+    def _array_cmp3(l: Column, r: Column) -> Column:
+        """Lexicographic ternary list ordering: −1/0/1, or null when the
+        first non-equal pair involves null (openCypher list ordering)."""
+        nulli = F.lit(None).cast("int")
+        n = F.least(F.size(l), F.size(r))
+        pair = F.zip_with(
+            F.slice(l, 1, n), F.slice(r, 1, n),
+            lambda x, y: F.struct((x < y).alias("lt"),
+                                  (x == y).alias("eq")))
+        decided = F.filter(pair, lambda p: ~F.coalesce(p["eq"],
+                                                       F.lit(False)))
+        first = F.element_at(decided, 1)
+        return F.when(l.isNull() | r.isNull(), nulli) \
+            .when(F.size(decided) == 0,
+                  F.signum(F.size(l) - F.size(r)).cast("int")) \
+            .when(first["eq"].isNull() | first["lt"].isNull(), nulli) \
+            .when(first["lt"], F.lit(-1)).otherwise(F.lit(1))
+
+    @staticmethod
     def _array_eq(l: Column, r: Column) -> Column:
         """Ternary list equality: length mismatch or a definite element
         mismatch → false; otherwise any null pair → null; else true
@@ -633,6 +652,11 @@ class ExprCompiler:
                 eq = self._array_eq(left, right)
             return eq if op == "=" else \
                 F.when(eq.isNull(), nullb).otherwise(~eq)
+        if lc == "array" and rc == "array" and op in ("<", "<=",
+                                                      ">", ">="):
+            c3 = self._array_cmp3(left, right)
+            return {"<": c3 < 0, "<=": c3 <= 0,
+                    ">": c3 > 0, ">=": c3 >= 0}[op]
         if lc == "map" and rc == "map" and op in ("=", "<>"):
             try:
                 eq = self._map_eq_typed(
@@ -724,11 +748,23 @@ class ExprCompiler:
             items = e.haystack.items
             if not items:
                 return F.lit(False)
-            out: Column | None = None
-            for it in items:
-                c = self._c_Comparison(A.Comparison(e.needle, [("=", it)]))
-                out = c if out is None else (out | c)   # Kleene OR
-            return out
+            cats = {("b" if isinstance(x.value, bool)
+                     else "n" if isinstance(x.value, (int, float))
+                     else "s") for x in items
+                    if isinstance(x, A.Literal) and x.value is not None}
+            homogeneous = len(cats) <= 1 and all(
+                isinstance(x, A.Literal) for x in items)
+            if not homogeneous:
+                # heterogeneous/nested literals: unroll into compiled
+                # per-element equality (no common Spark array type)
+                out: Column | None = None
+                for it in items:
+                    c = self._c_Comparison(
+                        A.Comparison(e.needle, [("=", it)]))
+                    out = c if out is None else (out | c)   # Kleene OR
+                return out
+            # homogeneous literal list (the common `x IN [..]` filter):
+            # stay vectorized — fall through to the typed column path
         needle = self.compile(e.needle)
         hay = self.compile(e.haystack)
         try:
