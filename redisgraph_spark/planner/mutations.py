@@ -260,21 +260,22 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
         if len(els) == 1:
             np = els[0]
             label = np.labels[0] if np.labels else ""
-            rk = planner.sym("cbrow")
-            base = ctx.df.withColumn(
-                rk, F.monotonically_increasing_id() + F.lit(_alloc_block())
-            ).localCheckpoint(eager=True)
             comp = planner.compiler(ctx)
             prop_cols = [comp.compile(v).alias(k) for k, v in np.props]
-            rows = base.select(F.col(rk).alias("_id"), *prop_cols) \
-                .localCheckpoint(eager=True)
-            g.node_tables[label] = _union_into(
-                g.node_tables.get(label), rows)
-            planner.stats["nodes_created"] = \
-                planner.stats.get("nodes_created", 0) + rows.count()
-            if np.var and np.var not in ctx.vars:
-                # bind the created node per row so later clauses in this
-                # query (CREATE edges, SET, RETURN) can reference it
+            bind = np.var and np.var not in ctx.vars \
+                and not planner._unreferenced(np.var)
+            if bind:
+                # bind the created node per row so later clauses in
+                # this query (CREATE edges, SET, RETURN) can reference
+                # it — the checkpoint pins the mono ids shared by the
+                # table row and the binding
+                rk = planner.sym("cbrow")
+                base = ctx.df.withColumn(
+                    rk,
+                    F.monotonically_increasing_id() + F.lit(_alloc_block())
+                ).localCheckpoint(eager=True)
+                rows = base.select(F.col(rk).alias("_id"), *prop_cols) \
+                    .localCheckpoint(eager=True)
                 struct = F.struct(
                     F.col(rk).alias("_id"),
                     F.lit(label).alias("_label"),
@@ -283,7 +284,14 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                 ctx.vars[np.var] = VarInfo(
                     "node", tuple(k for k, _ in np.props))
             else:
-                ctx.df = base.drop(rk)
+                rows = ctx.df.select(
+                    (F.monotonically_increasing_id()
+                     + F.lit(_alloc_block())).alias("_id"), *prop_cols) \
+                    .localCheckpoint(eager=True)
+            g.node_tables[label] = _union_into(
+                g.node_tables.get(label), rows)
+            planner.stats["nodes_created"] = \
+                planner.stats.get("nodes_created", 0) + rows.count()
             continue
         unbound = any(
             isinstance(el, A.NodePattern)
@@ -308,23 +316,22 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             if rel.direction == "in":
                 src_c, dst_c = dst_c, src_c
             comp = planner.compiler(ctx)
-            rk = planner.sym("cberow")
-            # pin the edge id on the input row, so the table row and
-            # the per-row binding are the same edge
-            base = ctx.df.withColumn(
-                rk, F.monotonically_increasing_id() + F.lit(_alloc_block())
-            ).localCheckpoint(eager=True)
             prop_cols = [comp.compile(v).alias(k) for k, v in rel.props]
-            rows = base.select(
-                F.col(rk).alias("_id"), src_c.alias("_src"),
-                dst_c.alias("_dst"), *prop_cols).localCheckpoint(eager=True)
-            cnt = rows.count()
-            g.edge_tables[rtype] = _union_into(
-                g.edge_tables.get(rtype), rows)
-            edges_created += cnt
-            if rel.var and rel.var not in ctx.vars:
+            bind = rel.var and rel.var not in ctx.vars \
+                and not planner._unreferenced(rel.var)
+            if bind:
                 # bind the created edge per row (CREATE ()-[r:T]->()
-                # ... RETURN r / SET r.p)
+                # ... RETURN r / SET r.p) — checkpoint pins the shared
+                # mono ids
+                rk = planner.sym("cberow")
+                base = ctx.df.withColumn(
+                    rk,
+                    F.monotonically_increasing_id() + F.lit(_alloc_block())
+                ).localCheckpoint(eager=True)
+                rows = base.select(
+                    F.col(rk).alias("_id"), src_c.alias("_src"),
+                    dst_c.alias("_dst"), *prop_cols) \
+                    .localCheckpoint(eager=True)
                 struct = F.struct(
                     F.col(rk).alias("_id"), src_c.alias("_src"),
                     dst_c.alias("_dst"), F.lit(rtype).alias("_rel"),
@@ -333,7 +340,15 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                 ctx.vars[rel.var] = VarInfo(
                     "edge", tuple(k for k, _ in rel.props))
             else:
-                ctx.df = base.drop(rk)
+                rows = ctx.df.select(
+                    (F.monotonically_increasing_id()
+                     + F.lit(_alloc_block())).alias("_id"),
+                    src_c.alias("_src"), dst_c.alias("_dst"),
+                    *prop_cols).localCheckpoint(eager=True)
+            cnt = rows.count()
+            g.edge_tables[rtype] = _union_into(
+                g.edge_tables.get(rtype), rows)
+            edges_created += cnt
             i += 2
     if edges_created:
         planner.stats["relationships_created"] = \
