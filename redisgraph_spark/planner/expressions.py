@@ -147,30 +147,54 @@ class ExprCompiler:
         # heterogeneous, SIArray holds any SIValue) can't be a plain
         # Spark array — Spark coerces to one type and ANSI-fails;
         # encode them as a variant array payload instead
+        def scalar_cat(x):
+            if not isinstance(x, A.Literal):
+                return "?"
+            if x.value is None:
+                return None       # null literal: joins any category
+            if isinstance(x.value, bool):
+                return "b"
+            if isinstance(x.value, (int, float)):
+                return "n"
+            if isinstance(x.value, str):
+                return "s"
+            return "?"
+
         cats = []
         for x in e.items:
-            if not isinstance(x, A.Literal):
-                cats.append("?")
-            elif isinstance(x.value, bool):
-                cats.append("b")
-            elif isinstance(x.value, (int, float)):
-                cats.append("n")
-            elif isinstance(x.value, str):
-                cats.append("s")
+            if isinstance(x, A.ListLiteral):
+                # nested list of scalar literals: encodable one level
+                # deep as an array payload element
+                inner = {scalar_cat(y) for y in x.items}
+                cats.append("a" if "?" not in inner else "?")
             else:
-                cats.append(None)  # null literal: joins any category
-        known = {c for c in cats if c in ("b", "n", "s")}
+                cats.append(scalar_cat(x))
+        known = {c for c in cats if c in ("b", "n", "s", "a")}
         if "?" not in cats and len(known) > 1:
             from . import variant as V
             dts = {"b": T.BooleanType(), "n": None, "s": T.StringType()}
             elems = []
             for x, c, cat in zip(e.items, cols, cats):
+                if cat == "a":
+                    try:
+                        adt = self.dtype(c)
+                    except Exception:
+                        adt = None
+                    if V.is_variant_type(adt):
+                        # nested heterogeneous list compiled to a
+                        # variant: take its MID form
+                        elems.append(V.elem_of(c))
+                    else:
+                        elems.append(V._mid_encode(
+                            c, adt if isinstance(adt, T.ArrayType)
+                            else T.ArrayType(T.StringType())))
+                    continue
                 if cat == "n":
                     dt = T.DoubleType() if isinstance(x.value, float) \
                         else T.LongType()
                 else:
                     dt = dts.get(cat) or T.NullType()
-                elems.append(V._elem_encode(c, dt))
+                elems.append(V._mid_encode(c, dt))
             # downstream variant checks must fire even on graphs with no
             # variant table columns (variants_possible False) — including
             # in LATER clauses' compilers (UNWIND/WITH pipelines)
@@ -714,7 +738,10 @@ class ExprCompiler:
             elif isinstance(rt, (T.StringType, T.NullType)):
                 pairs = [(V.str_view(l), r.cast("string"))]
             elif isinstance(rt, T.ArrayType) and \
-                    isinstance(rt.elementType, V._SCALAR_TYPES):
+                    (isinstance(rt.elementType, V._SCALAR_TYPES)
+                     or (isinstance(rt.elementType, T.ArrayType)
+                         and isinstance(rt.elementType.elementType,
+                                        V._SCALAR_TYPES))):
                 pairs = [(V.arr_canon(l), V.arr_canon_plain(r, rt))]
             else:
                 pairs = []  # variant vs nested-array/struct: disjoint
@@ -782,21 +809,27 @@ class ExprCompiler:
             nv = needle
 
             def eq(el):
-                # el: scalar ELEM struct {_vt,_i,_d,_s,_b}
+                # el: MID struct {_vt,_i,_d,_s,_b,_a}
                 num = F.when(el.getField("_vt") == V.TAG_INT,
                              el.getField("_i").cast("double")) \
                     .when(el.getField("_vt") == V.TAG_FLOAT,
                           el.getField("_d"))
+                el_arr = F.when(
+                    el.getField("_vt") == V.TAG_ARRAY,
+                    F.transform(el.getField("_a"), V._scalar_canon))
                 if V.is_variant_type(ndt):
                     cands = [(num, V.num_view(nv)),
                              (el.getField("_s"), V.str_view(nv)),
-                             (el.getField("_b"), V.bool_view(nv))]
+                             (el.getField("_b"), V.bool_view(nv)),
+                             (el_arr, V.arr_canon(nv))]
                 elif scalar == "num":
                     cands = [(num, nv.cast("double"))]
                 elif scalar == "str":
                     cands = [(el.getField("_s"), nv)]
                 elif scalar == "bool":
                     cands = [(el.getField("_b"), nv)]
+                elif scalar == "array" and isinstance(ndt, T.ArrayType):
+                    cands = [(el_arr, V.arr_canon_plain(nv, ndt))]
                 else:
                     cands = []
                 inner = F.coalesce(

@@ -45,8 +45,14 @@ ELEM_TYPE = T.StructType([
     T.StructField("_b", T.BooleanType()),
 ])
 
-VARIANT_TYPE = T.StructType(
+# array-payload element: a scalar OR itself a one-level array of
+# scalars — so a variant list can mix scalars with nested lists
+# ([1, 'a', [1, 2]]), one nesting level deep
+MID_TYPE = T.StructType(
     list(ELEM_TYPE.fields) + [T.StructField("_a", T.ArrayType(ELEM_TYPE))])
+
+VARIANT_TYPE = T.StructType(
+    list(ELEM_TYPE.fields) + [T.StructField("_a", T.ArrayType(MID_TYPE))])
 
 TAG_INT, TAG_FLOAT, TAG_STRING, TAG_BOOL, TAG_ARRAY = 1, 2, 3, 4, 5
 
@@ -61,12 +67,17 @@ def is_variant_type(dt: T.DataType) -> bool:
 
 
 def variantable(dt: T.DataType) -> bool:
-    """Type can be a variant payload: scalar, one-level array of
-    scalars, or already a variant."""
+    """Type can be a variant payload: scalar, array of scalars, array
+    of scalar-arrays (one nesting level), or already a variant."""
     if isinstance(dt, _SCALAR_TYPES) or is_variant_type(dt):
         return True
-    return isinstance(dt, T.ArrayType) and \
-        isinstance(dt.elementType, _SCALAR_TYPES)
+    if not isinstance(dt, T.ArrayType):
+        return False
+    et = dt.elementType
+    if isinstance(et, _SCALAR_TYPES):
+        return True
+    return isinstance(et, T.ArrayType) and \
+        isinstance(et.elementType, _SCALAR_TYPES)
 
 
 def _pack_elem(tag: int, i=None, d=None, s=None, b=None) -> Column:
@@ -88,12 +99,24 @@ def _pack(tag: int, i=None, d=None, s=None, b=None, a=None) -> Column:
         (s if s is not None else n.cast("string")).alias("_s"),
         (b if b is not None else n.cast("boolean")).alias("_b"),
         (a if a is not None
+         else n.cast(T.ArrayType(MID_TYPE))).alias("_a"))
+
+
+def _pack_mid(tag: int, i=None, d=None, s=None, b=None, a=None) -> Column:
+    n = F.lit(None)
+    return F.struct(
+        F.lit(tag).cast("tinyint").alias("_vt"),
+        (i if i is not None else n.cast("long")).alias("_i"),
+        (d if d is not None else n.cast("double")).alias("_d"),
+        (s if s is not None else n.cast("string")).alias("_s"),
+        (b if b is not None else n.cast("boolean")).alias("_b"),
+        (a if a is not None
          else n.cast(T.ArrayType(ELEM_TYPE))).alias("_a"))
 
 
 def _elem_encode(col: Column, dt: T.DataType) -> Column:
-    """Encode one scalar value as an array-element struct (null in →
-    null element)."""
+    """Encode one scalar value as a scalar array-element struct (null
+    in → null element)."""
     if isinstance(dt, _INT_TYPES):
         packed = _pack_elem(TAG_INT, i=col.cast("long"))
     elif isinstance(dt, _FLOAT_TYPES):
@@ -105,24 +128,57 @@ def _elem_encode(col: Column, dt: T.DataType) -> Column:
     return F.when(col.isNotNull(), packed)
 
 
+def _mid_encode(col: Column, dt: T.DataType) -> Column:
+    """Encode one value as a MID array-element struct: scalars as-is,
+    arrays of scalars as a nested TAG_ARRAY payload."""
+    if isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        packed = _pack_mid(
+            TAG_ARRAY, a=F.transform(col, lambda x: _elem_encode(x, et)))
+        return F.when(col.isNotNull(), packed)
+    if isinstance(dt, _INT_TYPES):
+        packed = _pack_mid(TAG_INT, i=col.cast("long"))
+    elif isinstance(dt, _FLOAT_TYPES):
+        packed = _pack_mid(TAG_FLOAT, d=col.cast("double"))
+    elif isinstance(dt, T.BooleanType):
+        packed = _pack_mid(TAG_BOOL, b=col)
+    else:
+        packed = _pack_mid(TAG_STRING, s=col.cast("string"))
+    return F.when(col.isNotNull(), packed)
+
+
 def elem_to_variant(e: Column) -> Column:
-    """Widen an array-element struct back to a full variant (subscript
-    result surface)."""
-    n = F.lit(None)
+    """Widen a MID array-element struct back to a full variant
+    (subscript / UNWIND result surface)."""
     widened = F.struct(
         e["_vt"].alias("_vt"), e["_i"].alias("_i"), e["_d"].alias("_d"),
         e["_s"].alias("_s"), e["_b"].alias("_b"),
-        n.cast(T.ArrayType(ELEM_TYPE)).alias("_a"))
+        F.transform(
+            e["_a"],
+            lambda x: F.struct(
+                x["_vt"].alias("_vt"), x["_i"].alias("_i"),
+                x["_d"].alias("_d"), x["_s"].alias("_s"),
+                x["_b"].alias("_b"),
+                F.lit(None).cast(T.ArrayType(ELEM_TYPE)).alias("_a"))
+        ).alias("_a"))
     return F.when(e.isNotNull(), widened)
 
 
 def elem_of(v: Column) -> Column:
-    """Scalar prefix of a variant (drops ``_a``) — the element form
-    used when appending a scalar variant onto an array payload."""
-    scalar = F.struct(v["_vt"].alias("_vt"), v["_i"].alias("_i"),
-                      v["_d"].alias("_d"), v["_s"].alias("_s"),
-                      v["_b"].alias("_b"))
-    return F.when(v.isNotNull() & (v["_vt"] != TAG_ARRAY), scalar)
+    """MID form of a variant — the element used when appending a
+    variant onto an array payload. Payload nesting deeper than MID
+    supports (arrays inside the array) truncates to the scalar prefix
+    of each inner element."""
+    mid = F.struct(
+        v["_vt"].alias("_vt"), v["_i"].alias("_i"),
+        v["_d"].alias("_d"), v["_s"].alias("_s"), v["_b"].alias("_b"),
+        F.transform(
+            v["_a"],
+            lambda x: F.struct(
+                x["_vt"].alias("_vt"), x["_i"].alias("_i"),
+                x["_d"].alias("_d"), x["_s"].alias("_s"),
+                x["_b"].alias("_b"))).alias("_a"))
+    return F.when(v.isNotNull(), mid)
 
 
 def to_variant(col: Column, dt: T.DataType) -> Column:
@@ -137,10 +193,13 @@ def to_variant(col: Column, dt: T.DataType) -> Column:
     elif isinstance(dt, T.BooleanType):
         packed = _pack(TAG_BOOL, b=col)
     elif isinstance(dt, T.ArrayType) and \
-            isinstance(dt.elementType, _SCALAR_TYPES):
+            (isinstance(dt.elementType, _SCALAR_TYPES)
+             or (isinstance(dt.elementType, T.ArrayType)
+                 and isinstance(dt.elementType.elementType,
+                                _SCALAR_TYPES))):
         et = dt.elementType
         packed = _pack(TAG_ARRAY,
-                       a=F.transform(col, lambda x: _elem_encode(x, et)))
+                       a=F.transform(col, lambda x: _mid_encode(x, et)))
     else:
         packed = _pack(TAG_STRING, s=col.cast("string"))
     return F.when(col.isNotNull(), packed)
@@ -165,11 +224,20 @@ def arr_view(v: Column) -> Column:
     return F.when(v["_vt"] == TAG_ARRAY, v["_a"])
 
 
-def _elem_render(e: Column) -> Column:
+def _scalar_render(e: Column) -> Column:
     return F.when(e["_vt"] == TAG_INT, e["_i"].cast("string")) \
             .when(e["_vt"] == TAG_FLOAT, e["_d"].cast("string")) \
             .when(e["_vt"] == TAG_STRING, e["_s"]) \
             .when(e["_vt"] == TAG_BOOL, e["_b"].cast("string"))
+
+
+def _elem_render(e: Column) -> Column:
+    return F.when(
+        e["_vt"] == TAG_ARRAY,
+        F.concat(F.lit("["),
+                 F.array_join(F.transform(e["_a"], _scalar_render),
+                              ", ", "null"),
+                 F.lit("]"))).otherwise(_scalar_render(e))
 
 
 def render(v: Column) -> Column:
@@ -214,8 +282,8 @@ def add(l: Column, r: Column) -> Column:
          .when(num_sum.isNotNull(), _pack(TAG_FLOAT, d=num_sum)))
 
 
-def _elem_canon(e: Column) -> Column:
-    """Canonical comparable form of an array element: (type-rank,
+def _scalar_canon(e: Column) -> Column:
+    """Canonical comparable form of a scalar array element: (type-rank,
     payload) so struct comparison orders by type first (disjoint elems
     order by type delta, src/value.c:553) then value, with int/double
     unified by numeric value (src/value.h:58-60)."""
@@ -225,6 +293,22 @@ def _elem_canon(e: Column) -> Column:
     num = F.when(e["_vt"] == TAG_INT, e["_i"].cast("double")) \
            .when(e["_vt"] == TAG_FLOAT, e["_d"])
     key = F.struct(rank.alias("r"), e["_s"].alias("s"),
+                   e["_b"].alias("b"), num.alias("n"))
+    return F.when(e.isNotNull(), key)
+
+
+def _elem_canon(e: Column) -> Column:
+    """Canonical form of a MID element: arrays rank below every scalar
+    (global type order, src/value.h:19-41) and compare element-wise."""
+    rank = (F.when(e["_vt"] == TAG_ARRAY, 0)
+             .when(e["_vt"] == TAG_STRING, 1)
+             .when(e["_vt"] == TAG_BOOL, 2)
+             .when(e["_vt"].isin(TAG_INT, TAG_FLOAT), 3)).cast("tinyint")
+    num = F.when(e["_vt"] == TAG_INT, e["_i"].cast("double")) \
+           .when(e["_vt"] == TAG_FLOAT, e["_d"])
+    arr = F.when(e["_vt"] == TAG_ARRAY,
+                 F.transform(e["_a"], _scalar_canon))
+    key = F.struct(rank.alias("r"), arr.alias("a"), e["_s"].alias("s"),
                    e["_b"].alias("b"), num.alias("n"))
     return F.when(e.isNotNull(), key)
 
@@ -240,10 +324,10 @@ def arr_canon(v: Column) -> Column:
 
 
 def arr_canon_plain(col: Column, dt: T.ArrayType) -> Column:
-    """Canonical comparable array from a plain typed ``array<scalar>``
-    column (the non-variant side of a comparison)."""
+    """Canonical comparable array from a plain typed array column (the
+    non-variant side of a comparison)."""
     et = dt.elementType
-    return F.transform(col, lambda x: _elem_canon(_elem_encode(x, et)))
+    return F.transform(col, lambda x: _elem_canon(_mid_encode(x, et)))
 
 
 def sort_key(v: Column) -> Column:
