@@ -845,7 +845,7 @@ def _q_variant_types(spark, sf_dir):
     return g.query(
         "MATCH (r:Region) WHERE r.tag > 3 OR r.tag STARTS WITH 'fi' "
         "OR size(r.tag) = 2 "
-        "RETURN r.r_regionkey AS k, tostring(r.tag) AS tag ORDER BY k")
+        "RETURN r.r_regionkey AS k, r.tag AS tag ORDER BY k")
 
 
 def _p_tfidf(spark, sf_dir):

@@ -139,6 +139,10 @@ class ExprCompiler:
     def _c_Variable(self, e: A.Variable) -> Column:
         if e.name not in self.vars:
             raise CompileError(f"Unknown variable `{e.name}`")
+        if self.vars[e.name].kind == "symlist":
+            raise CompileError(
+                f"`{e.name}` is a heterogeneous struct/scalar list; "
+                "only constant-index access is supported")
         return F.col(e.name)
 
     def _c_ListLiteral(self, e: A.ListLiteral) -> Column:
@@ -203,11 +207,13 @@ class ExprCompiler:
             if p is not None:
                 p._variant_made = True
             return V._pack(V.TAG_ARRAY, a=F.array(*elems))
-        # [n, r, m] — entities of different struct schemas (nodes and
-        # relationships) normalize to one field-union element type
+        # [n, r, m] / [{a: 1}, {b: 2}] — structs of different schemas
+        # (entities, map literals) normalize to one field-union element
+        # type
         if e.items and all(
-                isinstance(x, A.Variable) and x.name in self.vars
-                and self.vars[x.name].kind in ("node", "edge")
+                (isinstance(x, A.Variable) and x.name in self.vars
+                 and self.vars[x.name].kind in ("node", "edge"))
+                or isinstance(x, A.MapLiteral)
                 for x in e.items):
             try:
                 dts = [self.dtype(c) for c in cols]
@@ -236,7 +242,15 @@ class ExprCompiler:
         return F.array(*cols)
 
     def _c_MapLiteral(self, e: A.MapLiteral) -> Column:
-        return F.struct(*[self.compile(v).alias(k) for k, v in e.items])
+        parts = [self.compile(v).alias(k) for k, v in e.items]
+        if any(isinstance(v, A.Literal) and v.value is None
+               for _, v in e.items):
+            # literal maps KEEP null values ({k: null} renders with the
+            # key — unlike property maps, which omit absent keys);
+            # marker field tells the result decoder which rule applies,
+            # and is stripped at the final RETURN surface
+            parts.append(F.lit(True).alias("__maplit"))
+        return F.struct(*parts)
 
     # ------------------------------------------------------------- accessors
     def _c_Property(self, e: A.Property) -> Column:
@@ -271,6 +285,24 @@ class ExprCompiler:
             if -len(items) <= i < len(items):
                 return self.compile(items[i])
             return F.lit(None)
+        if isinstance(e.subject, A.Variable) \
+                and e.subject.name in self.vars \
+                and self.vars[e.subject.name].kind == "symlist":
+            # symbolically-bound heterogeneous list (planner projected
+            # each item as a hidden column): constant index → column
+            info = self.vars[e.subject.name]
+            names = getattr(info, "sym_names", ())
+            if isinstance(e.index, A.Literal) \
+                    and isinstance(e.index.value, int) \
+                    and not isinstance(e.index.value, bool):
+                i = e.index.value
+                if -len(names) <= i < len(names):
+                    name = names[i]
+                    return self._c_Variable(A.Variable(name))
+                return F.lit(None)
+            raise CompileError(
+                f"`{e.subject.name}` is a heterogeneous struct/scalar "
+                "list; only constant-index access is supported")
         if isinstance(e.subject, A.Variable) \
                 and e.subject.name in self.vars \
                 and self.vars[e.subject.name].kind in ("node", "edge"):
@@ -506,7 +538,8 @@ class ExprCompiler:
         """Ternary map equality (openCypher): different key sets →
         false; same keys → Kleene AND over per-key value equality."""
         nullb = F.lit(None).cast("boolean")
-        lf, rf = set(ldt.fieldNames()), set(rdt.fieldNames())
+        lf = set(ldt.fieldNames()) - {"__maplit"}
+        rf = set(rdt.fieldNames()) - {"__maplit"}
         if "_id" in lf and "_id" in rf:
             # graph entities compare by identity (SIValue entity compare)
             return l.getField("_id") == r.getField("_id")
@@ -719,11 +752,15 @@ class ExprCompiler:
             l, r = r, l
             lv, rv = rv, lv
             op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+        arr_c3 = None   # ordering over array payloads: ternary
         if rv:
             pairs = [(V.num_view(l), V.num_view(r)),
                      (V.str_view(l), V.str_view(r)),
                      (V.bool_view(l), V.bool_view(r)),
                      (V.arr_canon(l), V.arr_canon(r))]
+            if op in ("<", "<=", ">", ">="):
+                arr_c3 = V.arr_cmp3(V.arr_view(l), V.arr_view(r))
+                pairs = pairs[:3]
         else:
             try:
                 rt = self.dtype(r)
@@ -743,12 +780,22 @@ class ExprCompiler:
                          and isinstance(rt.elementType.elementType,
                                         V._SCALAR_TYPES))):
                 pairs = [(V.arr_canon(l), V.arr_canon_plain(r, rt))]
+                if op in ("<", "<=", ">", ">="):
+                    arr_c3 = V.arr_cmp3(
+                        V.arr_view(l),
+                        F.transform(r, lambda x: V._mid_encode(
+                            x, rt.elementType)))
+                    pairs = []
             else:
                 pairs = []  # variant vs nested-array/struct: disjoint
         mk = {"=": lambda a, b: a == b, "<>": lambda a, b: a == b,
               "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
               ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[op]
         cs = [mk(a, b) for a, b in pairs]
+        if arr_c3 is not None:
+            zero = F.lit(0)
+            cs.append({"<": arr_c3 < zero, "<=": arr_c3 <= zero,
+                       ">": arr_c3 > zero, ">=": arr_c3 >= zero}[op])
         null_b = F.lit(None).cast("boolean")
         if op in ("=", "<>"):
             inner = F.coalesce(*cs, F.lit(False)) if cs else F.lit(False)
@@ -1215,7 +1262,8 @@ class ExprCompiler:
             dt = None
         if isinstance(dt, T.StructType):
             # map literals compile to structs — keys are the field names
-            return F.array(*[F.lit(f) for f in dt.fieldNames()])
+            return F.array(*[F.lit(f) for f in dt.fieldNames()
+                             if f != "__maplit"])
         return F.map_keys(c)
 
     def _fn_datetrunc(self, e: A.FuncCall) -> Column:
@@ -1300,8 +1348,19 @@ class ExprCompiler:
     def _fn_tostring(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])
         if self._is_variant(c):
-            from .variant import render
-            return render(c)
+            # toString accepts scalars only; list/map/entity payloads
+            # raise like the reference (string_funcs.c toString arg
+            # validation → InvalidArgumentValue)
+            from .variant import TAG_ARRAY, render
+            tag = c.getField("_vt")
+            return F.when(
+                tag == TAG_ARRAY,
+                F.raise_error(F.lit(
+                    "toString(): invalid argument type"
+                )).cast("string")).otherwise(render(c))
+        cls = self._cmp_class(c)
+        if cls in ("array", "map"):
+            raise CompileError("toString(): invalid argument type")
         return c.cast("string")
 
     def _fn_todecimal(self, e: A.FuncCall) -> Column:

@@ -90,25 +90,74 @@ def _eval_props(planner, ctx, props: list[tuple[str, A.Expr]]) -> dict:
 
 
 def _union_into(tbl: DataFrame | None, rows: DataFrame) -> DataFrame:
-    """Append new rows to a table, conforming plain-typed columns to the
-    table's variant union columns where needed (heterogeneous property
-    encoding, planner/variant.py)."""
+    """Append new rows to a table, reconciling per-column type
+    conflicts: plain columns conform to the table's variant unions, and
+    a plain-vs-plain conflict (CREATE (:L {p: 1}) after (:L {p: 'x'}))
+    widens mixed numerics or converts BOTH sides to the per-value
+    variant encoding (schemaless reference semantics — one property key
+    holds any SIValue type, graph_entity.h:48-58)."""
     if tbl is None:
         return rows
-    from .variant import is_variant_type, to_variant
+    import pyspark.sql.types as T
+    from .variant import is_variant_type, to_variant, variantable
+    numeric = (T.LongType, T.IntegerType, T.ShortType, T.DoubleType,
+               T.FloatType, T.DecimalType)
     tt = {f.name: f.dataType for f in tbl.schema.fields}
-    cols = []
-    changed = False
+    row_cols, tbl_cols = [], []
+    row_changed = tbl_changed = False
     for f in rows.schema.fields:
-        t = tt.get(f.name)
-        if t is not None and is_variant_type(t) \
-                and not is_variant_type(f.dataType):
-            cols.append(to_variant(F.col(f.name), f.dataType).alias(f.name))
-            changed = True
+        t, rc = tt.get(f.name), F.col(f.name)
+        if t is None or t == f.dataType:
+            row_cols.append(rc)
+            continue
+        if isinstance(f.dataType, T.NullType):
+            row_cols.append(rc.cast(t).alias(f.name))
+        elif is_variant_type(t) and not is_variant_type(f.dataType):
+            row_cols.append(to_variant(rc, f.dataType).alias(f.name))
+        elif is_variant_type(f.dataType) and not is_variant_type(t):
+            tt[f.name] = ("to_variant", t)
+            row_cols.append(rc)
+            tbl_changed = True
+            continue
+        elif isinstance(t, numeric) and isinstance(f.dataType, numeric):
+            if isinstance(t, (T.DoubleType, T.FloatType)):
+                # table already wide — conform the rows only
+                row_cols.append(rc.cast(t).alias(f.name))
+            else:
+                tt[f.name] = ("cast", t)
+                row_cols.append(rc.cast("double").alias(f.name))
+                tbl_changed = True
+                continue
+        elif variantable(t) and variantable(f.dataType):
+            tt[f.name] = ("to_variant", t)
+            row_cols.append(to_variant(rc, f.dataType).alias(f.name))
+            tbl_changed = True
+            continue
         else:
-            cols.append(F.col(f.name))
-    if changed:
-        rows = rows.select(cols)
+            tt[f.name] = ("cast_str", t)
+            row_cols.append(rc.cast("string").alias(f.name))
+            tbl_changed = True
+            continue
+        row_changed = True
+    if tbl_changed:
+        for f in tbl.schema.fields:
+            action = tt.get(f.name)
+            if isinstance(action, tuple):
+                if action[0] == "to_variant":
+                    tbl_cols.append(
+                        to_variant(F.col(f.name), action[1]).alias(f.name))
+                elif action[0] == "cast":
+                    tbl_cols.append(
+                        F.col(f.name).cast("double").alias(f.name))
+                else:
+                    tbl_cols.append(
+                        F.col(f.name).cast("string").alias(f.name))
+            else:
+                tbl_cols.append(F.col(f.name))
+        tbl = tbl.select(tbl_cols)
+        row_changed = True
+    if row_changed:
+        rows = rows.select(row_cols)
     return tbl.unionByName(rows, allowMissingColumns=True)
 
 
@@ -121,6 +170,32 @@ def _invalidate_rels(g, rtypes) -> None:
         return
     for r in rtypes:
         g.rel_endpoints.pop(r, None)
+
+
+def _type_groups(rows: list[dict]) -> list[list[dict]]:
+    """Split pending-creation row dicts so that within a group every
+    key holds ONE scalar type class (long+double may mix — the inline
+    builder widens them). One CREATE may give the same property key
+    different types on different entities (schemaless, SIValue); each
+    homogeneous group unions separately and `_union_into` reconciles
+    the table column to a variant."""
+    from redisgraph_spark.session import _lit_sql_type
+
+    def cls(v):
+        t = _lit_sql_type(v)
+        return "num" if t in ("long", "double") else t
+
+    groups: list[tuple[dict, list[dict]]] = []   # (key→class, rows)
+    for r in rows:
+        sig = {k: cls(v) for k, v in r.items() if v is not None}
+        for known, members in groups:
+            if all(known.get(k, c) == c for k, c in sig.items()):
+                known.update(sig)
+                members.append(r)
+                break
+        else:
+            groups.append((sig, [r]))
+    return [members for _, members in groups]
 
 
 def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
@@ -181,10 +256,12 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
     for var, (label, props) in pending_nodes.items():
         by_label.setdefault(label, []).append({"_id": ids[var], **props})
     for label, rows in by_label.items():
-        df = inline_rows_df(spark, rows)
-        if df is None:
-            df = spark.createDataFrame(rows)
-        g.node_tables[label] = _union_into(g.node_tables.get(label), df)
+        for group in _type_groups(rows):
+            df = inline_rows_df(spark, group)
+            if df is None:
+                df = spark.createDataFrame(group)
+            g.node_tables[label] = _union_into(
+                g.node_tables.get(label), df)
         nodes_created += len(rows)
     # pass 2: edges, batched per relation type
     edge_rows: dict[str, list[dict]] = {}
@@ -207,10 +284,12 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                 named_edges[rel.var] = (rtype, row)
             i += 2
     for rtype, rows in edge_rows.items():
-        df = inline_rows_df(spark, rows)
-        if df is None:
-            df = spark.createDataFrame(rows)
-        g.edge_tables[rtype] = _union_into(g.edge_tables.get(rtype), df)
+        for group in _type_groups(rows):
+            df = inline_rows_df(spark, group)
+            if df is None:
+                df = spark.createDataFrame(group)
+            g.edge_tables[rtype] = _union_into(
+                g.edge_tables.get(rtype), df)
         edges_created += len(rows)
     # bind explicitly-named created entities so a following RETURN/SET
     # can reference them (CREATE (n) RETURN n — the reference streams

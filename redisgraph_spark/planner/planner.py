@@ -379,7 +379,9 @@ class CypherPlanner:
             a, e, b = els
             if a.labels or a.props or b.labels or b.props or e.props:
                 return None
-            if e.min_hops is not None or e.direction == "any":
+            if e.min_hops is not None or e.direction == "both":
+                # undirected counts each edge in both orientations
+                # (minus self-loops) — no counter holds that
                 return None
             if a.var is not None and a.var == b.var:
                 return None  # (x)-[e]->(x) counts self-loops only
@@ -1048,6 +1050,8 @@ class CypherPlanner:
             return ("col", out_id)
         tgt = node.var or self.sym("n")
         if tgt in ctx.vars:
+            if ctx.vars[tgt].kind != "node":
+                raise PlanError(f"Variable `{tgt}` is not a node")
             ctx.df = ctx.df.filter(
                 F.col(out_id) == F.col(f"{tgt}._id")).drop(out_id)
             if node.labels:
@@ -1275,12 +1279,19 @@ class CypherPlanner:
         """Final RETURN surface: top-level variant union columns render to
         strings (a result column must have ONE type; WHERE/ORDER BY have
         already used the typed payloads)."""
+        import pyspark.sql.types as T
         from .variant import is_variant_type, render
         out_cols = []
         changed = False
         for f in df.schema.fields:
             if is_variant_type(f.dataType):
                 out_cols.append(render(F.col(f.name)).alias(f.name))
+                changed = True
+            elif isinstance(f.dataType, T.StructType) \
+                    and "__maplit" in f.dataType.fieldNames():
+                # internal literal-map marker never reaches users
+                out_cols.append(
+                    F.col(f.name).dropFields("__maplit").alias(f.name))
                 changed = True
             else:
                 out_cols.append(F.col(f.name))
@@ -1326,8 +1337,27 @@ class CypherPlanner:
             out_vars[alias] = self._infer_kind(ctx, it.expr)
 
         if not has_agg:
-            cols = [comp.compile(it.expr).alias(a)
-                    for it, a in zip(all_items, aliases)]
+            cols = []
+            for it, a in zip(all_items, aliases):
+                sym = self._symlist_items(ctx, it.expr)
+                if sym is not None:
+                    # [{num: 0}, 1] / [r, 1] — a list literal mixing
+                    # struct values (maps, entities) with scalars has no
+                    # single Spark element type; bind it SYMBOLICALLY:
+                    # each item becomes a hidden column and constant-
+                    # index subscripts resolve to that column directly
+                    # (SIArray holds any SIValue — src/datatypes/array.c)
+                    names = []
+                    for i, item in enumerate(sym):
+                        hn = f"__sym_{a}_{i}"
+                        cols.append(comp.compile(item).alias(hn))
+                        out_vars[hn] = self._infer_kind(ctx, item)
+                        names.append(hn)
+                    info = VarInfo("symlist")
+                    info.sym_names = tuple(names)
+                    out_vars[a] = info
+                    continue
+                cols.append(comp.compile(it.expr).alias(a))
             out_df = ctx.df.select(cols)
         else:
             out_df = self._project_agg(ctx, all_items, aliases, comp)
@@ -1346,6 +1376,29 @@ class CypherPlanner:
         if n_limit is not None:
             out_df = out_df.limit(n_limit)
         return out_df, out_vars
+
+    def _symlist_items(self, ctx: Ctx, e: A.Expr) -> list[A.Expr] | None:
+        """Items of a list literal that mixes struct values (map
+        literals, bound entities) with non-struct values — a shape with
+        no single Spark element type (SIArray holds any SIValue,
+        src/datatypes/array.c). None when representable normally."""
+        if not isinstance(e, A.ListLiteral) or not e.items:
+            return None
+
+        def structish(x: A.Expr) -> bool:
+            if isinstance(x, A.MapLiteral):
+                return True
+            return (isinstance(x, A.Variable) and x.name in ctx.vars
+                    and ctx.vars[x.name].kind in ("node", "edge", "path"))
+
+        def is_null(x: A.Expr) -> bool:
+            return isinstance(x, A.Literal) and x.value is None
+
+        flags = [structish(x) for x in e.items]
+        if any(flags) and not all(f or is_null(x)
+                                  for f, x in zip(flags, e.items)):
+            return list(e.items)
+        return None
 
     def _infer_kind(self, ctx: Ctx, e: A.Expr) -> VarInfo:
         if isinstance(e, A.Variable) and e.name in ctx.vars:
@@ -1417,6 +1470,20 @@ class CypherPlanner:
         assert isinstance(n, A.FuncCall)
         args = [comp.compile(a) for a in n.args]
         name = n.name
+        if name in ("percentilecont", "percentiledisc") and len(n.args) > 1:
+            # percentile must lie in [0, 1] (ArgumentError
+            # NumberOutOfRange, agg_funcs.c percentile validation)
+            p = n.args[1]
+            pv = None
+            if isinstance(p, A.Literal):
+                pv = p.value
+            elif isinstance(p, A.Parameter):
+                pv = self.params.get(p.name)
+            if isinstance(pv, (int, float)) and not isinstance(pv, bool) \
+                    and not (0 <= pv <= 1):
+                raise PlanError(
+                    f"Invalid input '{pv}' is not a valid argument, "
+                    "must be a number in the range 0.0 to 1.0")
         if args and comp._is_variant(args[0]):
             from . import variant as V
             if name in ("min", "max"):

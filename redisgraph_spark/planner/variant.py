@@ -323,6 +323,50 @@ def arr_canon(v: Column) -> Column:
     return F.when(v["_vt"] == TAG_ARRAY, F.transform(v["_a"], _elem_canon))
 
 
+def _elem_cmp3(a: Column, b: Column) -> Column:
+    """Ternary comparison of two MID elements: −1/0/1 int, or null when
+    either element is null or the types are disjoint (SIValue_Compare
+    COMPARED_NULL/DISJOINT propagation, src/value.c:553-600)."""
+    nulli = F.lit(None).cast("int")
+
+    def num(e):
+        return F.when(e["_vt"] == TAG_INT, e["_i"].cast("double")) \
+                .when(e["_vt"] == TAG_FLOAT, e["_d"])
+
+    def sgn(x, y):
+        return F.when(x < y, -1).when(x > y, 1).otherwise(0)
+
+    an, bn = num(a), num(b)
+    return (
+        F.when(a.isNull() | b.isNull(), nulli)
+         .when(an.isNotNull() & bn.isNotNull(), sgn(an, bn))
+         .when((a["_vt"] == TAG_STRING) & (b["_vt"] == TAG_STRING),
+               sgn(a["_s"], b["_s"]))
+         .when((a["_vt"] == TAG_BOOL) & (b["_vt"] == TAG_BOOL),
+               sgn(a["_b"].cast("int"), b["_b"].cast("int")))
+         .when((a["_vt"] == TAG_ARRAY) & (b["_vt"] == TAG_ARRAY),
+               sgn(F.transform(a["_a"], _scalar_canon),
+                   F.transform(b["_a"], _scalar_canon)))
+         .otherwise(nulli))
+
+
+def arr_cmp3(l_elems: Column, r_elems: Column) -> Column:
+    """Ternary lexicographic ordering over two arrays of MID elements:
+    −1/0/1, null when the first non-equal pair involves a null element
+    or disjoint types (SIArray_Compare, src/value.c:455-501 — compare
+    the common range element-wise, then the length difference)."""
+    n = F.least(F.size(l_elems), F.size(r_elems))
+    pair = F.zip_with(F.slice(l_elems, 1, n), F.slice(r_elems, 1, n),
+                      _elem_cmp3)
+    deciding = F.filter(pair, lambda x: x.isNull() | (x != 0))
+    return F.when(l_elems.isNull() | r_elems.isNull(),
+                  F.lit(None).cast("int")) \
+            .when(F.size(deciding) > 0, F.element_at(deciding, 1)) \
+            .otherwise(F.when(F.size(l_elems) < F.size(r_elems), -1)
+                        .when(F.size(l_elems) > F.size(r_elems), 1)
+                        .otherwise(0))
+
+
 def arr_canon_plain(col: Column, dt: T.ArrayType) -> Column:
     """Canonical comparable array from a plain typed array column (the
     non-variant side of a comparison)."""

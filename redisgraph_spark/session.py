@@ -76,11 +76,20 @@ def inline_rows_df(spark: SparkSession, rows: list[dict]):
             if k not in types:
                 types[k] = None
                 cols.append(k)
-            if types[k] is None and v is not None:
+            if v is not None:
                 t = _lit_sql_type(v)
                 if t is None:
                     return None
-                types[k] = t
+                prev = types[k]
+                if prev is None or prev == t:
+                    types[k] = t
+                elif {prev, t} == {"long", "double"}:
+                    types[k] = "double"   # widen mixed numerics
+                else:
+                    # heterogeneous scalar types for one key — the
+                    # caller must split rows into homogeneous groups
+                    # (variant encoding happens at the table union)
+                    return None
     schema = [(k, types[k] or "string") for k in cols]
     data = [tuple(r.get(k) for k in cols) for r in rows]
     return inline_df(spark, data, schema)

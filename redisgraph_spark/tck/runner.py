@@ -195,13 +195,33 @@ def _compare(cols, rows, table, error, ordered: bool,
         if got_rows != exp_rows:
             raise _Fail(_diff(got_rows, exp_rows))
     else:
-        if Counter(map(repr, got_rows)) != Counter(map(repr, exp_rows)):
+        if Counter(map(_key, got_rows)) != Counter(map(_key, exp_rows)):
             raise _Fail(_diff(got_rows, exp_rows))
 
 
+def _num_loose(v):
+    """int/float-insensitive canonical form — the reference's TCK
+    assertions coerce numerics through float() before comparing
+    (tests/tck/utils/assertions.py:28-29,131), so 12/4 = 3.0 matches
+    an expected integer 3."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, tuple):
+        return tuple(_num_loose(x) for x in v)
+    if isinstance(v, frozenset):
+        return frozenset(_num_loose(x) for x in v)
+    return v
+
+
+def _key(row) -> str:
+    return repr(tuple(_num_loose(x) for x in row))
+
+
 def _diff(got, exp) -> str:
-    g = Counter(map(repr, got))
-    e = Counter(map(repr, exp))
+    g = Counter(map(_key, got))
+    e = Counter(map(_key, exp))
     missing = list((e - g).elements())[:3]
     extra = list((g - e).elements())[:3]
     return (f"{len(got)} rows vs {len(exp)} expected; "

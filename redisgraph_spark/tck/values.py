@@ -29,7 +29,9 @@ class _P:
             self.i += 1
 
     def peek(self):
-        return self.s[self.i] if self.i < len(self.s) else ""
+        # NUL at end-of-input: "" would make every `peek() in "..."`
+        # membership test true (empty string is a substring of anything)
+        return self.s[self.i] if self.i < len(self.s) else "\x00"
 
     def eat(self, ch: str):
         if not self.s.startswith(ch, self.i):
@@ -361,6 +363,10 @@ def spark_to_canon(v):
             return rel_canon(d)
         if _is_node_row(d):
             return node_canon(d)
+        if "__maplit" in d:
+            # literal map (planner marker): null values are KEPT
+            return _freeze_props({k: spark_to_canon(x)
+                                  for k, x in d.items() if k != "__maplit"})
         return _freeze_props({k: spark_to_canon(x) for k, x in d.items()
                               if x is not None})
     if isinstance(v, dict):

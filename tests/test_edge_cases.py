@@ -363,3 +363,59 @@ def test_unwind_null_zero_rows(graph):
     got = graph.query(
         "MATCH (r:Region) UNWIND null AS x RETURN count(*) AS c").collect()
     assert got[0][0] == 0
+
+
+def test_symbolic_heterogeneous_list_binding(spark, social):
+    """Lists mixing struct values (maps, entities) with scalars bind
+    symbolically: constant-index access resolves to the item, property
+    access and type() work on entity items (SIArray holds any SIValue,
+    src/datatypes/array.c)."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    r = g.query("WITH [{num: 7}, 1] AS list "
+                "RETURN (list[0]).num AS n, list[1] AS one, "
+                "list[5] AS oob").collect()[0]
+    assert r["n"] == 7 and r["one"] == 1 and r["oob"] is None
+    r = social.query(
+        "MATCH (a)-[r:friend]->() WITH [r, 1] AS list "
+        "RETURN type(list[0]) AS t LIMIT 1").collect()[0]
+    assert r["t"] == "friend"
+    # dynamic index into a symbolic list is a compile error
+    import pytest as _pt
+    with _pt.raises(Exception, match="constant-index"):
+        g.query("WITH [{num: 0}, 1] AS l UNWIND [0] AS i "
+                "RETURN l[i]").collect()
+
+
+def test_map_literal_keeps_null_values(spark):
+    """{k: null} keeps the key (unlike property maps, which omit
+    absent keys); the internal __maplit marker never reaches users."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    row = g.query("RETURN {k: null, j: 1} AS m").collect()[0]
+    d = row["m"].asDict()
+    assert d == {"k": None, "j": 1}
+    # map equality stays ternary with the marker present on one side
+    r = g.query("RETURN {k: 1} = {k: null} AS a, "
+                "{} = {k: null} AS b, "
+                "keys({k: null}) AS ks").collect()[0]
+    assert r["a"] is None and r["b"] is False and list(r["ks"]) == ["k"]
+
+
+def test_var_len_endpoint_type_conflict(social):
+    """A var-len hop ending at a variable bound as an edge is a
+    compile-time type conflict (Match1 [9] #24)."""
+    import pytest as _pt
+    with _pt.raises(Exception, match="not a node"):
+        social.query("MATCH ()-[*]-()-[r]-(), (), ()-[*]-(r) RETURN r")
+
+
+def test_tostring_rejects_lists(spark):
+    """toString() accepts scalars only; list arguments raise like the
+    reference (InvalidArgumentValue)."""
+    from redisgraph_spark import Graph
+    import pytest as _pt
+    g = Graph(spark, {}, {})
+    with _pt.raises(Exception, match="(?i)tostring"):
+        g.query("WITH [1, '', []] AS l "
+                "RETURN [x IN l | tostring(x)] AS r").collect()
