@@ -263,10 +263,10 @@ def test_reduce_count_fast_path(spark):
         .collect()[0]["c"] == 4
     assert g.query("MATCH (x)-[e]->(x) RETURN count(e) AS c") \
         .collect()[0]["c"] == 0   # self-loops only: not the fast path
-    # undirected must NOT fast-path (engine counts each edge once for
-    # anonymous endpoints; see test_self_loop_undirected_once)
+    # undirected must NOT fast-path: each non-loop edge matches in
+    # both orientations (TCK CountingSubgraphMatches1 [3])
     assert g.query("MATCH ()-[e]-() RETURN count(e) AS c") \
-        .collect()[0]["c"] == 2
+        .collect()[0]["c"] == 4
     # mutation invalidates the cached counter
     g.query("CREATE (:A {p: 1})")
     assert g.query("MATCH (n:A) RETURN count(n) AS c").collect()[0]["c"] == 4
