@@ -75,6 +75,25 @@ class _Fail(Exception):
     pass
 
 
+def _binary_tree_cypher(variant: int) -> str:
+    """The openCypher TCK's binary-tree-1/-2 fixture graphs, as built
+    by the reference harness (tests/tck/utils/graphs.py:43-116): root
+    (:A) with two :KNOWS and two :FOLLOWS children, each child with two
+    :FRIEND leaves, children linked in a :FRIEND ring. Variant 2 labels
+    every second leaf :Y instead of :X."""
+    leaf_lbl = (lambda i: "Y" if variant == 2 and i % 2 == 0 else "X")
+    nodes = ["(a:A {name: 'a'})"] + \
+        [f"(b{i}:X {{name: 'b{i}'}})" for i in range(1, 5)] + \
+        [f"(c{i}{j}:{leaf_lbl(j)} {{name: 'c{i}{j}'}})"
+         for i in range(1, 5) for j in (1, 2)]
+    edges = ["(a)-[:KNOWS]->(b1)", "(a)-[:KNOWS]->(b2)",
+             "(a)-[:FOLLOWS]->(b3)", "(a)-[:FOLLOWS]->(b4)"] + \
+        [f"(b{i})-[:FRIEND]->(c{i}{j})"
+         for i in range(1, 5) for j in (1, 2)] + \
+        [f"(b{i})-[:FRIEND]->(b{i % 4 + 1})" for i in range(1, 5)]
+    return "CREATE " + ", ".join(nodes + edges)
+
+
 def run_scenario(spark, sc: Scenario) -> Outcome:
     from redisgraph_spark import Graph
     name = f"{sc.feature}::{sc.name}"
@@ -103,7 +122,11 @@ def run_scenario(spark, sc: Scenario) -> Outcome:
             if t in ("an empty graph", "any graph"):
                 g = fresh_graph()
             elif t.startswith("the binary-tree"):
-                raise _Skip("binary-tree fixture")
+                # named fixtures from the reference harness
+                # (tests/tck/utils/graphs.py:43-116)
+                g = fresh_graph()
+                g.query(_binary_tree_cypher(
+                    2 if "binary-tree-2" in t else 1))
             elif t.startswith("there exists a procedure") or \
                     t.startswith("there exists a CSV file"):
                 raise _Skip("fixture registration")
