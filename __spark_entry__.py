@@ -712,6 +712,101 @@ def _p_simhash(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
 
 
+def _p_minhash_lsh_md5(spark, sf_dir):
+    """minhash_lsh_pairs with the portable 60-bit md5 hash — same
+    pipeline as p_minhash_lsh but value-for-value reproducible in
+    DuckDB, so this entry is fully oracle-verified (the xxhash64
+    default entry stays rows-only and carries the bench load)."""
+    from redisgraph_spark.pipeline.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5,
+                             hash_fn="md5") \
+        .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+
+
+def _p_simhash_md5(spark, sf_dir):
+    """simhash_pairs with the portable 60-bit md5 hash (fully
+    oracle-verified twin of p_simhash)."""
+    from redisgraph_spark.pipeline.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8,
+                         hash_fn="md5") \
+        .orderBy("doc_a", "doc_b")
+
+
+def _minhash_md5_oracle() -> str:
+    """DuckDB mirror of minhash_lsh_pairs(hash_fn='md5'): word
+    3-shingles → 32 seeded 60-bit md5 minhashes → pairs sharing a
+    band (8 bands × 4 rows, compared by value) with estimated
+    similarity ≥ 0.5."""
+    h60 = ("CAST(('0x' || substr(md5({v}), 1, 15)) AS BIGINT)")
+    bands = " OR ".join(
+        f"list_slice(sa, {b * 4 + 1}, {b * 4 + 4}) = "
+        f"list_slice(sb, {b * 4 + 1}, {b * 4 + 4})" for b in range(8))
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', tk[i + 1], tk[i + 2], tk[i + 3]) AS shingle
+          FROM t CROSS JOIN
+               unnest(range(0, greatest(len(tk) - 3, 0) + 1)) AS u(i)
+        ), mh AS (
+          SELECT doc_id, s.seed,
+                 min({h60.format(v="s.seed::VARCHAR || ':' || shingle")})
+                   AS h
+          FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS seed) s
+          GROUP BY doc_id, s.seed
+        ), sig AS (
+          SELECT doc_id, list(h ORDER BY seed) AS sig
+          FROM mh GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sig AS sa, b.sig AS sb
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b FROM pairs
+        WHERE ({bands})
+          AND len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
+              / 32.0 >= 0.5
+        ORDER BY doc_a, doc_b
+        """
+
+
+def _simhash_md5_oracle() -> str:
+    """DuckDB mirror of simhash_pairs(hash_fn='md5'): 60-bit token
+    bit-votes → signature → all pairs with Hamming ≤ 8 (the pigeonhole
+    block join is candidate generation only — it is lossless, so the
+    oracle compares all pairs directly)."""
+    return """
+        WITH tok AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents)
+          WHERE tok <> ''
+        ), h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+          FROM tok
+        ), votes AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) r
+          GROUP BY doc_id, b
+        ), sig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                          ELSE 0 END) AS simhash
+          FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        ORDER BY doc_a, doc_b
+        """
+
+
 def _p_cosine_topk(spark, sf_dir):
     from redisgraph_spark.pipeline.similarity import cosine_topk
     emb = _emb(spark, sf_dir)
@@ -1056,6 +1151,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # LSH/SimHash candidates depend on hash internals → rows-only check
     "p_minhash_lsh": (_p_minhash_lsh, None),
     "p_simhash": (_p_simhash, None),
+    "p_minhash_lsh_md5": (_p_minhash_lsh_md5, _minhash_md5_oracle()),
+    "p_simhash_md5": (_p_simhash_md5, _simhash_md5_oracle()),
 
     "p_cosine_topk": (_p_cosine_topk, """
         WITH scored AS (

@@ -98,11 +98,23 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
         .select("doc_a", "doc_b", "jaccard")
 
 
+# ------------------------------------------------------- portable hash
+def portable_hash60(col, seed: int | None = None):
+    """60-bit hash replicable in any engine with md5(): the first 15
+    hex chars of md5('<seed>:' || value) as an integer. ~3× slower than
+    xxhash64 (hex round trip), so the default pipelines keep xxhash64;
+    the `hash_fn="md5"` variants exist so the DuckDB oracle can verify
+    MinHash/SimHash results value-for-value."""
+    s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 # --------------------------------------------------------- MinHash + LSH
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       shingle: str = "word") -> DataFrame:
-    """k-permutation MinHash via xxhash64(shingle, seed): (id, sig array).
+                       shingle: str = "word",
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """k-permutation MinHash via hash(shingle, seed): (id, sig array).
 
     Word n-grams by default (w-shingling): character shingles over
     low-entropy corpora collide so heavily that LSH buckets approach
@@ -112,8 +124,12 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
         sh = word_shingles(docs, n, text_col, id_col)
     else:
         sh = char_shingles(docs, n, text_col, id_col)
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)]
+    if hash_fn == "md5":
+        aggs = [F.min(portable_hash60(F.col("shingle"), i)).alias(f"h{i}")
+                for i in range(num_hashes)]
+    else:
+        aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
@@ -123,7 +139,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
                       n: int = 3, threshold: float | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
-                      shingle: str = "word") -> DataFrame:
+                      shingle: str = "word",
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     bands=8 × rows=4 over 32 hashes ⇒ collision prob ≈ 1-(1-s^4)^8
@@ -137,7 +154,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col,
-                             shingle)
+                             shingle, hash_fn)
     # sig feeds the banding AND both post-dedup signature rejoins —
     # materialize once instead of recomputing the shingle+minhash
     # pipeline three times (signatures are tiny: ids + 32 longs)
@@ -168,27 +185,33 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
 
 # --------------------------------------------------------------- SimHash
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over whitespace tokens: (id, simhash bigint).
+    (60-bit with the portable md5 hash.)
 
-    Per token: 64 bit-votes (+1/−1 by hash bit); signature bit b is the
-    sign of the vote sum. Pure higher-order-function pipeline.
+    Per token: one bit-vote per bit (+1/−1 by hash bit); signature bit
+    b is the sign of the vote sum. Pure higher-order-function pipeline.
     """
+    bits = 60 if hash_fn == "md5" else 64
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")) \
         .filter(F.col("tok") != "")
-    h = toks.withColumn("th", F.xxhash64("tok"))
+    if hash_fn == "md5":
+        h = toks.withColumn("th", portable_hash60(F.col("tok")))
+    else:
+        h = toks.withColumn("th", F.xxhash64("tok"))
     # one ±1 vote column per bit (static shifts; stays in codegen),
     # summed map-side by the partial aggregation
     vote_aggs = [
         F.sum(F.when(F.shiftright(F.col("th"), b)
                      .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
               ).alias(f"v{b}")
-        for b in range(64)]
+        for b in range(bits)]
     summed = h.groupBy(id_col).agg(*vote_aggs)
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         sig = sig.bitwiseOR(
             F.when(F.col(f"v{b}") > 0,
                    F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"))
@@ -197,8 +220,8 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id"
-                  ) -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole blocking: split 64 bits into (max_hamming+1) blocks — any
@@ -207,10 +230,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     Returns (doc_a, doc_b, hamming).
     """
     nblocks = max_hamming + 1
-    width = 64 // nblocks
+    width = (60 if hash_fn == "md5" else 64) // nblocks
     # both sides of the candidate self-join derive from sig —
     # materialize the (expensive) token-vote aggregation once
-    sig = simhash_signatures(docs, text_col, id_col) \
+    sig = simhash_signatures(docs, text_col, id_col, hash_fn) \
         .localCheckpoint(eager=True)
     blocks = sig.select(
         id_col, "simhash",
