@@ -51,8 +51,23 @@ def _nid(label: str, key):
     return (F.col(key).cast("long") + F.lit(OFF[label])).alias("_id")
 
 
+# Constructed projections per (session, sf_dir): the parquet listing /
+# schema-inference / footer-statistics work is identical for every
+# Graph over the same files, and the DataFrames are immutable — only
+# the per-Graph table DICTS must be fresh (mutations replace entries).
+# ~0.9 s per Graph.from_tpch call saved on repeated loads.
+_BUILD_CACHE: dict = {}
+
+
 def tpch_graph(spark: SparkSession, sf_dir: str):
     from redisgraph_spark.graph.graph import Graph
+
+    key = (id(spark), sf_dir)
+    cached = _BUILD_CACHE.get(key)
+    if cached is not None:
+        nodes, edges, count_hints = cached
+        return Graph(spark, nodes, edges, name="tpch",
+                     rel_endpoints=_REL_ENDPOINTS, count_hints=count_hints)
 
     def rd(name: str) -> DataFrame:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -157,10 +172,15 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
         }
     except Exception:
         pass
-    return Graph(spark, nodes, edges, name="tpch", rel_endpoints={
-        "IN_REGION": ("Nation", "Region"),
-        "IN_NATION": ({"Customer", "Supplier"}, "Nation"),
-        "PLACED": ("Customer", "Order"),
-        "CONTAINS": ("Order", "Part"),
-        "SUPPLIED_BY": ("Part", "Supplier"),
-    }, count_hints=count_hints)
+    _BUILD_CACHE[key] = (nodes, edges, count_hints)
+    return Graph(spark, nodes, edges, name="tpch",
+                 rel_endpoints=_REL_ENDPOINTS, count_hints=count_hints)
+
+
+_REL_ENDPOINTS = {
+    "IN_REGION": ("Nation", "Region"),
+    "IN_NATION": ({"Customer", "Supplier"}, "Nation"),
+    "PLACED": ("Customer", "Order"),
+    "CONTAINS": ("Order", "Part"),
+    "SUPPLIED_BY": ("Part", "Supplier"),
+}

@@ -317,6 +317,28 @@ class ExprCompiler:
             raise CompileError(
                 "list index must be an integer, not "
                 f"{type(e.index.value).__name__}")
+        if isinstance(e.subject, A.FuncCall) \
+                and e.subject.name == "labels" \
+                and isinstance(e.index, A.Literal) \
+                and isinstance(e.index.value, int) \
+                and not isinstance(e.index.value, bool):
+            # labels(n)[0] on a single-label node is just the label
+            # field. Besides being cheaper, this avoids Spark's
+            # try_element_at-over-inline-array codegen bug (the
+            # generated CASE references an undeclared isNull variable,
+            # Janino rejects it, and the stage silently runs
+            # interpreted).
+            ent = self.compile(e.subject.args[0])
+            try:
+                dt = self.dtype(ent)
+            except Exception:
+                dt = None
+            if isinstance(dt, T.StructType) \
+                    and "_labels" not in dt.fieldNames() \
+                    and "_label" in dt.fieldNames():
+                if e.index.value in (0, -1):
+                    return ent.getField("_label")
+                return F.lit(None).cast("string")
         subject = self.compile(e.subject)
         idx = self.compile(e.index)
         if _could_be_variant(e.subject) and self._is_variant(subject):
@@ -341,6 +363,17 @@ class ExprCompiler:
             # Cypher is 0-based with negative wrap; element_at is 1-based
             # with negative-from-end. Out-of-bounds → null (Cypher), so
             # try_element_at, not the ANSI-throwing element_at.
+            if isinstance(e.index, A.Literal) \
+                    and isinstance(e.index.value, int) \
+                    and not isinstance(e.index.value, bool):
+                # constant index: pick the branch statically — cheaper,
+                # and the CASE-around-CASE shape this avoids makes
+                # Janino reject the generated code ("isNull_N is not an
+                # rvalue") for expressions like labels(x)[0], silently
+                # dropping the whole stage to interpreted mode
+                i = e.index.value
+                return F.try_element_at(
+                    subject, F.lit(i + 1 if i >= 0 else i).cast("int"))
             return F.when(idx >= 0,
                           F.try_element_at(subject, (idx + 1).cast("int"))) \
                     .otherwise(F.try_element_at(subject, idx.cast("int")))
@@ -1121,8 +1154,12 @@ class ExprCompiler:
             return F.lit(None)             # labels(null) → null
         if isinstance(t, T.StructType) and "_labels" in t.fieldNames():
             return c.getField("_labels")   # multi-label graph (SET n:L)
-        # a null entity (failed OPTIONAL MATCH) yields null, not [null]
-        return F.when(c.isNull(), F.lit(None)) \
+        # a null entity (failed OPTIONAL MATCH) yields null, not [null];
+        # typed null branch — an untyped NULL literal here makes Janino
+        # reject the generated CASE code ("isNull_0 is not an rvalue")
+        # and the whole stage silently falls back to interpreted mode
+        return F.when(c.isNull(),
+                      F.lit(None).cast("array<string>")) \
             .otherwise(F.array(c.getField("_label")))
 
     def _fn_type(self, e: A.FuncCall) -> Column:

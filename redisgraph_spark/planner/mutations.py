@@ -548,6 +548,10 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
             comp.compile(item.value).alias("__uval")) \
             .filter(F.col("__uid").isNotNull()) \
             .dropDuplicates(["__uid"])
+        # materialize the (small) update set once: the count below and
+        # every candidate-table rewrite join then reuse it instead of
+        # re-running the whole match pipeline per consumer
+        upd = upd.localCheckpoint(eager=True)
         upd_cnt = upd.count()
         if info.kind == "node":
             tables = g.node_tables
@@ -779,6 +783,10 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
             raise ValueError("DELETE expects a node, relationship or path")
         ids = ctx.df.select(
             F.col(f"{var}._id").alias("__did")).dropDuplicates()
+        # materialize once: the count, every anti-join rewrite, and the
+        # cascade probes all reuse the tiny id set instead of re-running
+        # the match pipeline per consumer
+        ids = ids.localCheckpoint(eager=True)
         idc = ids.count()
         if info.kind == "edge":
             for name, tbl in list(g.edge_tables.items()):
