@@ -33,22 +33,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------------------- shingles
 def char_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  dedup: bool = True) -> DataFrame:
     """Distinct character n-grams per document: (id, shingle).
 
     `sequence+transform` keeps generation JVM-side; `explode` then
-    `distinct` gives the shingle set.
+    `distinct` gives the shingle set. ``dedup=False`` skips the
+    distinct — a whole shuffle of the exploded shingles — for
+    consumers whose aggregate is duplicate-insensitive (MinHash min).
     """
     idx = F.sequence(F.lit(1), F.greatest(
         F.length(F.col(text_col)) - (n - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(n)))
-    return docs.select(F.col(id_col), F.explode(sh).alias("shingle")) \
-               .filter(F.length("shingle") == n) \
-               .distinct()
+    out = docs.select(F.col(id_col), F.explode(sh).alias("shingle")) \
+              .filter(F.length("shingle") == n)
+    return out.distinct() if dedup else out
 
 
 def word_shingles(docs: DataFrame, n: int = 2, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  dedup: bool = True) -> DataFrame:
     """Distinct word n-grams per document.
 
     Grams are built with O(1) ``element_at`` lookups per position
@@ -63,9 +67,9 @@ def word_shingles(docs: DataFrame, n: int = 2, text_col: str = "text",
     grams = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, (i + k + 1).cast("int"))
                for k in range(n)]))
-    return with_toks.select(F.col(id_col),
-                            F.explode(grams).alias("shingle")) \
-                    .distinct()
+    out = with_toks.select(F.col(id_col),
+                           F.explode(grams).alias("shingle"))
+    return out.distinct() if dedup else out
 
 
 # -------------------------------------------------------- n-gram Jaccard
@@ -120,10 +124,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
     low-entropy corpora collide so heavily that LSH buckets approach
     all-pairs — word shingles keep bucket sizes bounded.
     """
+    # min() is duplicate-insensitive — skip the shingle-set distinct
+    # (a full shuffle of the exploded shingles); the signature agg's
+    # map-side partial min is then the ONLY shuffle in this stage
     if shingle == "word":
-        sh = word_shingles(docs, n, text_col, id_col)
+        sh = word_shingles(docs, n, text_col, id_col, dedup=False)
     else:
-        sh = char_shingles(docs, n, text_col, id_col)
+        sh = char_shingles(docs, n, text_col, id_col, dedup=False)
     if hash_fn == "md5":
         aggs = [F.min(portable_hash60(F.col("shingle"), i)).alias(f"h{i}")
                 for i in range(num_hashes)]
