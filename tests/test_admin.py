@@ -164,3 +164,20 @@ def test_drop_index_ddl(social):
     import pytest
     with pytest.raises(ValueError, match="no such index"):
         social.query("DROP INDEX ON :person(age)")
+
+
+def test_labels_subscript_stays_in_codegen(social):
+    """labels(n)[k] folds to the label field: try_element_at over an
+    inline-built array trips a Spark codegen bug (the generated CASE
+    references an undeclared isNull variable) and silently drops the
+    stage to interpreted mode. The fold keeps whole-stage codegen
+    alive AND is cheaper."""
+    df = social.query("MATCH (p:person)-[:friend]->(x) "
+                      "RETURN labels(x)[0] AS l, count(*) AS c")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" not in plan          # folded away
+    assert [r["l"] for r in df.collect()] == ["person"]
+    # out-of-range constant index is null, negative wraps
+    r = social.query("MATCH (p:person) RETURN labels(p)[-1] AS a, "
+                     "labels(p)[3] AS b LIMIT 1").collect()[0]
+    assert r["a"] == "person" and r["b"] is None

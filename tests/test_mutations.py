@@ -318,3 +318,22 @@ def test_create_reversed_direction(spark):
     got = g.query("MATCH (x)-[:T]->(y) RETURN labels(x)[0] AS f, "
                   "labels(y)[0] AS t").collect()
     assert [tuple(r) for r in got] == [("B", "A")]
+
+
+def test_create_conflicting_property_types_builds_variant(spark):
+    """One CREATE giving the same property key different types on
+    different entities builds the per-value variant union (schemaless
+    SIValue semantics) — and WHERE dispatches per type like the
+    reference's filter tree (DISJOINT comparisons filter the row)."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    g.query("CREATE (:C {v: 0}), (:C {v: 'xx'}), (:C), (:C {v: 2.5})")
+    got = {r["x"] for r in g.query(
+        "MATCH (c:C) WHERE c.v > 1 OR c.v STARTS WITH 'x' "
+        "RETURN c.v AS x").collect()}
+    assert got == {"xx", "2.5"}
+    # numeric widen inside a later CREATE onto an int column
+    g.query("CREATE (:C {v: 7})")
+    n = g.query("MATCH (c:C) WHERE c.v >= 7 RETURN count(*) AS n") \
+        .collect()[0]["n"]
+    assert n == 1
