@@ -687,8 +687,9 @@ class ExprCompiler:
                     left, left_ast = None, right_ast
                     continue
                 if self._het_list(left_ast) or self._het_list(right_ast):
-                    # mixed-type list vs non-list: never equal; only a
-                    # null other side yields null
+                    # mixed-type list literal vs non-list expression
+                    lit_ast = left_ast if self._het_list(left_ast) \
+                        else right_ast
                     other_ast = right_ast if self._het_list(left_ast) \
                         else left_ast
                     if isinstance(other_ast, A.Literal) and \
@@ -696,8 +697,21 @@ class ExprCompiler:
                         c = nullb
                     else:
                         oc = self.compile(other_ast)
-                        c = F.when(oc.isNull(), nullb) \
-                            .otherwise(F.lit(op == "<>"))
+                        c = None
+                        if _could_be_variant(other_ast) \
+                                and self._is_variant(oc):
+                            # a variant property CAN hold a list —
+                            # compare through the typed union
+                            # (r.tag = [1, 'a'] after SET)
+                            try:
+                                c = self._variant_cmp(
+                                    oc, self.compile(lit_ast), op)
+                            except CompileError:
+                                c = None
+                        if c is None:
+                            # plain non-list side: never equal
+                            c = F.when(oc.isNull(), nullb) \
+                                .otherwise(F.lit(op == "<>"))
                     out = c if out is None else (out & c)
                     left, left_ast = None, right_ast
                     continue
@@ -786,6 +800,8 @@ class ExprCompiler:
             lv, rv = rv, lv
             op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
         arr_c3 = None   # ordering over array payloads: ternary
+        arr_eq = None   # equality over array payloads: ternary
+        both_arr = None
         if rv:
             pairs = [(V.num_view(l), V.num_view(r)),
                      (V.str_view(l), V.str_view(r)),
@@ -793,6 +809,11 @@ class ExprCompiler:
                      (V.arr_canon(l), V.arr_canon(r))]
             if op in ("<", "<=", ">", ">="):
                 arr_c3 = V.arr_cmp3(V.arr_view(l), V.arr_view(r))
+                pairs = pairs[:3]
+            elif op in ("=", "<>"):
+                arr_eq = V.arr_eq3(V.arr_view(l), V.arr_view(r))
+                both_arr = (l["_vt"] == V.TAG_ARRAY) \
+                    & (r["_vt"] == V.TAG_ARRAY)
                 pairs = pairs[:3]
         else:
             try:
@@ -813,11 +834,14 @@ class ExprCompiler:
                          and isinstance(rt.elementType.elementType,
                                         V._SCALAR_TYPES))):
                 pairs = [(V.arr_canon(l), V.arr_canon_plain(r, rt))]
+                r_mid = F.transform(
+                    r, lambda x: V._mid_encode(x, rt.elementType))
                 if op in ("<", "<=", ">", ">="):
-                    arr_c3 = V.arr_cmp3(
-                        V.arr_view(l),
-                        F.transform(r, lambda x: V._mid_encode(
-                            x, rt.elementType)))
+                    arr_c3 = V.arr_cmp3(V.arr_view(l), r_mid)
+                    pairs = []
+                elif op in ("=", "<>"):
+                    arr_eq = V.arr_eq3(V.arr_view(l), r_mid)
+                    both_arr = (l["_vt"] == V.TAG_ARRAY) & r.isNotNull()
                     pairs = []
             else:
                 pairs = []  # variant vs nested-array/struct: disjoint
@@ -832,6 +856,13 @@ class ExprCompiler:
         null_b = F.lit(None).cast("boolean")
         if op in ("=", "<>"):
             inner = F.coalesce(*cs, F.lit(False)) if cs else F.lit(False)
+            if arr_eq is not None:
+                # array payloads: ternary elementwise equality (a null
+                # element pair → null, not Spark's canonical
+                # nulls-compare-equal) — gate on the tags so the
+                # coalesce of scalar views keeps its "first matching
+                # type wins" semantics
+                inner = F.when(both_arr, arr_eq).otherwise(inner)
             if op == "<>":
                 inner = ~inner
             return F.when(l.isNull() | r.isNull(), null_b).otherwise(inner)

@@ -318,8 +318,10 @@ def arr_canon(v: Column) -> Column:
     Spark's array ordering (elementwise, then length) matches
     SIArray_Compare's common-range-then-lenDiff shape
     (src/value.c:455-501). Null elements compare equal-to-each-other
-    here (Spark ordering) where the reference yields null — documented
-    deviation for arrays containing nulls."""
+    under Spark's canonical ordering, so comparison OPERATORS use the
+    ternary ``arr_eq3``/``arr_cmp3`` instead; this canonical form
+    remains for IN-membership and ORDER BY keys, where a total order
+    is required."""
     return F.when(v["_vt"] == TAG_ARRAY, F.transform(v["_a"], _elem_canon))
 
 
@@ -348,6 +350,47 @@ def _elem_cmp3(a: Column, b: Column) -> Column:
                sgn(F.transform(a["_a"], _scalar_canon),
                    F.transform(b["_a"], _scalar_canon)))
          .otherwise(nulli))
+
+
+def _elem_eq3(a: Column, b: Column) -> Column:
+    """Ternary equality of two MID elements: null when either element
+    is null, FALSE when the types are disjoint (definitively unequal,
+    AR_EQ boolean_funcs.c:143-163), else value equality."""
+    nullb = F.lit(None).cast("boolean")
+
+    def num(e):
+        return F.when(e["_vt"] == TAG_INT, e["_i"].cast("double")) \
+                .when(e["_vt"] == TAG_FLOAT, e["_d"])
+
+    an, bn = num(a), num(b)
+    return (
+        F.when(a.isNull() | b.isNull(), nullb)
+         .when(an.isNotNull() & bn.isNotNull(), an == bn)
+         .when((a["_vt"] == TAG_STRING) & (b["_vt"] == TAG_STRING),
+               a["_s"] == b["_s"])
+         .when((a["_vt"] == TAG_BOOL) & (b["_vt"] == TAG_BOOL),
+               a["_b"] == b["_b"])
+         .when((a["_vt"] == TAG_ARRAY) & (b["_vt"] == TAG_ARRAY),
+               F.transform(a["_a"], _scalar_canon) ==
+               F.transform(b["_a"], _scalar_canon))
+         .otherwise(F.lit(False)))
+
+
+def arr_eq3(l_elems: Column, r_elems: Column) -> Column:
+    """Ternary list equality over MID element arrays (openCypher:
+    length mismatch or any definitely-unequal pair → false; else a
+    null-involving pair → null; else true)."""
+    nullb = F.lit(None).cast("boolean")
+    n = F.least(F.size(l_elems), F.size(r_elems))
+    pair = F.zip_with(F.slice(l_elems, 1, n), F.slice(r_elems, 1, n),
+                      _elem_eq3)
+    any_false = F.exists(pair, lambda x: ~F.coalesce(x, F.lit(True)))
+    any_null = F.exists(pair, lambda x: x.isNull())
+    return F.when(l_elems.isNull() | r_elems.isNull(), nullb) \
+            .when(F.size(l_elems) != F.size(r_elems), F.lit(False)) \
+            .when(any_false, F.lit(False)) \
+            .when(any_null, nullb) \
+            .otherwise(F.lit(True))
 
 
 def arr_cmp3(l_elems: Column, r_elems: Column) -> Column:

@@ -185,3 +185,46 @@ def test_array_variant_min_max(vagraph):
     assert r["mn"] == "[]"      # empty array is globally first
     assert r["mx"] == "5"       # largest numeric
     assert r["s"] == pytest.approx(2.0)  # numeric view: 5 + (-3)
+
+
+def test_variant_array_equality_is_ternary(spark):
+    """Mixed-type (variant-encoded) list equality follows openCypher
+    ternary semantics like plain lists: a definitely-unequal pair or a
+    length mismatch is false, a null-involving pair is null, disjoint
+    element types are definitively unequal (AR_EQ,
+    boolean_funcs.c:143-163)."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    cases = [
+        ("[1, 'a'] = [1, 'a']", True),
+        ("[1, 'a'] = [1, 'b']", False),
+        ("[1, 'a'] = [1, null]", None),
+        ("[1, 'a'] = [2, null]", False),
+        ("[1, 'a'] <> [1, null]", None),
+        ("[1, 'a'] = [1, 'a', 3]", False),
+        ("[1, 'a'] = [1, true]", False),
+        ("[1, 'a'] >= [1, null]", None),
+    ]
+    q = "RETURN " + ", ".join(
+        f"{expr} AS c{i}" for i, (expr, _) in enumerate(cases))
+    row = g.query(q).collect()[0]
+    for i, (expr, want) in enumerate(cases):
+        assert row[f"c{i}"] == want or (
+            row[f"c{i}"] is None and want is None), (expr, row[f"c{i}"])
+
+
+def test_variant_property_equals_het_list_literal(spark):
+    """A variant property holding a mixed-type list compares equal to
+    the same heterogeneous list literal; a scalar-holding variant is
+    <> it (cross-type, definitively unequal)."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    g.query("CREATE (:V {k: 0}), (:V {k: 1})")
+    g.query("MATCH (v:V {k: 0}) SET v.tag = [1, 'a']")
+    g.query("MATCH (v:V {k: 1}) SET v.tag = 7")
+    eq = g.query("MATCH (v:V) WHERE v.tag = [1, 'a'] "
+                 "RETURN v.k AS k").collect()
+    assert [r["k"] for r in eq] == [0]
+    ne = g.query("MATCH (v:V) WHERE v.tag <> [1, 'a'] "
+                 "RETURN v.k AS k").collect()
+    assert [r["k"] for r in ne] == [1]
