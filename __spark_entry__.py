@@ -287,12 +287,15 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "SELECT CAST(quantile_cont(p_size, 0.5) AS DOUBLE) AS med, "
         "CAST(quantile_disc(p_size, 0.9) AS DOUBLE) AS p90 FROM part"),
 
-    # collect() with deterministic ordering
+    # collect() with deterministic ordering; list rendered as canonical
+    # JSON on both sides (the driver's pandas canonicalizer cannot sort
+    # list-typed cells — CORRECTNESS_r01 err)
     "q_collect": (
         "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
-        "RETURN r.r_name AS region, sort(collect(n.n_name)) AS nations "
-        "ORDER BY region",
-        "SELECT r_name AS region, list_sort(list(n_name)) AS nations "
+        "RETURN r.r_name AS region, tojson(sort(collect(n.n_name))) "
+        "AS nations ORDER BY region",
+        "SELECT r_name AS region, to_json(list_sort(list(n_name))) "
+        "AS nations "
         "FROM nation JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name ORDER BY r_name"),
 
@@ -351,19 +354,20 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "WITH p, l RETURN "
         "sum(CASE WHEN l IS NULL THEN 1 ELSE 0 END) AS never_ordered_rows, "
         "count(l) AS ordered_rows",
-        "SELECT sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) "
-        "AS never_ordered_rows, count(l_orderkey) AS ordered_rows "
+        "SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS never_ordered_rows, count(l_orderkey) AS ordered_rows "
         "FROM part LEFT JOIN lineitem ON l_partkey = p_partkey"),
 
     # list comprehension + reduce + quantifier (higher-order exprs)
     "q_list_exprs": (
         "UNWIND [1, 2, 3, 4, 5, 6] AS x "
         "WITH collect(x) AS xs "
-        "RETURN [y IN xs WHERE y % 2 = 0 | y * y] AS even_sq, "
+        "RETURN tojson([y IN xs WHERE y % 2 = 0 | y * y]) AS even_sq, "
         "reduce(s = 0, y IN xs | s + y) AS total, "
         "size([y IN xs WHERE y > 3]) AS n_big",
-        "SELECT [y * y FOR y IN [1,2,3,4,5,6] IF y % 2 = 0] AS even_sq, "
-        "21 AS total, 3 AS n_big"),
+        "SELECT to_json([y * y FOR y IN [1,2,3,4,5,6] IF y % 2 = 0]) "
+        "AS even_sq, "
+        "CAST(21 AS BIGINT) AS total, CAST(3 AS BIGINT) AS n_big"),
 
     # var-len traversal [*1..2] — iterative frontier joins
     "q_var_len": (
@@ -438,9 +442,12 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "count(v) AS nonnull, count(*) AS total",
         "WITH u AS (SELECT CASE WHEN x = 2 THEN NULL ELSE x END AS v "
         "FROM (SELECT unnest([1,2,3]) AS x)) "
-        "SELECT sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS gt1, "
-        "sum(CASE WHEN v > 1 OR v IS NULL THEN 1 ELSE 0 END) AS gt1_or_null, "
-        "sum(CASE WHEN NOT v > 1 THEN 1 ELSE 0 END) AS not_gt1, "
+        "SELECT CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS gt1, "
+        "CAST(sum(CASE WHEN v > 1 OR v IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS gt1_or_null, "
+        "CAST(sum(CASE WHEN NOT v > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS not_gt1, "
         "count(v) AS nonnull, count(*) AS total FROM u"),
 
     # 4-hop chain: Customer->Order->Part->Supplier->Nation (deep join
@@ -507,14 +514,17 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
     # list function battery (list_funcs.c:222-263)
     "q_list_fns": (
         "WITH [5, 3, 9, 1] AS xs RETURN "
-        "head(xs) AS h, last(xs) AS l, tail(xs) AS t, "
+        "head(xs) AS h, last(xs) AS l, tojson(tail(xs)) AS t, "
         "size(xs) AS sz, xs[1] AS second, xs[-1] AS neg, "
-        "xs[1..3] AS mid, sort(xs) AS srt, "
-        "range(2, 8, 3) AS rng, 3 IN xs AS has3",
-        "SELECT 5 AS h, 1 AS l, [3, 9, 1] AS t, "
-        "4 AS sz, 3 AS second, 1 AS neg, "
-        "[3, 9] AS mid, [1, 3, 5, 9] AS srt, "
-        "[2, 5, 8] AS rng, true AS has3"),
+        "tojson(xs[1..3]) AS mid, tojson(sort(xs)) AS srt, "
+        "tojson(range(2, 8, 3)) AS rng, 3 IN xs AS has3",
+        "SELECT CAST(5 AS BIGINT) AS h, CAST(1 AS BIGINT) AS l, "
+        "to_json(CAST([3, 9, 1] AS BIGINT[])) AS t, "
+        "CAST(4 AS BIGINT) AS sz, CAST(3 AS BIGINT) AS second, "
+        "CAST(1 AS BIGINT) AS neg, "
+        "to_json(CAST([3, 9] AS BIGINT[])) AS mid, "
+        "to_json(CAST([1, 3, 5, 9] AS BIGINT[])) AS srt, "
+        "to_json(CAST([2, 5, 8] AS BIGINT[])) AS rng, true AS has3"),
 
     # conditional battery: simple CASE + coalesce chains
     # (conditional_funcs.c:83-88)
@@ -583,13 +593,24 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
         """),
 
-    # component structure is iterative (no SQL oracle) — rows-only;
-    # exact semantics pinned by tests/test_e2e_queries.py::test_algo_wcc
+    # the tpch graph's component structure is fixed: every node reaches
+    # the rest except parts absent from lineitem (their only edges are
+    # CONTAINS / SUPPLIED_BY, both lineitem-derived) — so the count IS
+    # SQL-expressible; exact per-node semantics pinned by
+    # tests/test_e2e_queries.py::test_algo_wcc
     "q_wcc": (
         "CALL algo.wcc() YIELD node, component "
         "RETURN count(*) AS n_nodes, "
         "count(DISTINCT component) AS n_components",
-        None),
+        "SELECT (SELECT count(*) FROM customer) "
+        " + (SELECT count(*) FROM nation) "
+        " + (SELECT count(*) FROM region) "
+        " + (SELECT count(*) FROM supplier) "
+        " + (SELECT count(*) FROM part) "
+        " + (SELECT count(*) FROM orders) AS n_nodes, "
+        "1 + (SELECT count(*) FROM part p WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)) "
+        "AS n_components"),
 
     "q_call_labels": (
         "CALL db.labels() YIELD label RETURN label ORDER BY label",
@@ -674,10 +695,10 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
     # list slice operator over split() output (CYPHER_AST_SLICE_OPERATOR)
     "q_slice": (
         "MATCH (p:Part) WHERE p.p_partkey <= 10 "
-        "RETURN p.p_partkey AS k, split(p.p_name, ' ')[1..3] AS mid "
+        "RETURN p.p_partkey AS k, tojson(split(p.p_name, ' ')[1..3]) AS mid "
         "ORDER BY k",
         """
-        SELECT p_partkey AS k, str_split(p_name, ' ')[2:3] AS mid
+        SELECT p_partkey AS k, to_json(str_split(p_name, ' ')[2:3]) AS mid
         FROM part WHERE p_partkey <= 10 ORDER BY k
         """),
 }
@@ -874,13 +895,32 @@ def _p_top_users(spark, sf_dir):
 
 
 
+def _ft_graph(spark, sf_dir):
+    """Shared graph with the Part(p_name) fulltext index created —
+    index creation is additive (no node-table mutation), so the warm
+    shared graph is safe to reuse across fulltext entries."""
+    g = _graph(spark, sf_dir)
+    if "Part" not in g.fulltext.fields:
+        g.query("CALL db.idx.fulltext.createNodeIndex('Part', 'p_name')") \
+            .collect()
+    return g
+
+
 def _q_fulltext(spark, sf_dir):
-    from redisgraph_spark import Graph
-    g = Graph.from_tpch(spark, sf_dir)   # fresh: index catalog is stateful
-    g.query("CALL db.idx.fulltext.createNodeIndex('Part', 'p_name')") \
-        .collect()
-    return g.query(
+    # RediSearch default: space-separated terms intersect (AND)
+    return _ft_graph(spark, sf_dir).query(
         "CALL db.idx.fulltext.queryNodes('Part', 'red bolt') "
+        "YIELD node, score "
+        "RETURN node.p_partkey AS k, tofloat(score) AS score "
+        "ORDER BY score DESC, k")
+
+
+def _q_fulltext_phrase(spark, sf_dir):
+    # exact phrases + OR + negation (RediSearch grammar,
+    # proc_fulltext_query.c:124 delegates to this language)
+    return _ft_graph(spark, sf_dir).query(
+        "CALL db.idx.fulltext.queryNodes('Part', "
+        "'\"red bolt\" | \"blue bolt\" -widget') "
         "YIELD node, score "
         "RETURN node.p_partkey AS k, tofloat(score) AS score "
         "ORDER BY score DESC, k")
@@ -1047,12 +1087,20 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
           FROM part
         ), scored AS (
           SELECT p_partkey,
-                 len(list_filter(tk, t -> t = 'red'))
-                 + len(list_filter(tk, t -> t = 'bolt')) AS score
+                 len(list_filter(tk, t -> t = 'red')) AS r,
+                 len(list_filter(tk, t -> t = 'bolt')) AS b
           FROM toks
         )
-        SELECT p_partkey AS k, CAST(score AS DOUBLE) AS score
-        FROM scored WHERE score > 0 ORDER BY score DESC, k
+        SELECT p_partkey AS k, CAST(r + b AS DOUBLE) AS score
+        FROM scored WHERE r > 0 AND b > 0 ORDER BY score DESC, k
+        """),
+
+    # phrase + OR + negation: parts literally named "red bolt" or
+    # "blue bolt" (phrase score = adjacent-occurrence count = 1)
+    "q_fulltext_phrase": (_q_fulltext_phrase, """
+        SELECT p_partkey AS k, CAST(1 AS DOUBLE) AS score
+        FROM part WHERE p_name IN ('red bolt', 'blue bolt')
+        ORDER BY score DESC, k
         """),
 
     # iterative algorithm — validated rows-only (score distribution is

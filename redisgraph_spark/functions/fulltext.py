@@ -1,73 +1,350 @@
-"""Fulltext search — the reference's RediSearch-backed procedures
-(``/root/reference/src/procedures/proc_fulltext_create_index.c:65``,
-``proc_fulltext_query.c:124``) re-expressed as an inverted-index
-DataFrame + TF scoring.
+"""Fulltext search — RediSearch-compatible query language over a
+positional inverted index, DataFrame-native.
 
-Index layout: ``(token, _id, tf)`` — an inverted index as a table,
-partitioned by token at scale so a query touches only its tokens'
-partitions. Scoring: sum of term frequencies over matched query tokens
-(RediSearch's default TF scoring shape; no IDF in the reference's
-default either).
+The reference's procedures (``/root/reference/src/procedures/
+proc_fulltext_create_index.c:65``, ``proc_fulltext_query.c:124``)
+delegate parsing and matching to RediSearch; this module re-implements
+the public RediSearch query grammar (space = AND, ``|`` = OR, ``-`` =
+NOT, ``"..."`` = exact phrase, ``@field:`` restriction, ``term*``
+prefix, ``%term%`` fuzzy) and compiles it to joins over the index.
+
+Index layout: ``(field, token, _id, tf, positions)`` — one row per
+(field, token, node). At 100 TB this table is hash-partitioned by
+token so a query touches only its terms' partitions; phrase matching
+is an equi-join on (_id, field) between the phrase's term rows plus an
+``array_intersect`` over shifted position arrays — no re-scan of the
+raw text. Scoring: Σ term frequency over matched terms (RediSearch's
+default TF scoring shape; the reference's default has no IDF either).
 """
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass, field as dc_field
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_WORD_RE = re.compile(r"[a-z0-9]+")
 
-def build_index(nodes: DataFrame, prop: str,
+
+# ---------------------------------------------------------------------------
+# Index build
+# ---------------------------------------------------------------------------
+
+def build_index(nodes: DataFrame, props: list[str] | str,
                 id_col: str = "_id") -> DataFrame:
-    """Tokenize `prop` (lowercase, split on non-alphanumerics) into an
-    inverted index (token, _id, tf)."""
-    toks = F.split(F.lower(F.col(prop)), r"[^a-z0-9]+")
-    exploded = nodes.select(F.col(id_col),
-                            F.explode(toks).alias("token")) \
-        .filter(F.col("token") != "")
-    return exploded.groupBy("token", id_col) \
-        .agg(F.count(F.lit(1)).alias("tf"))
+    """Tokenize each of `props` (lowercase, alphanumeric runs) into a
+    positional inverted index ``(field, token, _id, tf, positions)``."""
+    if isinstance(props, str):
+        props = [props]
+    parts = []
+    for prop in props:
+        toks = F.split(F.lower(F.col(prop).cast("string")),
+                       r"[^a-z0-9]+")
+        exploded = nodes.select(
+            F.col(id_col),
+            F.posexplode(toks).alias("pos", "token")) \
+            .filter(F.col("token") != "") \
+            .withColumn("field", F.lit(prop))
+        parts.append(
+            exploded.groupBy("field", "token", id_col).agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Query AST + parser (public RediSearch grammar subset)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FtTerm:
+    word: str
+    field: str | None = None
+    prefix: bool = False
+    fuzzy: bool = False
+
+
+@dataclass
+class FtPhrase:
+    words: list[str]
+    field: str | None = None
+
+
+@dataclass
+class FtNot:
+    child: object
+
+
+@dataclass
+class FtAnd:
+    children: list = dc_field(default_factory=list)
+
+
+@dataclass
+class FtOr:
+    children: list = dc_field(default_factory=list)
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) | (?P<or>\|) | (?P<neg>-) |
+        (?P<field>@[A-Za-z_][A-Za-z0-9_]*:) |
+        (?P<phrase>"[^"]*") |
+        (?P<fuzzy>%[^%\s]+%) |
+        (?P<word>[^\s()|@"%-][^\s()|"]*)
+    )""", re.VERBOSE)
+
+
+def _lex(text: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if m is None:
+            i += 1  # skip unrecognized punctuation
+            continue
+        i = m.end()
+        for kind in ("lparen", "rparen", "or", "neg", "field",
+                     "phrase", "fuzzy", "word"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+class _Parser:
+    """Recursive-descent parser.
+
+    expr := unit+            (implicit AND)
+    unit := alt
+    alt  := atom ('|' atom)* (OR binds tighter than implicit AND,
+                              matching RediSearch: `a|b c` = (a|b) AND c)
+    atom := '-' atom | '(' expr ')' | '@f:' atom | phrase | fuzzy | word
+    """
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def parse_expr(self):
+        units = []
+        while self.peek() is not None and self.peek() != "rparen":
+            units.append(self.parse_alt())
+        if not units:
+            return FtAnd([])
+        return units[0] if len(units) == 1 else FtAnd(units)
+
+    def parse_alt(self):
+        first = self.parse_atom()
+        alts = [first]
+        while self.peek() == "or":
+            self.i += 1
+            alts.append(self.parse_atom())
+        return alts[0] if len(alts) == 1 else FtOr(alts)
+
+    def parse_atom(self):
+        kind, v = self.toks[self.i]
+        self.i += 1
+        if kind == "neg":
+            return FtNot(self.parse_atom())
+        if kind == "lparen":
+            inner = self.parse_expr()
+            if self.peek() == "rparen":
+                self.i += 1
+            return inner
+        if kind == "field":
+            fname = v[1:-1]
+            child = self.parse_atom()
+            return _apply_field(child, fname)
+        if kind == "phrase":
+            words = _WORD_RE.findall(v[1:-1].lower())
+            if len(words) == 1:
+                return FtTerm(words[0])
+            return FtPhrase(words)
+        if kind == "fuzzy":
+            return FtTerm(v[1:-1].lower(), fuzzy=True)
+        # word: trailing * = prefix search
+        prefix = v.endswith("*")
+        w = v[:-1] if prefix else v
+        words = _WORD_RE.findall(w.lower())
+        if not words:
+            return FtAnd([])
+        if len(words) == 1:
+            return FtTerm(words[0], prefix=prefix)
+        # hyphenated/punctuated word tokenizes to a phrase
+        return FtPhrase(words)
+
+
+def _apply_field(node, fname: str):
+    if isinstance(node, (FtTerm, FtPhrase)):
+        if node.field is None:
+            node.field = fname
+        return node
+    if isinstance(node, FtNot):
+        node.child = _apply_field(node.child, fname)
+        return node
+    if isinstance(node, (FtAnd, FtOr)):
+        node.children = [_apply_field(c, fname) for c in node.children]
+        return node
+    return node
+
+
+def parse_query(text: str):
+    return _Parser(_lex(text)).parse_expr()
+
+
+# ---------------------------------------------------------------------------
+# Compiler: AST -> DataFrame (_id, score)
+# ---------------------------------------------------------------------------
+
+def _term_df(index: DataFrame, t: FtTerm, id_col: str) -> DataFrame:
+    if t.fuzzy:
+        cond = F.levenshtein(F.col("token"), F.lit(t.word)) <= 1
+    elif t.prefix:
+        cond = F.col("token").startswith(t.word)
+    else:
+        cond = F.col("token") == t.word
+    if t.field is not None:
+        cond = cond & (F.col("field") == t.field)
+    return index.filter(cond).groupBy(id_col) \
+        .agg(F.sum("tf").cast("double").alias("score"))
+
+
+def _phrase_df(index: DataFrame, p: FtPhrase, id_col: str) -> DataFrame:
+    """Adjacent-position intersection: occurrences of w1 whose shifted
+    positions survive intersection with every later word's positions."""
+    base = index
+    if p.field is not None:
+        base = base.filter(F.col("field") == p.field)
+    cur = base.filter(F.col("token") == p.words[0]) \
+        .select(id_col, "field", F.col("positions").alias("_pp"))
+    for i, w in enumerate(p.words[1:], start=1):
+        nxt = base.filter(F.col("token") == w) \
+            .select(F.col(id_col).alias("_nid"),
+                    F.col("field").alias("_nfield"),
+                    F.col("positions").alias("_np"))
+        cur = cur.join(
+            nxt, (cur[id_col] == nxt["_nid"])
+            & (cur["field"] == nxt["_nfield"])) \
+            .withColumn(
+                "_pp",
+                F.array_intersect(
+                    F.transform("_pp", lambda x: x + i),
+                    F.col("_np"))) \
+            .select(id_col, "field", "_pp") \
+            .withColumn(
+                "_pp", F.transform("_pp", lambda x: x - i))
+    return cur.filter(F.size("_pp") > 0) \
+        .groupBy(id_col) \
+        .agg(F.sum(F.size("_pp")).cast("double").alias("score"))
+
+
+def _compile(index: DataFrame, node, id_col: str,
+             universe: DataFrame) -> DataFrame:
+    """Returns (_id, score). `universe` = all candidate ids (needed for
+    pure-negative branches)."""
+    if isinstance(node, FtTerm):
+        return _term_df(index, node, id_col)
+    if isinstance(node, FtPhrase):
+        return _phrase_df(index, node, id_col)
+    if isinstance(node, FtOr):
+        dfs = [_compile(index, c, id_col, universe)
+               for c in node.children]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.groupBy(id_col).agg(F.sum("score").alias("score"))
+    if isinstance(node, FtNot):
+        pos = _compile(index, node.child, id_col, universe)
+        return universe.join(pos.select(id_col), id_col, "left_anti") \
+            .select(id_col, F.lit(0.0).alias("score"))
+    if isinstance(node, FtAnd):
+        pos = [c for c in node.children if not isinstance(c, FtNot)]
+        neg = [c for c in node.children if isinstance(c, FtNot)]
+        if not pos:
+            out = universe.select(id_col, F.lit(0.0).alias("score"))
+        else:
+            out = _compile(index, pos[0], id_col, universe)
+            for c in pos[1:]:
+                nxt = _compile(index, c, id_col, universe) \
+                    .withColumnRenamed("score", "_s2")
+                out = out.join(nxt, id_col) \
+                    .withColumn("score", F.col("score") + F.col("_s2")) \
+                    .drop("_s2")
+        for n in neg:
+            bad = _compile(index, n.child, id_col, universe)
+            out = out.join(bad.select(id_col), id_col, "left_anti")
+        return out
+    raise ValueError(f"bad fulltext node {node!r}")
 
 
 def query_index(index: DataFrame, nodes: DataFrame, text: str,
                 id_col: str = "_id") -> DataFrame:
-    """OR-match query tokens, score = Σ tf, descending. Returns the node
-    rows + score (≈ db.idx.fulltext.queryNodes YIELD node, score)."""
-    tokens = [t for t in
-              __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
-    if not tokens:
+    """Parse `text` with the RediSearch grammar, match against the
+    index, return node rows + score descending
+    (≈ db.idx.fulltext.queryNodes YIELD node, score)."""
+    ast = parse_query(text)
+    if isinstance(ast, FtAnd) and not ast.children:
         return nodes.limit(0).withColumn("score", F.lit(0.0))
-    matched = index.filter(F.col("token").isin(tokens)) \
-        .groupBy(id_col).agg(F.sum("tf").cast("double").alias("score"))
+    universe = nodes.select(id_col)
+    matched = _compile(index, ast, id_col, universe)
     return nodes.join(matched, id_col) \
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
 
 
 class FulltextCatalog:
-    """Per-graph registry: (label, prop) → index DataFrame.
+    """Per-graph registry: label → (fields, combined index DataFrame).
     ≈ Schema.fulltextIdx (``src/schema/schema.h:20-28``)."""
 
     def __init__(self, graph) -> None:
         self.graph = graph
-        self.indexes: dict[tuple[str, str], DataFrame] = {}
+        self.fields: dict[str, list[str]] = {}
+        self._index: dict[str, DataFrame] = {}
 
-    def create(self, label: str, prop: str) -> None:
+    @property
+    def indexes(self) -> dict[tuple[str, str], DataFrame]:
+        """(label, prop) keys — kept for db.indexes listing compat."""
+        return {(l, p): self._index[l]
+                for l, ps in self.fields.items() for p in ps}
+
+    def create(self, label: str, *props: str) -> None:
         nodes = self.graph.node_tables[label]
-        idx = build_index(nodes, prop).localCheckpoint(eager=True)
-        self.indexes[(label, prop)] = idx
+        fields = list(dict.fromkeys(self.fields.get(label, []) +
+                                    list(props)))
+        idx = build_index(nodes, fields).localCheckpoint(eager=True)
+        self.fields[label] = fields
+        self._index[label] = idx
 
     def drop(self, label: str, prop: str | None = None) -> None:
-        for key in [k for k in self.indexes
-                    if k[0] == label and (prop is None or k[1] == prop)]:
-            del self.indexes[key]
+        if label not in self.fields:
+            return
+        if prop is None:
+            self.fields.pop(label, None)
+            self._index.pop(label, None)
+            return
+        remaining = [p for p in self.fields[label] if p != prop]
+        if remaining:
+            self.create_replace(label, remaining)
+        else:
+            self.fields.pop(label, None)
+            self._index.pop(label, None)
+
+    def create_replace(self, label: str, props: list[str]) -> None:
+        nodes = self.graph.node_tables[label]
+        self.fields[label] = list(props)
+        self._index[label] = build_index(nodes, list(props)) \
+            .localCheckpoint(eager=True)
 
     def query(self, label: str, text: str) -> DataFrame:
-        hits = None
-        nodes = self.graph.node_tables[label]
-        for (l, p), idx in self.indexes.items():
-            if l != label:
-                continue
-            res = query_index(idx, nodes, text)
-            hits = res if hits is None else hits.unionByName(res)
-        if hits is None:
+        if label not in self._index:
             raise ValueError(f"No fulltext index on label {label}")
-        return hits
+        return query_index(self._index[label],
+                           self.graph.node_tables[label], text)

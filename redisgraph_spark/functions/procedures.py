@@ -99,8 +99,7 @@ def run_procedure(planner, clause: A.CallClause
 
     if name == "db.idx.fulltext.createnodeindex":
         label = str(_lit(clause.args[0]))
-        for p in clause.args[1:]:
-            g.fulltext.create(label, str(_lit(p)))
+        g.fulltext.create(label, *[str(_lit(p)) for p in clause.args[1:]])
         return inline_df(spark, [(True,)], [("ok", "boolean")]), ["ok"]
     if name == "db.idx.fulltext.drop":
         g.fulltext.drop(str(_lit(clause.args[0])))

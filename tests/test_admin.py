@@ -43,6 +43,86 @@ def test_fulltext_index(social):
     assert got == [("Roi", 1.0)]
 
 
+def _ft_fixture(spark):
+    """Small two-field corpus for the RediSearch grammar tests."""
+    from redisgraph_spark.functions.fulltext import build_index
+    docs = spark.createDataFrame(
+        [(1, "red bolt", "a shiny red bolt of steel"),
+         (2, "blue bolt", "a blue bolt"),
+         (3, "red widget", "widget with red paint"),
+         (4, "bolt red", "reversed words here"),
+         (5, "green gear", "totally unrelated")],
+        ["_id", "title", "body"])
+    return docs, build_index(docs, ["title", "body"])
+
+
+def test_fulltext_parser():
+    from redisgraph_spark.functions.fulltext import (
+        FtAnd, FtNot, FtOr, FtPhrase, FtTerm, parse_query)
+    ast = parse_query('"red bolt" | lavender -@title:widget ste*')
+    assert isinstance(ast, FtAnd) and len(ast.children) == 3
+    alt, neg, pre = ast.children
+    assert isinstance(alt, FtOr)
+    assert isinstance(alt.children[0], FtPhrase)
+    assert alt.children[0].words == ["red", "bolt"]
+    assert isinstance(alt.children[1], FtTerm)
+    assert isinstance(neg, FtNot)
+    assert neg.child.field == "title" and neg.child.word == "widget"
+    assert pre.prefix and pre.word == "ste"
+
+
+def test_fulltext_and_default(spark):
+    from redisgraph_spark.functions.fulltext import query_index
+    docs, idx = _ft_fixture(spark)
+    # RediSearch default: terms intersect — docs with red AND bolt
+    got = sorted(r["_id"] for r in
+                 query_index(idx, docs, "red bolt").collect())
+    assert got == [1, 4]
+
+
+def test_fulltext_phrase_positional(spark):
+    from redisgraph_spark.functions.fulltext import query_index
+    docs, idx = _ft_fixture(spark)
+    # phrase requires adjacency in order: excludes doc 4 ("bolt red")
+    got = sorted(r["_id"] for r in
+                 query_index(idx, docs, '"red bolt"').collect())
+    assert got == [1]
+
+
+def test_fulltext_or_not_field(spark):
+    from redisgraph_spark.functions.fulltext import query_index
+    docs, idx = _ft_fixture(spark)
+    got = sorted(r["_id"] for r in
+                 query_index(idx, docs, "red|blue -widget").collect())
+    assert got == [1, 2, 4]
+    # field restriction: red in title only
+    got = sorted(r["_id"] for r in
+                 query_index(idx, docs, "@title:red").collect())
+    assert got == [1, 3, 4]
+
+
+def test_fulltext_prefix_fuzzy(spark):
+    from redisgraph_spark.functions.fulltext import query_index
+    docs, idx = _ft_fixture(spark)
+    got = sorted(r["_id"] for r in
+                 query_index(idx, docs, "wid*").collect())
+    assert got == [3]
+    # %bolz% matches 'bolt' at edit distance 1
+    got = sorted(r["_id"] for r in
+                 query_index(idx, docs, "%bolz%").collect())
+    assert got == [1, 2, 4]
+
+
+def test_fulltext_multifield_create(social):
+    social.query(
+        "CALL db.idx.fulltext.createNodeIndex('person', 'name', 'status')")
+    hits = social.query(
+        "CALL db.idx.fulltext.queryNodes('person', 'married') "
+        "YIELD node, score RETURN node.name AS n ORDER BY n")
+    got = [r["n"] for r in hits.collect()]
+    assert got == ["Ailon", "Alon", "Boaz", "Jane", "Roi"]
+
+
 def test_bulk_load_csv(spark):
     from redisgraph_spark.sources.bulk import bulk_load
     d = tempfile.mkdtemp(prefix="rgbulk")
