@@ -22,6 +22,7 @@ Public surface::
 
 from redisgraph_spark.session import get_spark
 from redisgraph_spark.graph.graph import Graph
+from redisgraph_spark.graph.catalog import GraphCatalog
 
-__all__ = ["Graph", "get_spark"]
+__all__ = ["Graph", "GraphCatalog", "get_spark"]
 __version__ = "0.1.0"

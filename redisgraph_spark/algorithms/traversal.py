@@ -80,7 +80,8 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
                    from_col: str = "__vl_from", to_col: str = "__vl_to",
                    edge_struct: Column | None = None,
                    ckpt_cache: dict | None = None,
-                   cache_key: tuple | None = None) -> DataFrame:
+                   cache_key: tuple | None = None,
+                   hop_cap: int | None = None) -> DataFrame:
     """Expand ``base`` along ``edges`` for ``min_hops..max_hops``.
 
     base       — input records (any columns; preserved on output)
@@ -140,7 +141,16 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
         results.append(frontier)
 
     hop = 0
-    cap = MAX_UNBOUNDED_HOPS if unbounded else max_hops
+    if unbounded:
+        # MAX_UNBOUNDED_HOPS config: -1 = iterate to frontier
+        # exhaustion (edge-uniqueness guarantees termination, like the
+        # reference's uncapped DFS all_paths.h:31-63)
+        if hop_cap is None:
+            hop_cap = MAX_UNBOUNDED_HOPS
+        cap = float("inf") if hop_cap == -1 else hop_cap
+    else:
+        cap = max_hops
+    truncated = False
     while hop < cap:
         hop += 1
         joined = frontier.join(e, frontier["__vl_cur"] == e[from_col], "inner")
@@ -163,6 +173,16 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
         frontier = nxt
         if hop >= min_hops:
             results.append(frontier)
+    else:
+        truncated = unbounded
+    if truncated:
+        import warnings
+        warnings.warn(
+            f"unbounded [*] expansion stopped at MAX_UNBOUNDED_HOPS="
+            f"{hop_cap} with a live frontier; paths longer than "
+            f"{hop_cap} hops are not enumerated (set graph config "
+            "MAX_UNBOUNDED_HOPS to -1 to iterate to exhaustion)",
+            RuntimeWarning, stacklevel=2)
 
     if not results:
         # empty result with correct schema

@@ -461,6 +461,11 @@ class Graph:
         ast = parse(cypher)
         planner = CypherPlanner(self, params or {})
         df = planner.plan(ast)
+        # RESULTSET_MAX_SIZE: truncate emitted rows when configured ≥ 0
+        # (reference enforces in ops/op_results.c:32-47)
+        max_rows = self.config_get("RESULTSET_MAX_SIZE")
+        if isinstance(max_rows, int) and max_rows >= 0:
+            df = df.limit(max_rows)
         # mutation statistics for the last executed query
         # (≈ resultset_statistics.h:12-20, returned out-of-band)
         self.last_stats = dict(planner.stats)
@@ -516,6 +521,9 @@ class Graph:
         self._config[key] = value
         if key == "PLAN_CACHE_SIZE":
             self.PLAN_CACHE_SIZE = int(value)
+        # cached plans bake in config-dependent operators (row limit,
+        # hop cap) — drop them so the new value takes effect
+        self._plan_cache.clear()
 
     def explain(self, cypher: str,
                 params: Mapping[str, object] | None = None) -> str:

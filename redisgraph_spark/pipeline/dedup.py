@@ -75,11 +75,17 @@ def word_shingles(docs: DataFrame, n: int = 2, text_col: str = "text",
 # -------------------------------------------------------- n-gram Jaccard
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  max_shingle_freq: int | None = None) -> DataFrame:
+                  max_shingle_freq: int | None = 10_000) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (a < b, sim ≥ threshold).
 
     Pair generation joins on the shingle key; |A∩B| is a count over the
     join, |A∪B| = |A|+|B|−|A∩B|. Returns (doc_a, doc_b, jaccard).
+
+    `max_shingle_freq` (default 10k, pass None to disable) drops
+    stop-shingles appearing in more than that many docs before the
+    pair join — on a skewed 100 TB corpus one hot shingle otherwise
+    produces a quadratic join blow-up; shingles that common carry no
+    dedup signal. Results on corpora below the cutoff are exact.
     """
     sh = char_shingles(docs, n, text_col, id_col)
     if max_shingle_freq is not None:
@@ -267,15 +273,66 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 # ------------------------------------------- embedding cosine near-dup
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold (brute force O(n²) —
-    the exact baseline; LSH-bucketed variant in similarity.py scales)."""
+                        vec_col: str = "embedding",
+                        max_bruteforce_rows: int | None = 100_000,
+                        dim: int = 64) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold.
+
+    Exact O(n²) cross-join baseline up to `max_bruteforce_rows` rows;
+    above that the corpus routes to the LSH-bucketed candidate path
+    (`embedding_dup_pairs_lsh`) — at 100 TB an all-pairs cross join is
+    never the right plan. Pass max_bruteforce_rows=None to force the
+    exact baseline regardless of size."""
     from redisgraph_spark.pipeline.similarity import cosine_sim
+    if max_bruteforce_rows is not None \
+            and emb.count() > max_bruteforce_rows:
+        import warnings
+        warnings.warn(
+            f"embedding_dup_pairs: corpus exceeds {max_bruteforce_rows} "
+            "rows — routing to the LSH-bucketed candidate path "
+            "(approximate recall; pass max_bruteforce_rows=None to "
+            "force exact all-pairs)", RuntimeWarning, stacklevel=2)
+        return embedding_dup_pairs_lsh(emb, threshold, id_col, vec_col,
+                                       dim=dim)
     a = emb.select(F.col(id_col).alias("doc_a"),
                    F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("doc_b"),
                    F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
     return pairs.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb"))) \
+        .filter(F.col("cosine") >= threshold) \
+        .select("doc_a", "doc_b", "cosine")
+
+
+def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            nbits: int = 8, ntables: int = 4,
+                            dim: int = 64) -> DataFrame:
+    """LSH-bucketed near-dup pairs: random-hyperplane buckets generate
+    candidates (equi-join on (table, bucket) — no cross join), exact
+    cosine verifies. Multi-table union keeps recall high for
+    threshold-similar pairs; the bucket join shuffles on the bucket
+    key only."""
+    from redisgraph_spark.pipeline.similarity import (
+        _planes, _rh_bucket, cosine_sim)
+    parts = []
+    for t in range(ntables):
+        planes = _planes(dim, nbits, seed=2000 + t)
+        parts.append(emb.select(
+            F.col(id_col).alias("_eid"), F.col(vec_col).alias("_ev"),
+            F.lit(t).alias("tbl"),
+            _rh_bucket(F.col(vec_col), planes).alias("bucket")))
+    bucketed = parts[0]
+    for p in parts[1:]:
+        bucketed = bucketed.unionByName(p)
+    left = bucketed.select(F.col("_eid").alias("doc_a"),
+                           F.col("_ev").alias("va"), "tbl", "bucket")
+    right = bucketed.select(F.col("_eid").alias("doc_b"),
+                            F.col("_ev").alias("vb"), "tbl", "bucket")
+    cand = left.join(right, ["tbl", "bucket"]) \
+        .filter(F.col("doc_a") < F.col("doc_b")) \
+        .dropDuplicates(["doc_a", "doc_b"])
+    return cand.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb"))) \
         .filter(F.col("cosine") >= threshold) \
         .select("doc_a", "doc_b", "cosine")

@@ -1020,7 +1020,8 @@ class CypherPlanner:
             base, start_col, oriented,
             rel.min_hops, rel.max_hops, out_id, out_edges,
             from_col=from_c, to_col=to_c, edge_struct=struct,
-            ckpt_cache=self.graph._scan_cache, cache_key=cache_key)
+            ckpt_cache=self.graph._scan_cache, cache_key=cache_key,
+            hop_cap=int(self.graph.config_get("MAX_UNBOUNDED_HOPS")))
         if prev[0] == "free":
             ctx.df = ctx.df.drop("__vseed")
         elif prev[0] == "col":
@@ -1210,6 +1211,16 @@ class CypherPlanner:
             if clause.where is not None:
                 self._apply_where(ctx, clause.where)
             return
+        if ctx.df is not None and clause.args and any(
+                not isinstance(a, (A.Literal, A.Parameter))
+                for a in clause.args):
+            # generic correlated CALL (reference ops/op_procedure_call.c
+            # runs the procedure per input record): evaluate the distinct
+            # argument tuples, run the procedure once per tuple, union the
+            # results keyed by tuple, equi-join back to the input rows —
+            # per-record semantics without a per-row driver loop
+            self._correlated_call(ctx, clause)
+            return
         proc_df, default_cols = run_procedure(self, clause)
         if clause.yields:
             sel = []
@@ -1226,6 +1237,68 @@ class CypherPlanner:
             ctx.df = proc_df
         else:
             ctx.df = ctx.df.crossJoin(proc_df)
+        for n in out_names:
+            ctx.vars[n] = VarInfo("scalar")
+        if clause.where is not None:
+            self._apply_where(ctx, clause.where)
+
+    def _correlated_call(self, ctx: Ctx, clause: A.CallClause) -> None:
+        """CALL proc(expr-over-bound-vars): fan out over the DISTINCT
+        argument tuples (each tuple's procedure result computed once),
+        attach the tuple as join keys, equi-join back to the input.
+        Cardinality note: the driver-side loop is over distinct argument
+        combinations — typically a handful for catalog/fulltext/algo
+        procedures — never over input rows."""
+        from redisgraph_spark.functions.procedures import run_procedure
+        comp = self.compiler(ctx)
+        keys = [f"_parg{i}" for i in range(len(clause.args))]
+        keyed = ctx.df
+        for i, arg in enumerate(clause.args):
+            keyed = keyed.withColumn(keys[i], comp.compile(arg))
+        tuples = [tuple(r) for r in
+                  keyed.select(*keys).distinct().collect()]
+        if len(tuples) > 1000:
+            raise PlanError(
+                f"correlated CALL {clause.proc}: {len(tuples)} distinct "
+                "argument tuples (limit 1000)")
+        union_df = None
+        default_cols: list[str] = []
+        for tup in tuples:
+            for v in tup:
+                if not isinstance(v, (str, int, float, bool,
+                                      type(None))):
+                    raise PlanError(
+                        f"correlated CALL {clause.proc}: argument value "
+                        f"{v!r} is not a scalar")
+            lit_clause = A.CallClause(
+                proc=clause.proc,
+                args=[A.Literal(v) for v in tup],
+                yields=None, where=None)
+            proc_df, default_cols = run_procedure(self, lit_clause)
+            for k, v in zip(keys, tup):
+                proc_df = proc_df.withColumn(k, F.lit(v))
+            union_df = proc_df if union_df is None \
+                else union_df.unionByName(proc_df)
+        sel = clause.yields or [(c, None) for c in default_cols]
+        out_names = []
+        for col_name, alias in sel:
+            if col_name not in default_cols:
+                raise PlanError(
+                    f"Procedure {clause.proc} has no column {col_name}")
+            name = alias or col_name
+            if union_df is not None and name != col_name:
+                union_df = union_df.withColumnRenamed(col_name, name)
+            out_names.append(name)
+        if union_df is None:
+            # no input rows: empty result with the yielded columns
+            ctx.df = ctx.df.limit(0)
+            for n in out_names:
+                ctx.df = ctx.df.withColumn(n, F.lit(None))
+        else:
+            drop = [c for c in default_cols if c not in set(out_names)]
+            if drop:
+                union_df = union_df.drop(*drop)
+            ctx.df = keyed.join(F.broadcast(union_df), keys).drop(*keys)
         for n in out_names:
             ctx.vars[n] = VarInfo("scalar")
         if clause.where is not None:

@@ -133,5 +133,20 @@ def get_spark(app_name: str = "redisgraph-spark",
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     active = SparkSession.getActiveSession()
     if active is not None:
+        _quiet_probe_logger(active)
         return active
-    return builder.master(master).getOrCreate()
+    spark = builder.master(master).getOrCreate()
+    _quiet_probe_logger(spark)
+    return spark
+
+
+def _quiet_probe_logger(spark: SparkSession) -> None:
+    """The planner's recoverable type probes (planner/expressions.py
+    ``dtype``) analyze candidate expressions against an empty frame and
+    catch the AnalysisException — but Spark's DataFrameQueryContextLogger
+    logs each one at ERROR before raising, flooding driver logs with
+    scary UNRESOLVED_COLUMN noise. Turn that one logger off; real
+    failures still surface as Python exceptions."""
+    import logging
+    logging.getLogger("DataFrameQueryContextLogger").setLevel(
+        logging.CRITICAL + 1)

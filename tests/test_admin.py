@@ -113,6 +113,31 @@ def test_fulltext_prefix_fuzzy(spark):
     assert got == [1, 2, 4]
 
 
+def test_correlated_procedure_call(social):
+    # generic correlated CALL: argument is an expression over a bound
+    # variable (not just the algo.BFS special case)
+    social.query(
+        "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
+    got = social.query(
+        "MATCH (p:person) WHERE p.name IN ['Roi', 'Tal'] "
+        "CALL db.idx.fulltext.queryNodes('person', toLower(p.name)) "
+        "YIELD node, score "
+        "RETURN p.name AS q, node.name AS hit ORDER BY q").collect()
+    assert [(r["q"], r["hit"]) for r in got] == \
+        [("Roi", "Roi"), ("Tal", "Tal")]
+
+
+def test_correlated_call_no_match_drops_row(social):
+    social.query(
+        "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
+    got = social.query(
+        "UNWIND ['roi', 'zzz'] AS w "
+        "CALL db.idx.fulltext.queryNodes('person', w) YIELD node "
+        "RETURN w, node.name AS hit").collect()
+    # 'zzz' yields no rows -> its input record produces no output
+    assert [(r["w"], r["hit"]) for r in got] == [("roi", "Roi")]
+
+
 def test_fulltext_multifield_create(social):
     social.query(
         "CALL db.idx.fulltext.createNodeIndex('person', 'name', 'status')")
@@ -261,3 +286,31 @@ def test_labels_subscript_stays_in_codegen(social):
     r = social.query("MATCH (p:person) RETURN labels(p)[-1] AS a, "
                      "labels(p)[3] AS b LIMIT 1").collect()[0]
     assert r["a"] == "person" and r["b"] is None
+
+
+def test_graph_catalog_registry(spark, social):
+    """GRAPH.LIST / GRAPH.DELETE / auto-create semantics
+    (module.c:142-176)."""
+    import pytest as _pt
+
+    from redisgraph_spark import GraphCatalog
+    cat = GraphCatalog(spark)
+    cat.register("social", social)
+    # GRAPH.QUERY auto-creates an unknown key
+    cat.query("scratch", "CREATE (:T {x: 1})")
+    assert cat.list() == ["scratch", "social"]
+    n = cat.query("scratch", "MATCH (t:T) RETURN count(*) AS c") \
+        .collect()[0]["c"]
+    assert n == 1
+    # RO_QUERY rejects writes and unknown keys
+    with _pt.raises(PermissionError):
+        cat.ro_query("scratch", "CREATE (:T)")
+    with _pt.raises(KeyError):
+        cat.ro_query("nope", "MATCH (n) RETURN n")
+    assert cat.ro_query(
+        "social", "MATCH (p:person) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 10
+    cat.delete("scratch")
+    assert cat.list() == ["social"]
+    with _pt.raises(KeyError):
+        cat.delete("scratch")

@@ -419,3 +419,46 @@ def test_tostring_rejects_lists(spark):
     with _pt.raises(Exception, match="(?i)tostring"):
         g.query("WITH [1, '', []] AS l "
                 "RETURN [x IN l | tostring(x)] AS r").collect()
+
+
+def test_unbounded_hops_cap_and_exhaustion(spark):
+    """[*] deeper than MAX_UNBOUNDED_HOPS: default cap truncates with a
+    warning; config -1 iterates the frontier to exhaustion."""
+    import warnings
+
+    from redisgraph_spark import Graph
+    n = 40  # > default cap of 32
+    nodes = {"N": spark.createDataFrame(
+        [(i, i) for i in range(1, n + 1)], ["_id", "v"])}
+    edges = {"NEXT": spark.createDataFrame(
+        [(i, i, i + 1) for i in range(1, n)], ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges, name="chain")
+
+    q = "MATCH (a:N {v: 1})-[*]->(x) RETURN count(x) AS c"
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        capped = g.query(q).collect()[0]["c"]
+    assert capped == 32
+    assert any("MAX_UNBOUNDED_HOPS" in str(w.message) for w in caught)
+
+    g.config_set("MAX_UNBOUNDED_HOPS", -1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        full = g.query(q).collect()[0]["c"]
+    assert full == n - 1
+    assert not any("MAX_UNBOUNDED_HOPS" in str(w.message) for w in caught)
+
+
+def test_resultset_max_size(social):
+    """RESULTSET_MAX_SIZE truncates emitted rows when set ≥ 0
+    (reference ops/op_results.c:32-47) and round-trips via config."""
+    assert social.config_get("RESULTSET_MAX_SIZE") == -1
+    assert len(social.query("MATCH (p:person) RETURN p.name").collect()) \
+        == 10
+    social.config_set("RESULTSET_MAX_SIZE", 3)
+    assert social.config_get("RESULTSET_MAX_SIZE") == 3
+    assert len(social.query("MATCH (p:person) RETURN p.name").collect()) \
+        == 3
+    social.config_set("RESULTSET_MAX_SIZE", -1)
+    assert len(social.query("MATCH (p:person) RETURN p.name").collect()) \
+        == 10

@@ -163,3 +163,40 @@ def test_cosine_topk_ivf_recall_on_clusters(spark):
                                        nprobe=2).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8
+
+
+def test_jaccard_stop_shingle_default(docs):
+    """The hot-shingle drop defaults ON (skew lever) but is a no-op on
+    corpora below the 10k cutoff — results equal the exact baseline."""
+    from redisgraph_spark.pipeline.dedup import jaccard_pairs
+    exact = sorted(tuple(r) for r in jaccard_pairs(
+        docs, threshold=0.5, max_shingle_freq=None).collect())
+    default = sorted(tuple(r) for r in jaccard_pairs(
+        docs, threshold=0.5).collect())
+    assert default == exact
+
+
+def test_embedding_dups_routes_to_lsh(spark):
+    """Above max_bruteforce_rows the pair generator routes to the
+    LSH-bucketed path (no cross join) with a warning; near-identical
+    vectors are still found."""
+    import warnings
+
+    import numpy as np
+    from redisgraph_spark.pipeline.dedup import embedding_dup_pairs
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # id+1000 = near-duplicate of id
+        rows.append((i + 1000, [float(x) for x in v + 0.001]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = embedding_dup_pairs(emb, threshold=0.999,
+                                  max_bruteforce_rows=10).collect()
+    assert any("LSH" in str(w.message) for w in caught)
+    found = {(r["doc_a"], r["doc_b"]) for r in got}
+    hits = sum((i, i + 1000) in found for i in range(30))
+    assert hits >= 25  # multi-table LSH recall on near-identical pairs
