@@ -45,6 +45,25 @@ def _cypher(q: str, params: dict | None = None):
     return run
 
 
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _plan_cached(fn):
+    """Plan cache for pure (read-only) pipeline entries — the analog of
+    Graph.query's LRU plan cache: repeated calls reuse the built
+    DataFrame (execution still happens per action). Mutation entries
+    are never cached."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (fn.__name__, id(spark), sf_dir)
+        df = _PLAN_CACHE.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _PLAN_CACHE[key] = df
+        return df
+    run.__name__ = fn.__name__
+    return run
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1315,7 +1334,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         params = {"minbal": 1000} if name == "q_params_arith" else None
         out[name] = _cypher(cypher, params)
     for name, (fn, _) in PIPELINE_QUERIES.items():
-        out[name] = fn
+        # pure pipeline reads get the plan cache; entries that mutate
+        # graph/index state rebuild every call
+        out[name] = fn if name.startswith("q_") else _plan_cached(fn)
     return out
 
 

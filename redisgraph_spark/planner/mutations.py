@@ -46,6 +46,33 @@ def _alloc_block() -> int:
     return _BLOCK_BASE + next(_block_counter) * _BLOCK_STRIDE
 
 
+_INLINE_TYPES = {"bigint", "int", "smallint", "tinyint", "double",
+                 "float", "string", "boolean", "date", "timestamp"}
+
+
+def _materialize_small(spark, df: DataFrame, cap: int = 1024
+                       ) -> tuple[DataFrame, int]:
+    """Pin a keyed update/delete set, returning (pinned_df, row_count).
+
+    Typical SET/DELETE key sets are tiny (the matched entities); pulling
+    them to the driver as a ONE-task literal plan replaces the
+    checkpoint job + count job with a single limit-collect, and every
+    downstream rewrite joins against a broadcast literal. Sets larger
+    than `cap` (or with non-atomic columns) keep the scale-safe
+    localCheckpoint path — nothing is ever collected unbounded."""
+    if all(f.dataType.simpleString() in _INLINE_TYPES
+           for f in df.schema.fields):
+        rows = df.limit(cap + 1).collect()
+        if len(rows) <= cap:
+            from redisgraph_spark.session import inline_df
+            schema = [(f.name, f.dataType.simpleString())
+                      for f in df.schema.fields]
+            return inline_df(spark, [tuple(r) for r in rows],
+                             schema), len(rows)
+    ck = df.localCheckpoint(eager=True)
+    return ck, ck.count()
+
+
 def apply_mutation(planner, ctx, clause) -> DataFrame | None:
     # mutated tables invalidate the graph's unified-scan cache so later
     # clauses in this same query see the new state (read-your-writes)
@@ -551,8 +578,7 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
         # materialize the (small) update set once: the count below and
         # every candidate-table rewrite join then reuse it instead of
         # re-running the whole match pipeline per consumer
-        upd = upd.localCheckpoint(eager=True)
-        upd_cnt = upd.count()
+        upd, upd_cnt = _materialize_small(g.spark, upd)
         if info.kind == "node":
             tables = g.node_tables
         else:
@@ -738,7 +764,7 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
             eids = ctx.df.select(
                 F.explode(F.col(f"{var}.edges")).alias("__e")) \
                 .select(F.col("__e._id").alias("__did")).dropDuplicates()
-            n = eids.count()
+            eids, n = _materialize_small(g.spark, eids)
             if n:
                 for name, tbl in list(g.edge_tables.items()):
                     g.edge_tables[name] = tbl.join(
@@ -748,7 +774,7 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
             nids = ctx.df.select(
                 F.explode(F.col(f"{var}.nodes")).alias("__n")) \
                 .select(F.col("__n._id").alias("__did")).dropDuplicates()
-            n = nids.count()
+            nids, n = _materialize_small(g.spark, nids)
             if n:
                 for name, tbl in list(g.node_tables.items()):
                     g.node_tables[name] = tbl.join(
@@ -786,8 +812,7 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
         # materialize once: the count, every anti-join rewrite, and the
         # cascade probes all reuse the tiny id set instead of re-running
         # the match pipeline per consumer
-        ids = ids.localCheckpoint(eager=True)
-        idc = ids.count()
+        ids, idc = _materialize_small(g.spark, ids)
         if info.kind == "edge":
             for name, tbl in list(g.edge_tables.items()):
                 g.edge_tables[name] = tbl.join(
