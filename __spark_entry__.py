@@ -1084,6 +1084,74 @@ def _q_set_replace(spark, sf_dir):
         "count(r.r_regionkey) AS with_key, count(r.code) AS with_code")
 
 
+def _stream_events(spark, sf_dir):
+    """events.parquet as a bounded stream (availableNow drains it
+    through the real incremental engine — watermark + state store)."""
+    from redisgraph_spark.streaming.stream import EVENT_SCHEMA
+    # the streaming file source lists a DIRECTORY; select the events
+    # file out of the sf dir with a glob filter. Unlike the batch
+    # reader (nanosAsLong), the streaming reader converts the
+    # TIMESTAMP(NANOS) column to the declared TimestampType directly.
+    return spark.readStream.schema(EVENT_SCHEMA) \
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
+
+def _memory_name(prefix: str, sf_dir: str) -> str:
+    import re as _re
+    return prefix + _re.sub(r"\W", "_", sf_dir)
+
+
+def _p_stream_rollup(spark, sf_dir):
+    """Hourly rollup computed INCREMENTALLY by Structured Streaming
+    (windowed agg + watermark, availableNow trigger, memory sink) —
+    must equal the batch/DuckDB answer exactly."""
+    from redisgraph_spark.streaming.stream import (run_to_memory,
+                                                   windowed_rollup)
+    name = _memory_name("stream_rollup_", sf_dir)
+    out = windowed_rollup(_stream_events(spark, sf_dir))
+    run_to_memory(out, name, output_mode="complete")
+    return spark.table(name).select(
+        "event_type", F.col("window_start").alias("hour"),
+        "n", (F.round(F.col("sum_value"), 2)).alias("sum_value")) \
+        .orderBy("event_type", "hour")
+
+
+def _p_stream_sessions(spark, sf_dir):
+    """session_window state-store sessionization (streaming twin of
+    p_sessions): per-user sessions split at 30-minute gaps."""
+    from redisgraph_spark.streaming.stream import (run_to_memory,
+                                                   streaming_sessions)
+    name = _memory_name("stream_sessions_", sf_dir)
+    out = streaming_sessions(_stream_events(spark, sf_dir))
+    run_to_memory(out, name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id", F.col("session_start").alias("session_start"),
+        "n_events", (F.round(F.col("total_value"), 2))
+        .alias("total_value")) \
+        .orderBy("user_id", "session_start")
+
+
+def _p_stream_user_stats(spark, sf_dir):
+    """applyInPandasWithState custom stateful operator — running
+    per-user totals; final per-user row equals the batch aggregate."""
+    from redisgraph_spark.streaming.stream import (run_to_memory,
+                                                   running_user_stats)
+    name = _memory_name("stream_ustats_", sf_dir)
+    out = running_user_stats(_stream_events(spark, sf_dir))
+    run_to_memory(out, name, output_mode="update")
+    t = spark.table(name)
+    # update mode emits one row per user per micro-batch; the LAST row
+    # per user carries the final running totals
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return t.withColumn("_rk", F.row_number().over(w)) \
+        .filter(F.col("_rk") == 1).drop("_rk") \
+        .select("user_id", "n_events",
+                (F.round(F.col("total_value"), 2)).alias("total_value"),
+                "max_value") \
+        .orderBy("user_id")
+
+
 def _p_multimodal(spark, sf_dir):
     """Multimodal plumbing: synthetic binary media → Arrow-batched
     mapInPandas feature extraction (decoders are deterministic stubs —
@@ -1308,6 +1376,43 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         WHERE event_type = 'click'
         GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10
         """),
+
+    # Structured Streaming entries: the SAME answers as the batch
+    # operators, produced by the incremental engine (watermark +
+    # window / session_window state) over events.parquet drained with
+    # an availableNow trigger
+    "p_stream_rollup": (_p_stream_rollup, """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, hour
+        """),
+
+    "p_stream_sessions": (_p_stream_sessions, """
+        WITH g AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                 WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM g
+        )
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start
+        """),
+
+    "p_stream_user_stats": (_p_stream_user_stats, """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               max(value) AS max_value
+        FROM events GROUP BY user_id ORDER BY user_id
+        """),
 }
 
 
@@ -1325,6 +1430,7 @@ _ROUND1_UNCHECKED = [
     "p_minhash_lsh_md5", "p_simhash_md5", "p_cosine_topk",
     "p_cosine_topk_lsh", "p_cosine_topk_ivf", "p_text_stats",
     "p_lang_guess", "p_events_rollup", "p_sessions", "p_top_users",
+    "p_stream_rollup", "p_stream_sessions", "p_stream_user_stats",
 ]
 
 
