@@ -772,17 +772,17 @@ def _p_simhash_md5(spark, sf_dir):
         .orderBy("doc_a", "doc_b")
 
 
-def _minhash_md5_oracle() -> str:
-    """DuckDB mirror of minhash_lsh_pairs(hash_fn='md5'): word
-    3-shingles → 32 seeded 60-bit md5 minhashes → pairs sharing a
-    band (8 bands × 4 rows, compared by value) with estimated
-    similarity ≥ 0.5."""
+def _minhash_md5_ctes() -> str:
+    """Shared CTE block mirroring minhash_lsh_pairs(hash_fn='md5'):
+    word 3-shingles → 32 seeded 60-bit md5 minhashes → `cand` = pairs
+    sharing a band (8 bands × 4 rows, compared by value) with
+    estimated similarity ≥ 0.5."""
     h60 = ("CAST(('0x' || substr(md5({v}), 1, 15)) AS BIGINT)")
     bands = " OR ".join(
         f"list_slice(sa, {b * 4 + 1}, {b * 4 + 4}) = "
         f"list_slice(sb, {b * 4 + 1}, {b * 4 + 4})" for b in range(8))
     return f"""
-        WITH t AS (
+        t AS (
           SELECT doc_id, string_split_regex(text, '\\s+') AS tk
           FROM documents
         ), sh AS (
@@ -803,12 +803,45 @@ def _minhash_md5_oracle() -> str:
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.sig AS sa, b.sig AS sb
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b FROM pairs
-        WHERE ({bands})
-          AND len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
-              / 32.0 >= 0.5
+        ), cand AS (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE ({bands})
+            AND len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
+                / 32.0 >= 0.5
+        )"""
+
+
+def _minhash_md5_oracle() -> str:
+    return f"""
+        WITH {_minhash_md5_ctes()}
+        SELECT doc_a, doc_b FROM cand
         ORDER BY doc_a, doc_b
+        """
+
+
+def _dedup_clusters_oracle() -> str:
+    """Connected components over the md5-minhash candidate pairs via a
+    recursive transitive closure, min id = cluster representative;
+    singleton docs cluster to themselves."""
+    return f"""
+        WITH RECURSIVE {_minhash_md5_ctes()},
+        e AS (
+          SELECT doc_a AS a, doc_b AS b FROM cand
+          UNION SELECT doc_b, doc_a FROM cand
+        ),
+        reach(a, b) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM e)
+          UNION
+          SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a
+        ),
+        comp AS (
+          SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
+        )
+        SELECT d.doc_id,
+               coalesce(c.cluster, d.doc_id) AS cluster,
+               coalesce(c.cluster, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        ORDER BY d.doc_id
         """
 
 
@@ -845,6 +878,16 @@ def _simhash_md5_oracle() -> str:
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         ORDER BY doc_a, doc_b
         """
+
+
+def _p_dedup_clusters(spark, sf_dir):
+    """End-to-end dedup: MinHash-LSH candidates (portable md5 hash) →
+    connected-component clusters → canonical doc per cluster."""
+    from redisgraph_spark.pipeline.dedup import (dedup_clusters,
+                                                 minhash_lsh_pairs)
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, hash_fn="md5")
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
 
 
 def _p_cosine_topk(spark, sf_dir):
@@ -1306,6 +1349,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_minhash_lsh": (_p_minhash_lsh, None),
     "p_simhash": (_p_simhash, None),
     "p_minhash_lsh_md5": (_p_minhash_lsh_md5, _minhash_md5_oracle()),
+    "p_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
     "p_simhash_md5": (_p_simhash_md5, _simhash_md5_oracle()),
 
     "p_cosine_topk": (_p_cosine_topk, """
@@ -1431,6 +1475,7 @@ _ROUND1_UNCHECKED = [
     "p_cosine_topk_lsh", "p_cosine_topk_ivf", "p_text_stats",
     "p_lang_guess", "p_events_rollup", "p_sessions", "p_top_users",
     "p_stream_rollup", "p_stream_sessions", "p_stream_user_stats",
+    "p_dedup_clusters",
 ]
 
 

@@ -201,6 +201,37 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
     return out.select("doc_a", "doc_b", "est_jaccard")
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs → duplicate clusters → canonical representative.
+
+    The step a training pipeline runs after candidate generation: the
+    pair graph unions into connected components (min-id label
+    propagation, ``algorithms/components.py``) and the minimum id in
+    each cluster is kept as canonical. Returns
+    ``(id, cluster, is_canonical)`` for EVERY input doc — docs outside
+    any pair are their own singleton cluster.
+
+    Scale: component iteration touches only the PAIR graph (pairs ≪
+    corpus — one equi-join shuffle per round, rounds = cluster
+    diameter); the corpus itself is touched once by the final left
+    join, broadcastable when the pair set is small."""
+    from redisgraph_spark.algorithms.components import \
+        weakly_connected_components
+    ids = pairs.select(F.col("doc_a").alias("_id")) \
+        .union(pairs.select(F.col("doc_b").alias("_id"))).distinct()
+    comp = weakly_connected_components(
+        ids, pairs.select(F.col("doc_a").alias("_src"),
+                          F.col("doc_b").alias("_dst")))
+    return docs.join(
+        comp.select(F.col("node").alias(id_col), "component"),
+        id_col, "left") \
+        .withColumn("cluster",
+                    F.coalesce(F.col("component"), F.col(id_col))) \
+        .withColumn("is_canonical", F.col("cluster") == F.col(id_col)) \
+        .select(id_col, "cluster", "is_canonical")
+
+
 # --------------------------------------------------------------- SimHash
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",

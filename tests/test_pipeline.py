@@ -200,3 +200,17 @@ def test_embedding_dups_routes_to_lsh(spark):
     found = {(r["doc_a"], r["doc_b"]) for r in got}
     hits = sum((i, i + 1000) in found for i in range(30))
     assert hits >= 25  # multi-table LSH recall on near-identical pairs
+
+
+def test_dedup_clusters_canonicalization(spark):
+    """Pairs union into min-id clusters; unpaired docs are singleton
+    canonical."""
+    from redisgraph_spark.pipeline.dedup import dedup_clusters
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 5, 7, 9]], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 7)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: (r["cluster"], r["is_canonical"])
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   5: (5, True), 7: (5, False), 9: (9, True)}
