@@ -2,10 +2,12 @@
 columns with typed metadata.
 
 The Spark-side mechanics (schema, Arrow-batched mapInPandas, partition
-sizing) are real and tested; the actual codec work is stubbed behind
-``DECODERS`` because image/audio libraries are not in this container —
-swap in PIL/torchaudio decoders by registering a function of
-``bytes -> dict``.
+sizing) are real and tested. Decoding is dispatched by mime type:
+library-free formats are REALLY decoded (PPM images and PCM WAV audio
+parse with numpy/struct alone — no PIL/ffmpeg needed); formats that
+need codec libraries not present in this container (JPEG, MP4, …)
+fall back to a deterministic stub — register a ``bytes, mime -> dict``
+into ``DECODERS`` to swap one in.
 
 Design for 100 TB: binaries ride in their own column so column pruning
 skips them unless referenced; `mapInPandas` processes Arrow batches
@@ -15,6 +17,7 @@ large blobs.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -39,13 +42,74 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
 
-# kind -> decoder(bytes, mime) -> dict(width, height, duration_ms, feature)
-DECODERS: dict[str, Callable] = {}
+
+# --------------------------------------------------------- real decoders
+def decode_ppm(data: bytes, mime: str = "image/x-portable-pixmap"
+               ) -> dict:
+    """Binary PPM (P6): pure numpy decode. Feature = per-channel mean +
+    per-channel std (6 floats)."""
+    import numpy as np
+    if not data or not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <width> <height> <maxval> then a single whitespace
+    parts, i = [], 2
+    while len(parts) < 3:
+        while i < len(data) and data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":           # comment line
+            while i < len(data) and data[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j:j + 1].isspace():
+            j += 1
+        parts.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = parts
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    img = px.reshape(h, w, 3).astype(np.float32) / float(maxval)
+    feat = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1))])
+    return {"width": w, "height": h, "duration_ms": None,
+            "feature": [float(x) for x in feat]}
+
+
+def decode_wav(data: bytes, mime: str = "audio/wav") -> dict:
+    """RIFF/WAVE PCM16: struct header walk + numpy samples. Feature =
+    RMS of each temporal quarter (4 floats)."""
+    import numpy as np
+    if not data or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, n_ch, bits, frames = 12, None, 1, 16, None
+    samples = None
+    while i + 8 <= len(data):
+        cid, size = data[i:i + 4], struct.unpack_from("<I", data, i + 4)[0]
+        body = i + 8
+        if cid == b"fmt ":
+            _, n_ch, rate = struct.unpack_from("<HHI", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+        elif cid == b"data":
+            if bits != 16:
+                raise ValueError(f"only PCM16 supported, got {bits}-bit")
+            samples = np.frombuffer(
+                data, dtype="<i2", count=size // 2, offset=body)
+        i = body + size + (size & 1)
+    if samples is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    frames = len(samples) // n_ch
+    mono = samples.reshape(-1, n_ch).mean(axis=1).astype(np.float32) \
+        / 32768.0
+    q = max(len(mono) // 4, 1)
+    feat = [float(np.sqrt(np.mean(mono[k * q:(k + 1) * q] ** 2)))
+            if len(mono[k * q:(k + 1) * q]) else 0.0 for k in range(4)]
+    return {"width": None, "height": None,
+            "duration_ms": int(frames * 1000 / rate), "feature": feat}
 
 
 def _stub_decode(data: bytes, mime: str) -> dict:
-    """Deterministic fake decode: real pipelines register PIL/ffmpeg
-    decoders into DECODERS; the fake keeps the plumbing testable."""
+    """Deterministic fallback for codec-library formats (JPEG/MP4/…)
+    not decodable in this container; register a real decoder into
+    DECODERS to replace it."""
     n = len(data) if data else 0
     return {
         "width": (n % 640) + 1,
@@ -53,6 +117,18 @@ def _stub_decode(data: bytes, mime: str) -> dict:
         "duration_ms": n,
         "feature": [float((n >> i) & 0xFF) for i in range(0, 32, 8)],
     }
+
+
+# mime (preferred) or kind -> decoder(bytes, mime) -> dict
+DECODERS: dict[str, Callable] = {
+    "image/x-portable-pixmap": decode_ppm,
+    "audio/wav": decode_wav,
+    "audio/x-wav": decode_wav,
+}
+
+
+def _decoder_for(kind: str, mime: str) -> Callable:
+    return DECODERS.get(mime) or DECODERS.get(kind) or _stub_decode
 
 
 def extract_features(media: DataFrame,
@@ -70,7 +146,7 @@ def extract_features(media: DataFrame,
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                decoder = DECODERS.get(r["kind"], _stub_decode)
+                decoder = _decoder_for(r["kind"], r["mime"])
                 d = decoder(r["data"], r["mime"])
                 rows.append({
                     "media_id": r["media_id"],
@@ -86,18 +162,91 @@ def extract_features(media: DataFrame,
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of PPM image payloads (numpy indexing —
+    no image library); non-PPM rows pass through untouched. Returns the
+    input schema with `data` replaced and meta['resized'] set."""
+    import pandas as pd  # noqa: F401
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        for pdf in batches:
+            out = pdf.copy()
+            for idx, r in pdf.iterrows():
+                data = r["data"]
+                if not (data and bytes(data[:2]) == b"P6"):
+                    continue
+                d = decode_ppm(bytes(data))
+                w0, h0 = d["width"], d["height"]
+                px = np.frombuffer(
+                    bytes(data), dtype=np.uint8)[-w0 * h0 * 3:] \
+                    .reshape(h0, w0, 3)
+                ys = (np.arange(height) * h0 // height)
+                xs = (np.arange(width) * w0 // width)
+                resized = px[ys][:, xs]
+                hdr = f"P6\n{width} {height}\n255\n".encode()
+                out.at[idx, "data"] = hdr + resized.tobytes()
+                meta = dict(r["meta"] or {})
+                meta["resized"] = f"{width}x{height}"
+                out.at[idx, "meta"] = meta
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+def make_ppm(width: int, height: int, seed: int) -> bytes:
+    """Deterministic synthetic P6 image (numpy PRNG gradient+noise)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    grad = np.linspace(0, 255, width, dtype=np.float32)
+    img = np.stack([np.tile(grad, (height, 1))] * 3, axis=2)
+    img = (img + rng.integers(0, 64, (height, width, 3))) % 256
+    return (f"P6\n{width} {height}\n255\n".encode()
+            + img.astype(np.uint8).tobytes())
+
+
+def make_wav(ms: int, seed: int, rate: int = 8000) -> bytes:
+    """Deterministic synthetic PCM16 mono WAV (sine + noise)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n = rate * ms // 1000
+    t = np.arange(n, dtype=np.float32) / rate
+    wave = (0.5 * np.sin(2 * np.pi * (200 + seed % 200) * t)
+            + 0.1 * rng.standard_normal(n).astype(np.float32))
+    pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                   rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
+
+
 def synthetic_media(spark, n: int = 100) -> DataFrame:
-    """Deterministic synthetic media table for tests (binary payload =
-    repeated md5 bytes; schema identical to a real ingest)."""
-    base = spark.range(n).select(
-        F.col("id").alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"),
-                             F.lit("video")),
-                     (F.col("id") % 3 + 1).cast("int")).alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.repeat(F.unbase64(F.base64(F.encode(
-            F.md5(F.col("id").cast("string")), "utf-8"))),
-            (F.col("id") % 7 + 1).cast("int")).cast("binary").alias("data"),
-        F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
-    )
-    return base
+    """Deterministic synthetic media table: REAL PPM images and PCM WAV
+    audio payloads (decodable by the numpy decoders above) plus stub
+    'video' blobs; generated distributed via mapInPandas so payload
+    bytes never sit on the driver."""
+    import pandas as pd  # noqa: F401
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                k = mid % 3
+                if k == 0:
+                    kind, mime = "image", "image/x-portable-pixmap"
+                    data = make_ppm(16 + mid % 17, 12 + mid % 13, mid)
+                elif k == 1:
+                    kind, mime = "audio", "audio/wav"
+                    data = make_wav(50 + (mid % 20) * 10, mid)
+                else:
+                    kind, mime = "video", "video/mp4"
+                    data = (b"\x00\x00\x00\x18ftypmp42"
+                            + bytes([mid % 251]) * (64 + mid % 129))
+                rows.append({"media_id": mid, "kind": kind, "mime": mime,
+                             "data": data, "meta": {"src": "synthetic"}})
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

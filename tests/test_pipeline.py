@@ -123,12 +123,51 @@ def test_multimodal_plumbing(spark):
                                                       synthetic_media)
     media = synthetic_media(spark, n=30)
     feats = extract_features(media)
-    got = feats.collect()
+    got = {r["media_id"]: r for r in feats.collect()}
     assert len(got) == 30
-    r = got[0]
-    assert r["n_bytes"] > 0 and len(r["feature"]) == 4
-    kinds = {x["kind"] for x in got}
-    assert kinds == {"image", "audio", "video"}
+    # media 0 = real PPM image: true dimensions + 6-dim color stats
+    img = got[0]
+    assert img["kind"] == "image"
+    assert img["width"] == 16 and img["height"] == 12
+    assert len(img["feature"]) == 6
+    # media 1 = real PCM WAV: true duration + 4 quarter-RMS features
+    aud = got[1]
+    assert aud["kind"] == "audio" and aud["duration_ms"] == 60
+    assert len(aud["feature"]) == 4 and all(f > 0 for f in aud["feature"])
+    # media 2 = stub video (mp4 needs codec libs)
+    assert got[2]["kind"] == "video" and got[2]["n_bytes"] > 0
+
+
+def test_multimodal_decoders_roundtrip():
+    """PPM/WAV decoders parse the exact payloads the generators emit."""
+    from redisgraph_spark.pipeline.multimodal import (decode_ppm,
+                                                      decode_wav,
+                                                      make_ppm, make_wav)
+    d = decode_ppm(make_ppm(20, 10, seed=3))
+    assert d["width"] == 20 and d["height"] == 10
+    assert len(d["feature"]) == 6 and all(0 <= f <= 1 for f in d["feature"])
+    a = decode_wav(make_wav(250, seed=5))
+    assert a["duration_ms"] == 250
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_ppm(b"JFIF...")
+    with _pt.raises(ValueError):
+        decode_wav(b"not riff")
+
+
+def test_multimodal_resize(spark):
+    from redisgraph_spark.pipeline.multimodal import (decode_ppm,
+                                                      resize_images,
+                                                      synthetic_media)
+    media = synthetic_media(spark, n=6)
+    out = resize_images(media, 8, 8).collect()
+    for r in out:
+        if r["kind"] == "image":
+            d = decode_ppm(bytes(r["data"]))
+            assert d["width"] == 8 and d["height"] == 8
+            assert r["meta"]["resized"] == "8x8"
+        else:
+            assert "resized" not in (r["meta"] or {})
 
 
 def test_pagerank_converges(spark):
