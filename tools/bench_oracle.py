@@ -1,0 +1,98 @@
+"""Side-by-side Spark vs DuckDB wall time for the headline queries.
+
+Both engines get the same treatment: one cold run (recorded), then
+N warm repeats, best warm reported. DuckDB runs the oracle_sql()
+equivalents over the same parquet; entries without an oracle (hash-
+dependent candidate generators) are skipped on the DuckDB side.
+
+Usage: python tools/bench_oracle.py [--sf=/root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+WARM_RUNS = 2
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.1"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from bench import HEADLINE
+    from redisgraph_spark import get_spark
+
+    spark = get_spark("bench-oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = em.queries()
+    oracles = em.oracle_sql()
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    em._graph(spark, sf_dir).node_count("Region")
+    em._graph(spark, sf_dir).warm_traversal()
+    for t in ("documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+
+    def best_of(fn, runs=WARM_RUNS):
+        t0 = time.time()
+        fn()
+        cold = time.time() - t0
+        best = cold
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(cold, 3), round(best, 3)
+
+    rows = []
+    for name in HEADLINE:
+        s_cold, s_warm = best_of(lambda: qs[name](spark, sf_dir).count())
+        d_cold = d_warm = None
+        if name in oracles:
+            d_cold, d_warm = best_of(
+                lambda: con.execute(oracles[name]).fetchall())
+        rows.append((name, s_cold, s_warm, d_cold, d_warm))
+
+    print(f"{'entry':24s} {'spark_cold':>10s} {'spark_warm':>10s} "
+          f"{'duck_cold':>10s} {'duck_warm':>10s}")
+    st = sw = dt = dw = 0.0
+    covered_sw = 0.0
+    for name, sc, s, dc, d in rows:
+        print(f"{name:24s} {sc:10.3f} {s:10.3f} "
+              f"{dc if dc is not None else float('nan'):10.3f} "
+              f"{d if d is not None else float('nan'):10.3f}")
+        st += sc
+        sw += s
+        if d is not None:
+            dt += dc
+            dw += d
+            covered_sw += s
+    ratio = round(covered_sw / dw, 2) if dw else None
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "spark_cold_total": round(st, 3),
+        "spark_warm_total": round(sw, 3),
+        "duckdb_cold_total_covered": round(dt, 3),
+        "duckdb_warm_total_covered": round(dw, 3),
+        "warm_ratio_spark_over_duckdb_covered": ratio,
+    }))
+
+
+if __name__ == "__main__":
+    main()
