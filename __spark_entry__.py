@@ -438,6 +438,13 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         # customer→nation→region is always the unique shortest route
         "SELECT CAST(2 AS BIGINT) AS len"),
 
+    # allShortestPaths — every distinct first-reach path
+    "q_all_shortest": (
+        "MATCH p = allShortestPaths((c:Customer {c_custkey: 1})-[*..4]->"
+        "(r:Region)) RETURN length(p) AS len, count(*) AS n",
+        # the unique shortest route is customer→nation→region (length 2)
+        "SELECT CAST(2 AS BIGINT) AS len, CAST(1 AS BIGINT) AS n"),
+
     # CALL algo.BFS — correlated procedure, one multi-source BFS join
     # (proc_bfs.c semantics: outgoing, source excluded, inner-join rows)
     "q_bfs": (
@@ -1030,6 +1037,26 @@ def _q_merge_roundtrip(spark, sf_dir):
         "sum(r.r_regionkey) AS sk, count(r.touched) AS touched")
 
 
+def _q_merge_rel(spark, sf_dir):
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, sf_dir)   # fresh graph: mutations isolated
+    # first MERGE creates the relationship, second matches it (no dup)
+    g.query("MATCH (c:Customer {c_custkey: 1}), (n:Nation {n_nationkey: 0}) "
+            "MERGE (c)-[:LIVES_IN]->(n)")
+    g.query("MATCH (c:Customer {c_custkey: 1}), (n:Nation {n_nationkey: 0}) "
+            "MERGE (c)-[:LIVES_IN]->(n)")
+    return g.query(
+        "MATCH ()-[e:LIVES_IN]->() RETURN count(e) AS n_lives_in")
+
+
+def _q_remove(spark, sf_dir):
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, sf_dir)   # fresh graph: mutations isolated
+    g.query("MATCH (r:Region {r_regionkey: 0}) REMOVE r.r_name")
+    return g.query(
+        "MATCH (r:Region) RETURN count(*) AS n, count(r.r_name) AS named")
+
+
 def _q_index_ddl(spark, sf_dir):
     from redisgraph_spark import Graph
     g = Graph.from_tpch(spark, sf_dir)   # fresh graph: DDL isolated
@@ -1260,6 +1287,16 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_mutation_roundtrip": (_q_mutation_roundtrip,
         "SELECT count(*) + 1 AS n_regions, 991 AS max_key FROM region"),
 
+    # MERGE on a relationship pattern (MergeCreate dedup + re-match):
+    # second MERGE must match, not duplicate
+    "q_merge_rel": (_q_merge_rel,
+        "SELECT CAST(1 AS BIGINT) AS n_lives_in"),
+
+    # REMOVE n.prop ≡ SET NULL (docs/cypher_support.md:66-68)
+    "q_remove": (_q_remove, """
+        SELECT count(*) AS n, count(*) - 1 AS named FROM region
+        """),
+
     # CREATE INDEX DDL (cmd_query.c:60-90): index re-lays the label
     # table; the indexed filter still answers exactly
     "q_index_ddl": (_q_index_ddl, """
@@ -1475,7 +1512,7 @@ _ROUND1_UNCHECKED = [
     "p_cosine_topk_lsh", "p_cosine_topk_ivf", "p_text_stats",
     "p_lang_guess", "p_events_rollup", "p_sessions", "p_top_users",
     "p_stream_rollup", "p_stream_sessions", "p_stream_user_stats",
-    "p_dedup_clusters",
+    "p_dedup_clusters", "q_merge_rel", "q_remove", "q_all_shortest",
 ]
 
 
