@@ -947,8 +947,13 @@ def _p_lang_guess(spark, sf_dir):
 
 
 def _p_events_rollup(spark, sf_dir):
+    # hour rendered as epoch-micros BIGINT: raw timestamp columns reach
+    # the driver's pandas canonicalizer with different dtypes from the
+    # two engines (ns vs us), which can hash-mismatch like the r1
+    # HUGEINT case — integers are dtype-stable
     from redisgraph_spark.pipeline.events import hourly_rollup
     return hourly_rollup(_events(spark, sf_dir)) \
+        .withColumn("hour", F.unix_micros(F.col("hour"))) \
         .orderBy("event_type", "hour")
 
 
@@ -1181,7 +1186,8 @@ def _p_stream_rollup(spark, sf_dir):
     out = windowed_rollup(_stream_events(spark, sf_dir))
     run_to_memory(out, name, output_mode="complete")
     return spark.table(name).select(
-        "event_type", F.col("window_start").alias("hour"),
+        "event_type",
+        F.unix_micros(F.col("window_start")).alias("hour"),
         "n", (F.round(F.col("sum_value"), 2)).alias("sum_value")) \
         .orderBy("event_type", "hour")
 
@@ -1195,7 +1201,8 @@ def _p_stream_sessions(spark, sf_dir):
     out = streaming_sessions(_stream_events(spark, sf_dir))
     run_to_memory(out, name, output_mode="complete")
     return spark.table(name).select(
-        "user_id", F.col("session_start").alias("session_start"),
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start"),
         "n_events", (F.round(F.col("total_value"), 2))
         .alias("total_value")) \
         .orderBy("user_id", "session_start")
@@ -1338,8 +1345,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 
     "p_events_json": (_p_events_json, """
         SELECT event_type, count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                 AS sum_k
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type
         """),
 
@@ -1426,7 +1433,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_lang_guess": (_p_lang_guess, _lang_guess_oracle()),
 
     "p_events_rollup": (_p_events_rollup, """
-        SELECT event_type, date_trunc('hour', ts) AS hour,
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour,
                count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY event_type, hour
         """),
@@ -1463,7 +1471,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # window / session_window state) over events.parquet drained with
     # an availableNow trigger
     "p_stream_rollup": (_p_stream_rollup, """
-        SELECT event_type, date_trunc('hour', ts) AS hour,
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour,
                count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY event_type, hour
         """),
@@ -1481,7 +1490,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
               ROWS UNBOUNDED PRECEDING) AS session_seq
           FROM g
         )
-        SELECT user_id, min(ts) AS session_start,
+        SELECT user_id,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS session_start,
                count(*) AS n_events,
                round(sum(value), 2) AS total_value
         FROM s GROUP BY user_id, session_seq
