@@ -72,17 +72,21 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        cold[name] = round(time.time() - t0, 3)
-        best = cold[name]
-        for _ in range(WARM_RUNS):
+        try:
             t0 = time.time()
             fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        warm[name] = round(best, 3)
+            cold[name] = round(time.time() - t0, 3)
+            best = cold[name]
+            for _ in range(WARM_RUNS):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            warm[name] = round(best, 3)
+        except Exception as exc:  # one broken entry must not lose the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(warm.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -90,7 +94,7 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = None
-    print(json.dumps({
+    out = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
@@ -98,7 +102,10 @@ def main() -> None:
         "sf": sf_num,
         "cold_value": cold_total,
         "cold_queries": cold,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

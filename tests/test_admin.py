@@ -314,3 +314,21 @@ def test_graph_catalog_registry(spark, social):
     assert cat.list() == ["social"]
     with _pt.raises(KeyError):
         cat.delete("scratch")
+
+
+def test_fulltext_metamorphic_laws(spark):
+    """Algebraic laws of the query grammar: AND = intersection,
+    OR = union, phrase ⊆ AND of its words, negation = set minus."""
+    from redisgraph_spark.functions.fulltext import query_index
+    docs, idx = _ft_fixture(spark)
+
+    def ids(q):
+        return {r["_id"] for r in query_index(idx, docs, q).collect()}
+
+    red, bolt = ids("red"), ids("bolt")
+    assert ids("red bolt") == red & bolt
+    assert ids("red|bolt") == red | bolt
+    assert ids('"red bolt"') <= red & bolt
+    assert ids("red -bolt") == red - bolt
+    # field restriction narrows
+    assert ids("@title:red") <= red
