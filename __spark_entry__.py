@@ -887,6 +887,43 @@ def _simhash_md5_oracle() -> str:
         """
 
 
+def _p_winnow(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (MOSS): substring-level
+    near-dup pairs sharing ≥32 window-min fingerprints (portable md5
+    hash so DuckDB replicates value-for-value)."""
+    from redisgraph_spark.pipeline.text import winnow_pairs
+    return winnow_pairs(_docs(spark, sf_dir), min_shared=32,
+                        k=8, w=4, hash_fn="md5") \
+        .orderBy("doc_a", "doc_b")
+
+
+def _winnow_oracle() -> str:
+    h = ("CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), "
+         "1, 15)) AS BIGINT)")
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(length(text) - 7, 1) + 1),
+                   i -> {h}) AS wh
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(wh) - 3, 1) + 1),
+                   j -> list_min(list_slice(wh, CAST(j AS INTEGER),
+                                            CAST(j + 3 AS INTEGER)))))
+                 AS fps
+          FROM h
+        ), f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared_fps
+        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 32
+        ORDER BY doc_a, doc_b
+        """
+
+
 def _p_dedup_clusters(spark, sf_dir):
     """End-to-end dedup: MinHash-LSH candidates (portable md5 hash) →
     connected-component clusters → canonical doc per cluster."""
@@ -1394,6 +1431,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_simhash": (_p_simhash, None),
     "p_minhash_lsh_md5": (_p_minhash_lsh_md5, _minhash_md5_oracle()),
     "p_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
+    "p_winnow": (_p_winnow, _winnow_oracle()),
     "p_simhash_md5": (_p_simhash_md5, _simhash_md5_oracle()),
 
     "p_cosine_topk": (_p_cosine_topk, """
@@ -1522,7 +1560,8 @@ _ROUND1_UNCHECKED = [
     "p_cosine_topk_lsh", "p_cosine_topk_ivf", "p_text_stats",
     "p_lang_guess", "p_events_rollup", "p_sessions", "p_top_users",
     "p_stream_rollup", "p_stream_sessions", "p_stream_user_stats",
-    "p_dedup_clusters", "q_merge_rel", "q_remove", "q_all_shortest",
+    "p_dedup_clusters", "p_winnow", "q_merge_rel", "q_remove",
+    "q_all_shortest",
 ]
 
 

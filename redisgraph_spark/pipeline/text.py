@@ -157,3 +157,59 @@ def analyze(docs: DataFrame, text_col: str = "text",
         lang_guess(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------------- winnowing
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): rolling
+    hashes of character k-grams, one fingerprint per w-window = the
+    window's minimum hash. Guarantees every shared substring of length
+    ≥ k+w-1 between two documents produces at least one shared
+    fingerprint — substring-level dedup signal that whole-document
+    hashes and bag-of-shingles methods miss.
+
+    Pure higher-order-function pipeline (sequence → transform →
+    array_min over slices), no UDF; ``hash_fn="md5"`` uses the
+    portable 60-bit hash so DuckDB can replicate value-for-value.
+    Returns (id, fp) exploded — at scale this table joins on fp, so it
+    hash-partitions by fingerprint exactly like the shingle table.
+    """
+    if hash_fn == "md5":
+        h = ("cast(conv(substring(md5(substring({t}, i, %d)), 1, 15),"
+             " 16, 10) as bigint)" % k)
+    else:
+        h = "xxhash64(substring({t}, i, %d))" % k
+    hashes = (f"transform(sequence(1, greatest(length({{t}}) - {k - 1},"
+              f" 1)), i -> {h})").format(t=text_col)
+    mins = (f"transform(sequence(1, greatest(size(__wh) - {w - 1}, 1)),"
+            f" j -> array_min(slice(__wh, j, {w})))")
+    return docs.select(
+        F.col(id_col),
+        F.expr(hashes).alias("__wh")) \
+        .select(F.col(id_col),
+                F.explode(F.expr(f"array_distinct({mins})")).alias("fp"))
+
+
+def winnow_pairs(docs: DataFrame, min_shared: int = 2, k: int = 8,
+                 w: int = 4, text_col: str = "text",
+                 id_col: str = "doc_id", hash_fn: str = "xxhash64",
+                 max_fp_freq: int | None = 10_000) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥ `min_shared` winnowing
+    fingerprints (substring-overlap dedup). Equi-join on the
+    fingerprint key — never all-pairs; `max_fp_freq` drops
+    boilerplate fingerprints that appear in more than that many docs
+    (the stop-shingle lever, on by default)."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col, hash_fn)
+    if max_fp_freq is not None:
+        hot = fps.groupBy("fp").count() \
+            .filter(F.col("count") > max_fp_freq).select("fp")
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return a.join(b, "fp") \
+        .filter(F.col("doc_a") < F.col("doc_b")) \
+        .groupBy("doc_a", "doc_b") \
+        .agg(F.count(F.lit(1)).alias("shared_fps")) \
+        .filter(F.col("shared_fps") >= min_shared)

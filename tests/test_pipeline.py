@@ -253,3 +253,24 @@ def test_dedup_clusters_canonicalization(spark):
            for r in dedup_clusters(docs, pairs).collect()}
     assert got == {1: (1, True), 2: (1, False), 3: (1, False),
                    5: (5, True), 7: (5, False), 9: (9, True)}
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= k+w-1
+    yields at least one shared fingerprint; disjoint docs share none."""
+    from redisgraph_spark.pipeline.text import (winnow_fingerprints,
+                                                winnow_pairs)
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "AAA " + shared + " BBB"),
+         (2, "CCCC " + shared + " DDDD"),
+         (3, "zw mq xv kj yp qn rt ul os ei")],
+        ["doc_id", "text"])
+    fps = winnow_fingerprints(docs, k=8, w=4)
+    by_doc = {i: {r["fp"] for r in rows} for i, rows in
+              ((i, fps.filter(fps.doc_id == i).collect())
+               for i in (1, 2, 3))}
+    assert by_doc[1] & by_doc[2]          # shared substring detected
+    assert not (by_doc[1] & by_doc[3])    # disjoint content
+    got = winnow_pairs(docs, min_shared=1, k=8, w=4).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
