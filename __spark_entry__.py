@@ -973,6 +973,20 @@ def _p_text_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _p_bpe_tokens(spark, sf_dir):
+    from redisgraph_spark.pipeline.text import bpe_token_count
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe")) \
+        .orderBy("doc_id")
+
+
+def _bpe_tokens_oracle() -> str:
+    from redisgraph_spark.pipeline.text import BPE_SPLIT_RE
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return (f"SELECT doc_id, len(regexp_extract_all(text, '{pat}')) "
+            "AS n_bpe FROM documents ORDER BY doc_id")
+
+
 def _p_lang_guess(spark, sf_dir):
     from redisgraph_spark.pipeline.text import lang_guess
     return _docs(spark, sf_dir).select(
@@ -1469,6 +1483,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         """),
 
     "p_lang_guess": (_p_lang_guess, _lang_guess_oracle()),
+    # same RE2-compatible split pattern evaluated by BOTH engines
+    "p_bpe_tokens": (_p_bpe_tokens, _bpe_tokens_oracle()),
 
     "p_events_rollup": (_p_events_rollup, """
         SELECT event_type,
@@ -1560,8 +1576,8 @@ _ROUND1_UNCHECKED = [
     "p_cosine_topk_lsh", "p_cosine_topk_ivf", "p_text_stats",
     "p_lang_guess", "p_events_rollup", "p_sessions", "p_top_users",
     "p_stream_rollup", "p_stream_sessions", "p_stream_user_stats",
-    "p_dedup_clusters", "p_winnow", "q_merge_rel", "q_remove",
-    "q_all_shortest",
+    "p_dedup_clusters", "p_winnow", "p_bpe_tokens", "q_merge_rel",
+    "q_remove", "q_all_shortest",
 ]
 
 

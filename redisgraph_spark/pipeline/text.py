@@ -213,3 +213,16 @@ def winnow_pairs(docs: DataFrame, min_shared: int = 2, k: int = 8,
         .groupBy("doc_a", "doc_b") \
         .agg(F.count(F.lit(1)).alias("shared_fps")) \
         .filter(F.col("shared_fps") >= min_shared)
+
+
+# GPT-2-style pre-tokenizer approximation, restricted to RE2-compatible
+# syntax (no lookahead) so the DuckDB oracle evaluates the SAME pattern:
+# contractions | space+letters | space+digits | space+punct-run | spaces
+BPE_SPLIT_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+                r"| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE pre-tokenization count (GPT-2 split regex,
+    lookahead-free). SQL: len(regexp_extract_all(text, pattern))."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_RE)).cast("long")

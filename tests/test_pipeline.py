@@ -274,3 +274,14 @@ def test_winnowing_guarantee(spark):
     assert not (by_doc[1] & by_doc[3])    # disjoint content
     got = winnow_pairs(docs, min_shared=1, k=8, w=4).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+
+
+def test_bpe_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from redisgraph_spark.pipeline.text import bpe_token_count
+    df = spark.createDataFrame(
+        [(1, "I'll say it's 42 things, okay?")], ["doc_id", "text"])
+    n = df.select(bpe_token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    # I|'ll| say| it|'s| 42| things|,| okay|?  = 10
+    assert n == 10
