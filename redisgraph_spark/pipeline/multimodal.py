@@ -241,6 +241,10 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
                 elif k == 1:
                     kind, mime = "audio", "audio/wav"
                     data = make_wav(50 + (mid % 20) * 10, mid)
+                elif mid % 6 == 2:
+                    kind, mime = "video", "video/x-raw-rgb"
+                    data = make_rawvideo(8 + mid % 9, 6 + mid % 7,
+                                         4 + mid % 5, mid)
                 else:
                     kind, mime = "video", "video/mp4"
                     data = (b"\x00\x00\x00\x18ftypmp42"
@@ -250,3 +254,89 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------ video (raw RGB)
+# Minimal uncompressed container decodable with numpy alone:
+# b"RGVD" + <I width> <I height> <I n_frames> <I fps> + frames (w*h*3
+# bytes each). Real codec formats (mp4/webm) need libraries not in
+# this container and keep the stub path.
+
+def make_rawvideo(width: int, height: int, n_frames: int, seed: int,
+                  fps: int = 10) -> bytes:
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    frames = []
+    base = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+    for f in range(n_frames):
+        frames.append(((base.astype(np.int32) + 7 * f) % 256)
+                      .astype(np.uint8).tobytes())
+    return (b"RGVD" + struct.pack("<IIII", width, height, n_frames, fps)
+            + b"".join(frames))
+
+
+def decode_rawvideo(data: bytes, mime: str = "video/x-raw-rgb") -> dict:
+    """Header decode + per-frame mean luminance of 4 evenly sampled
+    frames as the feature."""
+    import numpy as np
+    if not data or data[:4] != b"RGVD":
+        raise ValueError("not a RGVD payload")
+    w, h, n, fps = struct.unpack_from("<IIII", data, 4)
+    feat = []
+    for f in (0, n // 3, 2 * n // 3, n - 1) if n else ():
+        off = 20 + f * w * h * 3
+        px = np.frombuffer(data, np.uint8, count=w * h * 3, offset=off)
+        feat.append(float(px.mean() / 255.0))
+    return {"width": w, "height": h,
+            "duration_ms": int(n * 1000 / fps), "feature": feat}
+
+
+DECODERS["video/x-raw-rgb"] = decode_rawvideo
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),   # P6 PPM payload
+])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
+    """Frame sampling over Arrow batches: one output row per sampled
+    frame (as a standalone PPM payload, ready for `resize_images` /
+    `extract_features`). Raw-RGB videos decode for real; codec formats
+    raise into the stub row (frame=None) so the pipeline shape is
+    preserved without the codec library."""
+    import pandas as pd  # noqa: F401
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video":
+                    continue
+                data = bytes(r["data"])
+                if data[:4] == b"RGVD":
+                    w, h, n, fps = struct.unpack_from("<IIII", data, 4)
+                    step = max(int(every_ms * fps / 1000), 1)
+                    hdr = f"P6\n{w} {h}\n255\n".encode()
+                    for f in range(0, n, step):
+                        off = 20 + f * w * h * 3
+                        rows.append({
+                            "media_id": r["media_id"], "frame_idx": f,
+                            "ts_ms": int(f * 1000 / fps),
+                            "width": w, "height": h,
+                            "frame": hdr + data[off:off + w * h * 3]})
+                else:
+                    # codec-library format: plumbing row, no pixels
+                    rows.append({"media_id": r["media_id"],
+                                 "frame_idx": 0, "ts_ms": 0,
+                                 "width": None, "height": None,
+                                 "frame": None})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -285,3 +285,23 @@ def test_bpe_token_count(spark):
     n = df.select(bpe_token_count(F.col("text")).alias("n")).collect()[0]["n"]
     # I|'ll| say| it|'s| 42| things|,| okay|?  = 10
     assert n == 10
+
+
+def test_multimodal_frame_sampling(spark):
+    """Raw-RGB videos frame-sample for real (stride by timestamp);
+    sampled frames are valid PPM payloads feedable to decode_ppm;
+    codec formats produce the plumbing row."""
+    from redisgraph_spark.pipeline.multimodal import (decode_ppm,
+                                                      sample_frames,
+                                                      synthetic_media)
+    media = synthetic_media(spark, n=12)
+    frames = sample_frames(media, every_ms=200).collect()
+    raw = [r for r in frames if r["frame"] is not None]
+    stub = [r for r in frames if r["frame"] is None]
+    assert raw and stub
+    for r in raw[:3]:
+        d = decode_ppm(bytes(r["frame"]))
+        assert d["width"] == r["width"] and d["height"] == r["height"]
+    # media_id 2: 4+2%5=6 frames @10fps, stride 200ms -> frames 0,2,4
+    idx2 = sorted(r["frame_idx"] for r in raw if r["media_id"] == 2)
+    assert idx2 == [0, 2, 4]
