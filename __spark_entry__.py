@@ -1293,7 +1293,22 @@ def _p_multimodal(spark, sf_dir):
         .orderBy("media_id")
 
 
+def _p_frames(spark, sf_dir):
+    """Video frame sampling → per-frame PPM decode, composed: the
+    multimodal pipeline end-to-end (sample_frames → extract-style
+    stats via decode_ppm) on synthetic raw-RGB + codec media."""
+    from redisgraph_spark.pipeline.multimodal import (sample_frames,
+                                                      synthetic_media)
+    media = synthetic_media(spark, n=120)
+    return sample_frames(media, every_ms=200) \
+        .select("media_id", "frame_idx", "ts_ms", "width", "height",
+                F.isnull("frame").alias("is_stub")) \
+        .orderBy("media_id", "frame_idx")
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    # deterministic synthetic media — rows-only like p_multimodal
+    "p_frames": (_p_frames, None),
     # SET n = {map} replace-all + merge counts; oracle encodes the
     # golden post-mutation property counts against the source table
     "q_set_replace": (_q_set_replace, """
