@@ -81,6 +81,13 @@ class FtNot:
 
 
 @dataclass
+class FtOptional:
+    """RediSearch `~term`: does not restrict matches, but documents
+    containing it score higher."""
+    child: object
+
+
+@dataclass
 class FtAnd:
     children: list = dc_field(default_factory=list)
 
@@ -93,6 +100,7 @@ class FtOr:
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) | (?P<or>\|) | (?P<neg>-) |
+        (?P<opt>~) |
         (?P<field>@[A-Za-z_][A-Za-z0-9_]*:) |
         (?P<phrase>"[^"]*") |
         (?P<fuzzy>%[^%\s]+%) |
@@ -108,7 +116,7 @@ def _lex(text: str) -> list[tuple[str, str]]:
             i += 1  # skip unrecognized punctuation
             continue
         i = m.end()
-        for kind in ("lparen", "rparen", "or", "neg", "field",
+        for kind in ("lparen", "rparen", "or", "neg", "opt", "field",
                      "phrase", "fuzzy", "word"):
             v = m.group(kind)
             if v is not None:
@@ -155,6 +163,8 @@ class _Parser:
         self.i += 1
         if kind == "neg":
             return FtNot(self.parse_atom())
+        if kind == "opt":
+            return FtOptional(self.parse_atom())
         if kind == "lparen":
             inner = self.parse_expr()
             if self.peek() == "rparen":
@@ -188,7 +198,7 @@ def _apply_field(node, fname: str):
         if node.field is None:
             node.field = fname
         return node
-    if isinstance(node, FtNot):
+    if isinstance(node, (FtNot, FtOptional)):
         node.child = _apply_field(node.child, fname)
         return node
     if isinstance(node, (FtAnd, FtOr)):
@@ -266,10 +276,20 @@ def _compile(index: DataFrame, node, id_col: str,
         pos = _compile(index, node.child, id_col, universe)
         return universe.join(pos.select(id_col), id_col, "left_anti") \
             .select(id_col, F.lit(0.0).alias("score"))
+    if isinstance(node, FtOptional):
+        # standalone optional = matches like its child (union context)
+        return _compile(index, node.child, id_col, universe)
     if isinstance(node, FtAnd):
-        pos = [c for c in node.children if not isinstance(c, FtNot)]
+        pos = [c for c in node.children
+               if not isinstance(c, (FtNot, FtOptional))]
         neg = [c for c in node.children if isinstance(c, FtNot)]
-        if not pos:
+        opt = [c for c in node.children if isinstance(c, FtOptional)]
+        if not pos and opt:
+            # optional-only query: match the union of the optionals
+            out = _compile(index, FtOr([o.child for o in opt]),
+                           id_col, universe)
+            opt = []
+        elif not pos:
             out = universe.select(id_col, F.lit(0.0).alias("score"))
         else:
             out = _compile(index, pos[0], id_col, universe)
@@ -279,6 +299,14 @@ def _compile(index: DataFrame, node, id_col: str,
                 out = out.join(nxt, id_col) \
                     .withColumn("score", F.col("score") + F.col("_s2")) \
                     .drop("_s2")
+        for o in opt:
+            # ~term: no filtering, score boost when present
+            boost = _compile(index, o.child, id_col, universe) \
+                .withColumnRenamed("score", "_ob")
+            out = out.join(boost, id_col, "left") \
+                .withColumn("score", F.col("score")
+                            + F.coalesce(F.col("_ob"), F.lit(0.0))) \
+                .drop("_ob")
         for n in neg:
             bad = _compile(index, n.child, id_col, universe)
             out = out.join(bad.select(id_col), id_col, "left_anti")

@@ -332,3 +332,19 @@ def test_fulltext_metamorphic_laws(spark):
     assert ids("red -bolt") == red - bolt
     # field restriction narrows
     assert ids("@title:red") <= red
+
+
+def test_fulltext_optional_term(spark):
+    """~term boosts score without restricting the match set."""
+    from redisgraph_spark.functions.fulltext import query_index
+    docs, idx = _ft_fixture(spark)
+    got = {r["_id"]: r["score"] for r in
+           query_index(idx, docs, "bolt ~red").collect()}
+    plain = {r["_id"]: r["score"] for r in
+             query_index(idx, docs, "bolt").collect()}
+    assert set(got) == set(plain)            # same match set
+    assert got[1] > plain[1] and got[4] > plain[4]  # red docs boosted
+    assert got[2] == plain[2]                # no red, no boost
+    # optional-only query matches the union
+    u = {r["_id"] for r in query_index(idx, docs, "~red ~gear").collect()}
+    assert u == {1, 3, 4, 5}
