@@ -159,6 +159,8 @@ class _Parser:
         return alts[0] if len(alts) == 1 else FtOr(alts)
 
     def parse_atom(self):
+        if self.i >= len(self.toks):
+            return FtAnd([])      # dangling operator: empty match
         kind, v = self.toks[self.i]
         self.i += 1
         if kind == "neg":
@@ -280,6 +282,9 @@ def _compile(index: DataFrame, node, id_col: str,
         # standalone optional = matches like its child (union context)
         return _compile(index, node.child, id_col, universe)
     if isinstance(node, FtAnd):
+        if not node.children:     # dangling-operator residue: match ∅
+            return universe.limit(0) \
+                .select(id_col, F.lit(0.0).alias("score"))
         pos = [c for c in node.children
                if not isinstance(c, (FtNot, FtOptional))]
         neg = [c for c in node.children if isinstance(c, FtNot)]

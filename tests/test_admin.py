@@ -348,3 +348,19 @@ def test_fulltext_optional_term(spark):
     # optional-only query matches the union
     u = {r["_id"] for r in query_index(idx, docs, "~red ~gear").collect()}
     assert u == {1, 3, 4, 5}
+
+
+def test_fulltext_parser_fuzz():
+    """The query parser must never crash — arbitrary junk parses to
+    some AST (possibly empty match)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redisgraph_spark.functions.fulltext import parse_query
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def check(q):
+        parse_query(q)
+
+    check()
