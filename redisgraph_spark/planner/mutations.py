@@ -567,6 +567,8 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
             raise ValueError("SET supports n.prop = expr and n += {map}")
         var = item.target.subject.name
         key = item.target.key
+        if var not in ctx.vars:
+            raise ValueError(f"'{var}' not defined")
         info = ctx.vars[var]
         pending_refresh.append((var, key, comp.compile(item.value)))
         # updates keyed by entity id
@@ -757,6 +759,8 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
         if not isinstance(e, A.Variable):
             raise ValueError("DELETE expects variables")
         var = e.name
+        if var not in ctx.vars:
+            raise ValueError(f"'{var}' not defined")
         info = ctx.vars[var]
         if info.kind == "path":
             # deleting a path deletes its relationships and nodes

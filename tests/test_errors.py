@@ -48,3 +48,15 @@ def test_pattern_predicate_needs_bound_var(social):
     with pytest.raises(PlanError, match="bound variable"):
         social.query(
             "MATCH (a:person) WHERE (x)-[:friend]->() RETURN a")
+
+
+def test_unbound_variable_mutations_clean_errors(social):
+    """SET/DELETE of an unbound variable raise clean errors, not
+    internal KeyError (found by planner fuzzing)."""
+    import pytest as _pt
+    with _pt.raises(Exception, match="not defined"):
+        social.query("MATCH (p:person) DELETE q")
+    with _pt.raises(Exception, match="not defined"):
+        social.query("MATCH (p:person) SET q.age = 1")
+    with _pt.raises(Exception, match="not defined"):
+        social.query("DELETE zzz")

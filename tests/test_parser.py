@@ -152,3 +152,49 @@ def test_block_comment_tokenizes():
     from redisgraph_spark.cypher.parser import parse
     q = parse("MATCH (n) /* a\n block */ RETURN /* x */ n // tail")
     assert q is not None
+
+
+def test_parser_fuzz_no_internal_errors():
+    """Arbitrary input must parse or raise SyntaxError/ValueError —
+    never an internal IndexError/KeyError/AttributeError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redisgraph_spark.cypher.parser import parse
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def check(q):
+        try:
+            parse(q)
+        except (SyntaxError, ValueError):
+            pass
+
+    check()
+
+
+def test_parser_fuzz_cypherish():
+    """Fuzz with Cypher-shaped token soup (keywords, symbols) to reach
+    deeper parser states than raw unicode does."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redisgraph_spark.cypher.parser import parse
+
+    toks = st.sampled_from(
+        ["MATCH", "RETURN", "WHERE", "WITH", "CREATE", "MERGE", "SET",
+         "DELETE", "UNWIND", "CALL", "(", ")", "[", "]", "{", "}",
+         "-", "->", "<-", ":", ",", "*", "..", "a", "b", "n", "Person",
+         "KNOWS", "1", "1.5", "'x'", "=", ">", "<", "+", "|", "AS",
+         "ORDER", "BY", "LIMIT", "SKIP", "DISTINCT", "OPTIONAL", "$p",
+         ".", "count", "collect", "NULL", "true"])
+
+    @given(st.lists(toks, max_size=14))
+    @settings(max_examples=400, deadline=None)
+    def check(parts):
+        try:
+            parse(" ".join(parts))
+        except (SyntaxError, ValueError):
+            pass
+
+    check()
