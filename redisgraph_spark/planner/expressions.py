@@ -416,6 +416,24 @@ class ExprCompiler:
     def _c_Unary(self, e: A.Unary) -> Column:
         operand = self.compile(e.operand)
         if e.op == "-":
+            if self._is_variant(operand):
+                # runtime-typed: negate int/float payloads tag-preserving;
+                # non-numeric payloads become null (filter-tree DISJOINT)
+                from .variant import TAG_FLOAT, TAG_INT, _pack
+                return F.when(
+                    operand.getField("_vt") == TAG_INT,
+                    _pack(TAG_INT, i=-operand.getField("_i"))) \
+                    .when(operand.getField("_vt") == TAG_FLOAT,
+                          _pack(TAG_FLOAT, d=-operand.getField("_d"))) \
+                    .otherwise(F.lit(None))
+            # statically non-numeric operand: clean type-mismatch like
+            # the reference (AR_EXP type checking), not a runtime
+            # Spark cast failure (fuzz finding)
+            if self._cmp_class(operand) in ("str", "array", "map",
+                                            "bool", "temporal"):
+                raise CompileError(
+                    "Type mismatch: expected Integer or Float for "
+                    "unary minus")
             return -operand
         if e.op == "NOT":
             if self._is_variant(operand):

@@ -228,3 +228,22 @@ def test_variant_property_equals_het_list_literal(spark):
     ne = g.query("MATCH (v:V) WHERE v.tag <> [1, 'a'] "
                  "RETURN v.k AS k").collect()
     assert [r["k"] for r in ne] == [1]
+
+
+def test_unary_minus_on_variant_and_string(spark):
+    """-variant negates numeric payloads tag-preserving, nulls others;
+    statically-string unary minus is a clean compile error."""
+    import pytest as _pt
+
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    g.query("CREATE (:T {v: 5}), (:T {v: 2.5}), (:T {v: 'x'})")
+    got = {str(r["v"]): r["neg"] for r in g.query(
+        "MATCH (t:T) RETURN t.v AS v, -t.v AS neg").collect()}
+    # mixed-numeric CREATE widens 5 -> 5.0 before variant encoding;
+    # RETURN renders variant results as strings
+    assert got.get("5", got.get("5.0")) in ("-5.0", "-5")
+    assert got["2.5"] == "-2.5"
+    assert got["x"] is None
+    with _pt.raises(Exception, match="(?i)type mismatch"):
+        g.query("MATCH (t:T) RETURN -toString(t.v)")
