@@ -448,8 +448,22 @@ class ExprCompiler:
     def _c_Binary(self, e: A.Binary) -> Column:
         op = e.op
         if op in ("AND", "OR", "XOR"):
-            l = self.compile(e.left).cast("boolean")
-            r = self.compile(e.right).cast("boolean")
+            l, r = self.compile(e.left), self.compile(e.right)
+            for side in (l, r):
+                if self._is_variant(side):
+                    continue      # bool payloads view below
+                if self._cmp_class(side) in ("str", "array", "map",
+                                             "temporal"):
+                    raise CompileError(
+                        f"Type mismatch: expected Boolean as operand "
+                        f"of {op}")
+            if self._is_variant(l):
+                from .variant import bool_view as _bv
+                l = _bv(l)
+            if self._is_variant(r):
+                from .variant import bool_view as _bv
+                r = _bv(r)
+            l, r = l.cast("boolean"), r.cast("boolean")
             if op == "AND":
                 return l & r
             if op == "OR":
@@ -488,6 +502,17 @@ class ExprCompiler:
             if self._is_string(l) or self._is_string(r):
                 return F.concat(l.cast("string"), r.cast("string"))
             return l + r
+        if op in ("-", "*", "/", "%", "^"):
+            # numeric-only operators: a statically non-numeric side is a
+            # compile-time type mismatch like the reference's AR_EXP
+            # checking (string * int would otherwise surface as a raw
+            # Spark cast failure at runtime — fuzz finding)
+            for side in (l, r):
+                if self._cmp_class(side) in ("str", "bool", "array",
+                                             "map", "temporal"):
+                    raise CompileError(
+                        f"Type mismatch: expected Integer or Float as "
+                        f"operand of '{op}'")
         if op == "-":
             return l - r
         if op == "*":
@@ -1147,14 +1172,26 @@ class ExprCompiler:
 
     def _c_FuncCall(self, e: A.FuncCall) -> Column:
         name = e.name
-        fn = getattr(self, "_fn_" + name, None)
-        if fn is not None:
-            return fn(e)
-        builder = _SIMPLE_FUNCS.get(name)
-        if builder is None:
-            raise CompileError(f"Unknown function {name}()")
-        args = [self.compile(a) for a in e.args]
-        return builder(*args)
+        try:
+            fn = getattr(self, "_fn_" + name, None)
+            if fn is not None:
+                return fn(e)
+            builder = _SIMPLE_FUNCS.get(name)
+            if builder is None:
+                raise CompileError(f"Unknown function {name}()")
+            args = [self.compile(a) for a in e.args]
+            return builder(*args)
+        except IndexError:
+            # an _fn_ impl indexed a missing argument (fuzz finding)
+            raise CompileError(
+                f"Received {len(e.args)} arguments to function "
+                f"'{name}', expected more") from None
+        except TypeError as te:
+            if "argument" in str(te):   # builder(*args) arity mismatch
+                raise CompileError(
+                    f"Received {len(e.args)} arguments to function "
+                    f"'{name}': wrong arity") from None
+            raise
 
     # function implementations that need type info or special handling ------
     def _fn_substring(self, e: A.FuncCall) -> Column:

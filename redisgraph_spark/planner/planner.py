@@ -437,7 +437,21 @@ class CypherPlanner:
             comp = self.compiler(ctx)
             cond = None
             for r in rewritten:
-                col = comp.compile(r).cast("boolean")
+                col = comp.compile(r)
+                if comp._is_variant(col):
+                    from redisgraph_spark.planner.variant import bool_view
+                    col = bool_view(col)
+                else:
+                    # statically non-boolean-castable predicate: clean
+                    # type mismatch instead of a runtime cast failure
+                    # (reference filter-tree type checking; numeric/null
+                    # keep the permissive cast — unchanged behavior)
+                    if comp._cmp_class(col) in ("str", "array", "map",
+                                                "temporal"):
+                        raise CompileError(
+                            "Type mismatch: WHERE expects a Boolean "
+                            "predicate")
+                    col = col.cast("boolean")
                 cond = col if cond is None else (cond & col)
             ctx.df = ctx.df.filter(cond)
 

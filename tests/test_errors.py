@@ -60,3 +60,18 @@ def test_unbound_variable_mutations_clean_errors(social):
         social.query("MATCH (p:person) SET q.age = 1")
     with _pt.raises(Exception, match="not defined"):
         social.query("DELETE zzz")
+
+
+def test_type_mismatch_clean_errors(social):
+    """Fuzz-found runtime cast failures now raise clean compile-time
+    type mismatches: non-boolean WHERE/AND operands, non-numeric
+    arithmetic, wrong function arity."""
+    import pytest as _pt
+    for q in ["MATCH (p:person) WHERE p.name RETURN count(*)",
+              "MATCH (p:person) WHERE p.age OR p.name RETURN count(*)",
+              "MATCH (p:person) RETURN p.age % p.name",
+              "MATCH (p:person) RETURN p.name * 2"]:
+        with _pt.raises(Exception, match="(?i)type mismatch"):
+            social.query(q)
+    with _pt.raises(Exception, match="(?i)arguments"):
+        social.query("MATCH (p:person) WHERE size() RETURN count(*)")
