@@ -95,3 +95,59 @@ def test_rel_endpoint_hints_preserve_results(spark):
     ]
     for q in queries:
         assert rows(hinted.query(q)) == rows(plain.query(q)), q
+
+
+def test_ternary_partition_law_fuzzed(social):
+    """For ANY predicate P: rows(P) + rows(NOT P) + rows(P IS NULL)
+    = all rows — the three-valued-logic partition. Fuzzed over
+    predicate soup; parse/compile rejections are skipped, every
+    predicate that PLANS must obey the law."""
+    import random
+    random.seed(99)
+    total = social.query(
+        "MATCH (p:person) RETURN count(*) AS n").collect()[0]["n"]
+    nums = ["p.age", "30", "NULL", "p.age % 7", "p.age - 30",
+            "coalesce(p.age, 0)", "size(p.name)"]
+    strs = ["p.name", "'Roi'", "toupper(p.name)", "NULL"]
+    cmps = ["=", "<>", "<", ">", "<=", ">="]
+
+    def atom():
+        if random.random() < 0.5:
+            return f"{random.choice(nums)} {random.choice(cmps)} "                    f"{random.choice(nums)}"
+        ss = random.choice(strs)
+        if random.random() < 0.3:
+            return f"{ss} CONTAINS {random.choice(strs)}"
+        return f"{ss} {random.choice(cmps)} {random.choice(strs)}"
+
+    def predgen(depth=0):
+        r = random.random()
+        if depth < 2 and r < 0.35:
+            op = random.choice(["AND", "OR", "XOR"])
+            return f"({predgen(depth + 1)}) {op} ({predgen(depth + 1)})"
+        if depth < 2 and r < 0.45:
+            return f"NOT ({predgen(depth + 1)})"
+        if r < 0.55:
+            return f"{random.choice(nums)} IN [30, 32, NULL]"
+        return atom()
+
+    checked = 0
+    for _ in range(400):
+        if checked >= 25:
+            break
+        pred = predgen()
+        counts = []
+        for wrapped in (f"({pred})", f"NOT ({pred})",
+                        f"({pred}) IS NULL"):
+            try:
+                n = social.query(
+                    f"MATCH (p:person) WHERE {wrapped} "
+                    f"RETURN count(*) AS n").collect()[0]["n"]
+            except Exception:
+                counts = None
+                break
+            counts.append(n)
+        if counts is None:
+            continue
+        checked += 1
+        assert sum(counts) == total, (pred, counts, total)
+    assert checked >= 10
