@@ -825,11 +825,13 @@ class ExprCompiler:
         return left >= right
 
     def prop_eq(self, field_col: Column, value_col: Column) -> Column:
-        """Pattern-property equality ``{k: v}`` — plain ``==`` unless the
-        property column is a variant union (then typed dispatch)."""
+        """Pattern-property equality ``{k: v}`` — variant union columns
+        dispatch per value; plain columns use the cross-type ternary
+        rules (a disjoint-class probe like {nm: true} against a string
+        column is FALSE, never a runtime cast — fuzz finding)."""
         if self._is_variant(field_col) or self._is_variant(value_col):
             return self._variant_cmp(field_col, value_col, "=")
-        return field_col == value_col
+        return self._typed_cmp(field_col, value_col, "=")
 
     def _variant_cmp(self, l: Column, r: Column, op: str) -> Column:
         """Comparison with at least one variant side: same-type payloads

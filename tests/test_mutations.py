@@ -337,3 +337,19 @@ def test_create_conflicting_property_types_builds_variant(spark):
     n = g.query("MATCH (c:C) WHERE c.v >= 7 RETURN count(*) AS n") \
         .collect()[0]["n"]
     assert n == 1
+
+
+def test_merge_probe_disjoint_type_is_no_match(spark):
+    """MERGE {k: v} where v's type class differs from the column's is
+    FALSE (DISJOINT), so MERGE creates — never a runtime cast failure
+    (found by mutation-chain fuzzing)."""
+    from redisgraph_spark import Graph
+    g = Graph(spark, {"T": spark.createDataFrame(
+        [(1, "a", 10)], ["_id", "nm", "v"])}, {})
+    g.query("MERGE (t:T {nm: true}) ON CREATE SET t.v = 99")
+    got = g.query("MATCH (t:T) RETURN count(*) AS n").collect()[0]["n"]
+    assert got == 2  # no string row matched boolean true -> created
+    # WHERE with a disjoint literal filters to no rows, cast-free
+    n = g.query("MATCH (t:T) WHERE t.nm = 5 RETURN count(*) AS n") \
+        .collect()[0]["n"]
+    assert n == 0
