@@ -17,8 +17,14 @@ from redisgraph_spark.cypher import ast as A
 
 
 def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 20,
-             damping: float = 0.85) -> DataFrame:
-    """nodes: (_id), edges: (_src,_dst) → (_id, score)."""
+             damping: float = 0.85, tol: float = 1e-9) -> DataFrame:
+    """nodes: (_id), edges: (_src,_dst) → (_id, score).
+
+    Converges early when the L1 delta between iterations drops below
+    `tol` (LAGraph's pagerank stops on the same criterion); the delta
+    and the next iteration's dangling mass come from ONE 1-row
+    aggregate per iteration, so each iteration costs exactly two jobs
+    (checkpoint + stats collect)."""
     n_count = nodes.count()
     if n_count == 0:
         return nodes.select(F.col("_id"), F.lit(0.0).alias("score"))
@@ -27,23 +33,35 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 20,
     ranks = nodes.select(F.col("_id"), F.lit(base).alias("score"))
     e = edges.select("_src", "_dst").join(deg, "_src")
     dangling = nodes.select("_id").join(
-        deg, nodes["_id"] == deg["_src"], "left_anti")
+        deg, nodes["_id"] == deg["_src"], "left_anti") \
+        .withColumn("__dang", F.lit(1))
+    # dangling-node mass is teleported uniformly (LAGraph-style)
+    d_mass = ranks.join(dangling, "_id").agg(
+        F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
     for _ in range(iterations):
         contrib = e.join(ranks, e["_src"] == ranks["_id"], "inner") \
             .select(F.col("_dst").alias("_id"),
                     (F.col("score") / F.col("__deg")).alias("c"))
         sums = contrib.groupBy("_id").agg(F.sum("c").alias("s"))
-        # dangling-node mass is teleported uniformly (LAGraph-style);
-        # one scalar aggregate per iteration
-        d_mass = dangling.join(ranks, "_id").agg(
-            F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
-        ranks = nodes.select("_id").join(sums, "_id", "left").select(
+        new_ranks = nodes.select("_id").join(sums, "_id", "left").select(
             F.col("_id"),
             (F.lit((1 - damping) * base)
              + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0.0))
                                  + F.lit(d_mass * base))
-             ).alias("score"))
-        ranks = ranks.localCheckpoint(eager=True)
+             ).alias("score")) \
+            .localCheckpoint(eager=True)
+        stats = new_ranks \
+            .join(ranks.withColumnRenamed("score", "__old"), "_id") \
+            .join(dangling.select("_id", "__dang"), "_id", "left") \
+            .agg(F.sum(F.abs(F.col("score") - F.col("__old")))
+                 .alias("delta"),
+                 F.coalesce(F.sum(F.when(F.col("__dang") == 1,
+                                         F.col("score"))), F.lit(0.0))
+                 .alias("dmass")).collect()[0]
+        ranks = new_ranks
+        d_mass = stats["dmass"]
+        if stats["delta"] is not None and stats["delta"] < tol:
+            break
     return ranks
 
 
