@@ -68,3 +68,67 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(e3, (F.col("e3.a") == F.col("e1.a"))
               & (F.col("e3.b") == F.col("e2.b")))
     return tri.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def weakly_connected_components_star(node_ids: DataFrame,
+                                     edges: DataFrame,
+                                     max_iter: int = 64) -> DataFrame:
+    """Alternating large-star / small-star contraction ("Connected
+    Components in MapReduce and Beyond", Kiveris et al., SoCC'14):
+    converges in O(log² n) rounds INDEPENDENT OF GRAPH DIAMETER —
+    the 100 TB path for high-diameter graphs (chains, road networks,
+    long dedup chains) where min-label propagation needs one shuffle
+    round per diameter hop.
+
+    large-star: every node links its larger neighbors to the minimum
+    of its neighborhood; small-star: every node links its smaller
+    neighbors (and itself) to that minimum. Each phase is one groupBy
+    over the edge set; convergence is detected with a 1-row checksum
+    aggregate. Returns (node, component) like
+    :func:`weakly_connected_components`."""
+    e = edges.select(F.col("_src").alias("a"), F.col("_dst").alias("b")) \
+        .filter(F.col("a") != F.col("b")) \
+        .select(F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b")) \
+        .distinct().localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        # ---- large-star: for each u over ALL neighbors, m = min(N(u)∪u);
+        # emit (v, m) for strictly larger neighbors v
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .unionAll(e.select(F.col("b").alias("u"),
+                               F.col("a").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = sym.join(mins, "u") \
+            .filter(F.col("v") > F.col("u")) \
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        # ---- small-star over the large-star output: orient larger→
+        # smaller, group by the larger endpoint u with m = min(group∪u),
+        # emit (v, m) for every smaller neighbor v plus (u, m)
+        d = ls.filter(F.col("x") != F.col("y")) \
+            .select(F.greatest("x", "y").alias("u"),
+                    F.least("x", "y").alias("v")).distinct()
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        ss = d.join(mins2, "u") \
+            .select(F.col("v").alias("x"), F.col("m").alias("y")) \
+            .unionAll(mins2.select(F.col("u").alias("x"),
+                                   F.col("m").alias("y")))
+        e = ss.filter(F.col("x") != F.col("y")) \
+            .select(F.least("x", "y").alias("a"),
+                    F.greatest("x", "y").alias("b")) \
+            .distinct().localCheckpoint(eager=True)
+        st = e.agg(F.count(F.lit(1)).alias("n"), F.sum("a").alias("sa"),
+                   F.sum("b").alias("sb")).collect()[0]
+        sig = (st["n"], st["sa"], st["sb"])
+        if sig == prev_sum:
+            break
+        prev_sum = sig
+    # converged: e is a star per component (b → component-min a)
+    parent = e.select(F.col("b").alias("node"),
+                      F.col("a").alias("component")) \
+        .groupBy("node").agg(F.min("component").alias("component"))
+    roots = node_ids.select(F.col("_id").alias("node")) \
+        .join(parent, "node", "left_anti") \
+        .select("node", F.col("node").alias("component"))
+    return parent.unionByName(roots)

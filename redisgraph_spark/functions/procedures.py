@@ -76,9 +76,18 @@ def run_procedure(planner, clause: A.CallClause
         from redisgraph_spark.algorithms.pagerank import pagerank_proc
         return pagerank_proc(planner, clause.args)
     if name == "algo.wcc":
-        from redisgraph_spark.algorithms.components import \
-            weakly_connected_components
-        out = weakly_connected_components(
+        # optional literal arg 'star' picks the large-star/small-star
+        # contraction (O(log² n) rounds, diameter-independent — the
+        # 100 TB path); default is min-label propagation (one round
+        # per diameter hop, fastest on the low-diameter common case)
+        from redisgraph_spark.algorithms.components import (
+            weakly_connected_components, weakly_connected_components_star)
+        algo = weakly_connected_components
+        if clause.args:
+            mode = clause.args[0]
+            if isinstance(mode, A.Literal) and mode.value == "star":
+                algo = weakly_connected_components_star
+        out = algo(
             g.nodes().select("_id"), g.edges().select("_src", "_dst"))
         return out, ["node", "component"]
     if name == "algo.trianglecount":

@@ -320,3 +320,39 @@ def test_cosine_topk_np_matches_exact(spark):
     b = {(r["query_id"], r["rank"]): r["neighbor_id"]
          for r in cosine_topk_np(emb, qs, k=5).collect()}
     assert a == b
+
+
+def test_wcc_star_contraction_equivalence(spark):
+    """Large-star/small-star WCC (diameter-independent rounds) agrees
+    with min-label propagation on random graphs and on a long chain
+    (the adversarial case for propagation)."""
+    import random
+
+    from redisgraph_spark.algorithms.components import (
+        weakly_connected_components, weakly_connected_components_star)
+    random.seed(3)
+    cases = []
+    n = 60
+    cases.append((n, [(random.randrange(n), random.randrange(n))
+                      for _ in range(70)]))
+    cases.append((40, [(i, i + 1) for i in range(39)]))  # chain
+    for n, es in cases:
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["_id"])
+        edges = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(es)],
+            ["_id", "_src", "_dst"])
+        a = sorted(tuple(r) for r in weakly_connected_components(
+            nodes.select("_id"), edges.select("_src", "_dst")).collect())
+        b = sorted(tuple(r) for r in weakly_connected_components_star(
+            nodes.select("_id"), edges.select("_src", "_dst")).collect())
+        assert a == b
+
+
+def test_wcc_star_via_procedure(social):
+    got = social.query(
+        "CALL algo.wcc('star') YIELD node, component "
+        "RETURN count(*) AS n, count(DISTINCT component) AS c").collect()[0]
+    plain = social.query(
+        "CALL algo.wcc() YIELD node, component "
+        "RETURN count(*) AS n, count(DISTINCT component) AS c").collect()[0]
+    assert (got["n"], got["c"]) == (plain["n"], plain["c"])
