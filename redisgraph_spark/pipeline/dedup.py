@@ -201,6 +201,47 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
     return out.select("doc_a", "doc_b", "est_jaccard")
 
 
+def jaccard_verify(docs: DataFrame, pairs: DataFrame,
+                   threshold: float = 0.5, n: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   shingle: str = "word") -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (the standard
+    second stage after MinHash-LSH / SimHash candidate generation).
+
+    Computes the TRUE n-gram Jaccard only for the candidate pairs —
+    candidates ≪ corpus², so at 100 TB this is two equi-joins of the
+    (small) pair set against the shingle table plus one count, never an
+    all-pairs pass. Returns (doc_a, doc_b, jaccard) with jaccard ≥
+    threshold.
+
+    This also makes hash-based candidate generators oracle-checkable:
+    as long as the generator's recall at `threshold` is 1.0 (true on
+    corpora whose near-dups sit far above the threshold — measured
+    min Jaccard 0.9 on the test corpus), verified output equals the
+    exact-Jaccard pair set regardless of which hash produced the
+    candidates."""
+    if shingle == "word":
+        sh = word_shingles(docs, n, text_col, id_col)
+    else:
+        sh = char_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    cand = pairs.select("doc_a", "doc_b")
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = cand.join(a, "doc_a").join(b, ["doc_b", "shingle"]) \
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("sz").alias("szb"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b") \
+        .withColumn("jaccard",
+                    F.col("inter")
+                    / (F.col("sza") + F.col("szb") - F.col("inter"))) \
+        .filter(F.col("jaccard") >= threshold) \
+        .select("doc_a", "doc_b", "jaccard")
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs → duplicate clusters → canonical representative.
@@ -311,7 +352,7 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         max_bruteforce_rows: int | None = 100_000,
-                        dim: int = 64) -> DataFrame:
+                        dim: int | None = None) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
     Exact O(n²) cross-join baseline up to `max_bruteforce_rows` rows;
@@ -344,14 +385,22 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             nbits: int = 8, ntables: int = 4,
-                            dim: int = 64) -> DataFrame:
+                            dim: int | None = None) -> DataFrame:
     """LSH-bucketed near-dup pairs: random-hyperplane buckets generate
     candidates (equi-join on (table, bucket) — no cross join), exact
     cosine verifies. Multi-table union keeps recall high for
     threshold-similar pairs; the bucket join shuffles on the bucket
-    key only."""
+    key only.
+
+    `dim` defaults to the length of the first vector — a mismatched
+    hardcoded dim would null-pad every hyperplane projection and hash
+    everything into one bucket (degenerating into the cross join this
+    path exists to avoid)."""
     from redisgraph_spark.pipeline.similarity import (
         _planes, _rh_bucket, cosine_sim)
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first is not None else 0
     parts = []
     for t in range(ntables):
         planes = _planes(dim, nbits, seed=2000 + t)

@@ -230,29 +230,51 @@ def cosine_topk_np(emb: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
-                    nbits: int = 8, ntables: int = 4, dim: int = 64,
+                    nbits: int = 8, ntables: int = 4, dim: int | None = None,
+                    probe_hamming: int = 0,
                     id_col: str = "vec_id", vec_col: str = "embedding"
                     ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
     Candidates = vectors sharing a bucket with the query in any table;
     exact cosine + rank on candidates only. At scale the bucket join
-    shuffles on (table, bucket) — no cross join anywhere.
+    shuffles on (table, bucket) — no cross join anywhere; the corpus is
+    bucketized once and never explodes.
+
+    `probe_hamming` enables multi-probe LSH (Lv et al., VLDB'07): each
+    QUERY additionally probes every bucket within that Hamming distance
+    of its own signature — recall of many extra tables at the memory
+    cost of none. Only the (small) query side fans out (×Σ C(nbits,i));
+    the corpus-side index is untouched.
+
+    `dim` defaults to the length of the first corpus vector.
     """
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first is not None else 0
     tables = []
     for t in range(ntables):
         planes = _planes(dim, nbits, seed=1000 + t)
         tables.append((t, planes))
+    probe_masks = [m for m in range(1 << nbits)
+                   if bin(m).count("1") <= probe_hamming]
 
     def bucketize(df: DataFrame, idc: str, vcol: str, side: str
                   ) -> DataFrame:
         parts = []
         for t, planes in tables:
-            parts.append(df.select(
+            base = df.select(
                 F.col(idc).alias(f"{side}_id"),
                 F.col(vcol).alias(f"{side}_v"),
                 F.lit(t).alias("tbl"),
-                _rh_bucket(F.col(vcol), planes).alias("bucket")))
+                _rh_bucket(F.col(vcol), planes).alias("bucket"))
+            if side == "q" and len(probe_masks) > 1:
+                base = base.select(
+                    f"{side}_id", f"{side}_v", "tbl",
+                    F.explode(F.array(*[
+                        F.col("bucket").bitwiseXOR(F.lit(m))
+                        for m in probe_masks])).alias("bucket"))
+            parts.append(base)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
