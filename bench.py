@@ -87,8 +87,11 @@ def main() -> None:
             warm[name] = round(best, 3)
         except Exception as exc:  # one broken entry must not lose the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-    total = round(sum(warm.values()), 3)
-    cold_total = round(sum(cold.values()), 3)
+    # a broken entry must NOT make the total look faster — null the
+    # headline totals when any entry failed (per-query times still
+    # reported so the regression is localizable)
+    total = None if errors else round(sum(warm.values()), 3)
+    cold_total = None if errors else round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_num = float(sf)

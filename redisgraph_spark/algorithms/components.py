@@ -91,7 +91,7 @@ def weakly_connected_components_star(node_ids: DataFrame,
         .select(F.least("a", "b").alias("a"),
                 F.greatest("a", "b").alias("b")) \
         .distinct().localCheckpoint(eager=True)
-    prev_sum = None
+    prev_e, prev_n = None, None
     for _ in range(max_iter):
         # ---- large-star: for each u over ALL neighbors, m = min(N(u)∪u);
         # emit (v, m) for strictly larger neighbors v
@@ -118,12 +118,14 @@ def weakly_connected_components_star(node_ids: DataFrame,
             .select(F.least("x", "y").alias("a"),
                     F.greatest("x", "y").alias("b")) \
             .distinct().localCheckpoint(eager=True)
-        st = e.agg(F.count(F.lit(1)).alias("n"), F.sum("a").alias("sa"),
-                   F.sum("b").alias("sb")).collect()[0]
-        sig = (st["n"], st["sa"], st["sb"])
-        if sig == prev_sum:
+        # EXACT fixpoint test — both sides are distinct sets, so equal
+        # counts + empty difference ⇔ set equality (a (count, sum, sum)
+        # checksum can collide and exit early with wrong components)
+        n = e.count()
+        if prev_e is not None and n == prev_n \
+                and e.exceptAll(prev_e).isEmpty():
             break
-        prev_sum = sig
+        prev_e, prev_n = e, n
     # converged: e is a star per component (b → component-min a)
     parent = e.select(F.col("b").alias("node"),
                       F.col("a").alias("component")) \

@@ -225,7 +225,10 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame,
     else:
         sh = char_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    cand = pairs.select("doc_a", "doc_b")
+    # dedupe: duplicate candidate rows would multiply the intersection
+    # count (jaccard > 1); generators in this repo emit deduped pairs,
+    # but the function takes arbitrary pair frames
+    cand = pairs.select("doc_a", "doc_b").dropDuplicates()
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = cand.join(a, "doc_a").join(b, ["doc_b", "shingle"]) \
@@ -243,27 +246,37 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame,
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   star_threshold: int | None = 100_000) -> DataFrame:
     """Near-dup pairs → duplicate clusters → canonical representative.
 
     The step a training pipeline runs after candidate generation: the
-    pair graph unions into connected components (min-id label
-    propagation, ``algorithms/components.py``) and the minimum id in
-    each cluster is kept as canonical. Returns
-    ``(id, cluster, is_canonical)`` for EVERY input doc — docs outside
-    any pair are their own singleton cluster.
+    pair graph unions into connected components
+    (``algorithms/components.py``) and the minimum id in each cluster
+    is kept as canonical. Returns ``(id, cluster, is_canonical)`` for
+    EVERY input doc — docs outside any pair are their own singleton
+    cluster.
 
     Scale: component iteration touches only the PAIR graph (pairs ≪
-    corpus — one equi-join shuffle per round, rounds = cluster
-    diameter); the corpus itself is touched once by the final left
-    join, broadcastable when the pair set is small."""
-    from redisgraph_spark.algorithms.components import \
-        weakly_connected_components
+    corpus); the corpus itself is touched once by the final left join,
+    broadcastable when the pair set is small. Above ``star_threshold``
+    pairs the solver auto-switches from min-label propagation (one
+    shuffle round per diameter hop — fine for small blob-shaped dup
+    clusters, fatal for 100 TB crawl-dup CHAINS) to large-star/
+    small-star contraction (Kiveris et al., SoCC'14 — O(log² n) rounds
+    independent of diameter). Pass ``star_threshold=0`` to force the
+    star solver, ``None`` to force propagation."""
+    from redisgraph_spark.algorithms.components import (
+        weakly_connected_components, weakly_connected_components_star)
     ids = pairs.select(F.col("doc_a").alias("_id")) \
         .union(pairs.select(F.col("doc_b").alias("_id"))).distinct()
-    comp = weakly_connected_components(
-        ids, pairs.select(F.col("doc_a").alias("_src"),
-                          F.col("doc_b").alias("_dst")))
+    edges = pairs.select(F.col("doc_a").alias("_src"),
+                         F.col("doc_b").alias("_dst"))
+    use_star = star_threshold is not None \
+        and pairs.limit(star_threshold + 1).count() > star_threshold
+    wcc = weakly_connected_components_star if use_star \
+        else weakly_connected_components
+    comp = wcc(ids, edges)
     return docs.join(
         comp.select(F.col("node").alias(id_col), "component"),
         id_col, "left") \
@@ -399,8 +412,16 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
     from redisgraph_spark.pipeline.similarity import (
         _planes, _rh_bucket, cosine_sim)
     if dim is None:
-        first = emb.select(F.size(vec_col).alias("d")).first()
+        # infer from a NON-NULL vector: size(NULL) = -1 would produce
+        # zero planes → every row hashes to one bucket (the degenerate
+        # cross join this path exists to avoid)
+        first = emb.filter(F.col(vec_col).isNotNull()) \
+            .select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"]) if first is not None else 0
+    if dim <= 0:
+        raise ValueError(
+            f"embedding_dup_pairs_lsh: cannot infer dim from {vec_col!r} "
+            "(empty or all-null column); pass dim= explicitly")
     parts = []
     for t in range(ntables):
         planes = _planes(dim, nbits, seed=2000 + t)

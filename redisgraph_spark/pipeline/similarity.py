@@ -250,14 +250,27 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
     `dim` defaults to the length of the first corpus vector.
     """
     if dim is None:
-        first = emb.select(F.size(vec_col).alias("d")).first()
+        # infer from a NON-NULL vector: size(NULL) = -1 would produce
+        # zero planes → every row hashes to bucket 0 (degenerate
+        # cross join)
+        first = emb.filter(F.col(vec_col).isNotNull()) \
+            .select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"]) if first is not None else 0
+    if dim <= 0:
+        raise ValueError(
+            f"cosine_topk_lsh: cannot infer dim from {vec_col!r} "
+            "(empty or all-null column); pass dim= explicitly")
     tables = []
     for t in range(ntables):
         planes = _planes(dim, nbits, seed=1000 + t)
         tables.append((t, planes))
-    probe_masks = [m for m in range(1 << nbits)
-                   if bin(m).count("1") <= probe_hamming]
+    # combinatorial enumeration (not a 2**nbits scan — O(1M+) driver
+    # work at nbits 20+ even when probe_hamming=0)
+    import itertools
+    probe_masks = [0]
+    for d in range(1, min(probe_hamming, nbits) + 1):
+        for bits in itertools.combinations(range(nbits), d):
+            probe_masks.append(sum(1 << b for b in bits))
 
     def bucketize(df: DataFrame, idc: str, vcol: str, side: str
                   ) -> DataFrame:

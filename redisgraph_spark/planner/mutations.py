@@ -151,8 +151,14 @@ def _union_into(tbl: DataFrame | None, rows: DataFrame) -> DataFrame:
                 # table already wide — conform the rows only
                 row_cols.append(rc.cast(t).alias(f.name))
             else:
-                tt[f.name] = ("cast", t)
-                row_cols.append(rc.cast("double").alias(f.name))
+                # integral+integral widens to LONG (reference integers
+                # are int64 SIValues — widening 991 to 991.0 corrupts
+                # max()/sum() results); anything fractional → double
+                integral = (T.LongType, T.IntegerType, T.ShortType)
+                wide = "bigint" if isinstance(t, integral) \
+                    and isinstance(f.dataType, integral) else "double"
+                tt[f.name] = ("cast", wide)
+                row_cols.append(rc.cast(wide).alias(f.name))
                 tbl_changed = True
                 continue
         elif variantable(t) and variantable(f.dataType):
@@ -175,7 +181,7 @@ def _union_into(tbl: DataFrame | None, rows: DataFrame) -> DataFrame:
                         to_variant(F.col(f.name), action[1]).alias(f.name))
                 elif action[0] == "cast":
                     tbl_cols.append(
-                        F.col(f.name).cast("double").alias(f.name))
+                        F.col(f.name).cast(action[1]).alias(f.name))
                 else:
                     tbl_cols.append(
                         F.col(f.name).cast("string").alias(f.name))
@@ -607,8 +613,14 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
                         uval = uval.cast(col_t)
                     elif isinstance(col_t, numeric) and \
                             isinstance(val_t, numeric):
-                        uval = uval.cast("double")
-                        cur = cur.cast("double")
+                        # integral+integral widens to LONG (int64
+                        # SIValue semantics), fractional → double
+                        integral = (T.LongType, T.IntegerType,
+                                    T.ShortType)
+                        wide = "bigint" if isinstance(col_t, integral) \
+                            and isinstance(val_t, integral) else "double"
+                        uval = uval.cast(wide)
+                        cur = cur.cast(wide)
                     else:
                         # heterogeneous scalar / array-of-scalar types →
                         # per-value variant encoding (schemaless

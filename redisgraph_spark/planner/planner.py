@@ -1271,11 +1271,17 @@ class CypherPlanner:
             keyed = keyed.withColumn(keys[i], comp.compile(arg))
         tuples = [tuple(r) for r in
                   keyed.select(*keys).distinct().collect()]
-        if len(tuples) > 1000:
+        # hard guard only against driver OOM — large fan-outs run in
+        # checkpointed chunks below, so plan depth stays bounded
+        if len(tuples) > 100_000:
             raise PlanError(
                 f"correlated CALL {clause.proc}: {len(tuples)} distinct "
-                "argument tuples (limit 1000)")
+                "argument tuples (limit 100000)")
+        key_types = dict(zip(keys,
+                             [keyed.schema[k].dataType for k in keys]))
         union_df = None
+        chunk_df = None
+        chunk_n = 0
         default_cols: list[str] = []
         for tup in tuples:
             for v in tup:
@@ -1290,9 +1296,24 @@ class CypherPlanner:
                 yields=None, where=None)
             proc_df, default_cols = run_procedure(self, lit_clause)
             for k, v in zip(keys, tup):
-                proc_df = proc_df.withColumn(k, F.lit(v))
-            union_df = proc_df if union_df is None \
-                else union_df.unionByName(proc_df)
+                lit = F.lit(v) if v is not None \
+                    else F.lit(None).cast(key_types[k])
+                proc_df = proc_df.withColumn(k, lit)
+            chunk_df = proc_df if chunk_df is None \
+                else chunk_df.unionByName(proc_df)
+            chunk_n += 1
+            if chunk_n >= 256:
+                # bound the union's plan depth: materialize each chunk
+                # (procedure results are small — catalog rows, scored
+                # matches) so a many-thousand-tuple fan-out never
+                # builds a many-thousand-way plan tree
+                chunk = chunk_df.localCheckpoint(eager=True)
+                union_df = chunk if union_df is None \
+                    else union_df.unionByName(chunk)
+                chunk_df, chunk_n = None, 0
+        if chunk_df is not None:
+            union_df = chunk_df if union_df is None \
+                else union_df.unionByName(chunk_df)
         sel = clause.yields or [(c, None) for c in default_cols]
         out_names = []
         for col_name, alias in sel:
@@ -1312,7 +1333,18 @@ class CypherPlanner:
             drop = [c for c in default_cols if c not in set(out_names)]
             if drop:
                 union_df = union_df.drop(*drop)
-            ctx.df = keyed.join(F.broadcast(union_df), keys).drop(*keys)
+            # NULL-SAFE equi-join: a row whose CALL argument evaluates
+            # to null must still match its (null-keyed) procedure
+            # result — a plain equi-join would silently drop it
+            rkeys = [f"__r{k}" for k in keys]
+            for k, rk in zip(keys, rkeys):
+                union_df = union_df.withColumnRenamed(k, rk)
+            cond = None
+            for k, rk in zip(keys, rkeys):
+                c = keyed[k].eqNullSafe(union_df[rk])
+                cond = c if cond is None else cond & c
+            ctx.df = keyed.join(F.broadcast(union_df), cond) \
+                .drop(*keys).drop(*rkeys)
         for n in out_names:
             ctx.vars[n] = VarInfo("scalar")
         if clause.where is not None:
