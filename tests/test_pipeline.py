@@ -335,7 +335,7 @@ def test_wcc_star_contraction_equivalence(spark):
     n = 60
     cases.append((n, [(random.randrange(n), random.randrange(n))
                       for _ in range(70)]))
-    cases.append((40, [(i, i + 1) for i in range(39)]))  # chain
+    cases.append((65, [(i, i + 1) for i in range(64)]))  # 64-hop chain
     for n, es in cases:
         nodes = spark.createDataFrame([(i,) for i in range(n)], ["_id"])
         edges = spark.createDataFrame(
@@ -346,6 +346,99 @@ def test_wcc_star_contraction_equivalence(spark):
         b = sorted(tuple(r) for r in weakly_connected_components_star(
             nodes.select("_id"), edges.select("_src", "_dst")).collect())
         assert a == b
+
+
+def test_jaccard_verify_matches_exact(docs):
+    """jaccard_verify over all-pairs candidates equals the exact pair
+    generator, and duplicate candidate rows do not inflate the
+    intersection count."""
+    from redisgraph_spark.pipeline.dedup import jaccard_verify
+    all_pairs = docs.alias("a").crossJoin(docs.alias("b")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b")).filter("doc_a < doc_b")
+    exact = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                   for r in jaccard_verify(
+                       docs, all_pairs, threshold=0.5).collect())
+    assert exact and all(0.5 <= j <= 1.0 for _, _, j in exact)
+    assert (1, 2, 1.0) in exact            # exact dup
+    # duplicated candidate rows → identical verified output
+    doubled = all_pairs.unionAll(all_pairs)
+    dup = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                 for r in jaccard_verify(
+                     docs, doubled, threshold=0.5).collect())
+    assert dup == exact
+
+
+def test_jaccard_verify_on_lsh_candidates(docs):
+    """The standard candidate-generation + verify pipeline: verified
+    MinHash-LSH candidates equal the exact pair set when LSH recall at
+    the threshold is 1.0 (true for this corpus)."""
+    from redisgraph_spark.pipeline.dedup import (jaccard_verify,
+                                                 minhash_lsh_pairs)
+    all_pairs = docs.alias("a").crossJoin(docs.alias("b")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b")).filter("doc_a < doc_b")
+    exact = sorted((r["doc_a"], r["doc_b"])
+                   for r in jaccard_verify(
+                       docs, all_pairs, threshold=0.5).collect())
+    cands = minhash_lsh_pairs(docs, threshold=0.5)
+    verified = sorted((r["doc_a"], r["doc_b"])
+                      for r in jaccard_verify(
+                          docs, cands, threshold=0.5).collect())
+    assert verified == exact
+
+
+def test_cosine_topk_lsh_multiprobe_recall(spark):
+    """Multi-probe LSH (probe_hamming > 0) executes the query-side
+    bucket fan-out and recall is >= the single-probe configuration at
+    the same table count."""
+    import random
+    from redisgraph_spark.pipeline.similarity import (cosine_topk,
+                                                      cosine_topk_lsh)
+    rng = random.Random(13)
+    rows, vid = [], 0
+    for c in range(10):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(5):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in center]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=4).collect()}
+
+    def recall(probe_hamming):
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in cosine_topk_lsh(
+                      emb, queries, k=4, ntables=2,
+                      probe_hamming=probe_hamming).collect()}
+        return len(exact & approx) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert r1 >= 0.5
+
+
+def test_dedup_clusters_star_solver_equivalence(spark):
+    """Forcing the diameter-independent star solver (star_threshold=0)
+    gives the same clusters as min-label propagation — including on a
+    64-hop duplicate CHAIN, the adversarial shape the auto-switch
+    exists for."""
+    from redisgraph_spark.pipeline.dedup import dedup_clusters
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(70)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)] + [(67, 68)],
+        ["doc_a", "doc_b"])
+    plain = sorted(tuple(r) for r in dedup_clusters(
+        docs, pairs, star_threshold=None).collect())
+    star = sorted(tuple(r) for r in dedup_clusters(
+        docs, pairs, star_threshold=0).collect())
+    assert star == plain
+    got = dict((r[0], r[1]) for r in star)
+    assert all(got[i] == 0 for i in range(65))   # one 64-hop chain
+    assert got[67] == 67 and got[68] == 67
+    assert got[69] == 69                         # singleton
 
 
 def test_wcc_star_via_procedure(social):
