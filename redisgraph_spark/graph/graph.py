@@ -44,6 +44,12 @@ _INTERNAL_NODE = {NODE_ID}
 _INTERNAL_EDGE = {EDGE_ID, EDGE_SRC, EDGE_DST}
 
 
+class QueryTimeoutError(RuntimeError):
+    """Raised when a query exceeds the TIMEOUT config (reference
+    ``Config_TIMEOUT``, ``src/configuration/config.h:14-18``; enforced
+    on the drain path ``src/commands/cmd_query.c:100-118``)."""
+
+
 def _merge_schemas(tables: Mapping[str, DataFrame],
                    internal: set[str]) -> list[tuple[str, T.DataType]]:
     """Union of property columns across tables, first-seen order.
@@ -460,7 +466,18 @@ class Graph:
             return cached
         ast = parse(cypher)
         planner = CypherPlanner(self, params or {})
-        df = planner.plan(ast)
+        # TIMEOUT (reference Config_TIMEOUT, src/configuration/config.h:
+        # 14-18; drain cmd_query.c:100-118): bound the engine-side work
+        # that runs INSIDE query() — planning plus every eager
+        # materialization (var-len frontier loops, mutation rewrites,
+        # iterative algorithms). A runaway [*] traversal otherwise has
+        # no kill switch. Jobs the USER later triggers on the returned
+        # (lazy) DataFrame are outside this bound, like any Spark job.
+        timeout_ms = self.config_get("TIMEOUT")
+        if isinstance(timeout_ms, int) and timeout_ms > 0:
+            df = self._plan_with_timeout(planner, ast, cypher, timeout_ms)
+        else:
+            df = planner.plan(ast)
         # RESULTSET_MAX_SIZE: truncate emitted rows when configured ≥ 0
         # (reference enforces in ops/op_results.c:32-47)
         max_rows = self.config_get("RESULTSET_MAX_SIZE")
@@ -482,6 +499,44 @@ class Graph:
                 self._plan_cache.popitem(last=False)
         self._log_query(cypher, _time.time() - t0, cache_hit=False)
         return df
+
+    def _plan_with_timeout(self, planner, ast, cypher: str,
+                           timeout_ms: int):
+        """Run the planner under a cancellation deadline: a timer
+        cancels this query's Spark job group after ``timeout_ms``, so
+        any in-flight eager job (frontier hop, mutation rewrite)
+        aborts and planning raises a clean QueryTimeoutError — the
+        ``CommandCtx`` drain path of ``cmd_query.c:100-118``."""
+        import threading
+        import time as _time
+        sc = self.spark.sparkContext
+        group = f"rg-q-{id(self)}-{self._version}-{_time.time_ns()}"
+        fired = threading.Event()
+
+        def _cancel():
+            fired.set()
+            sc.cancelJobGroup(group)
+
+        sc.setJobGroup(group, cypher[:100], interruptOnCancel=True)
+        timer = threading.Timer(timeout_ms / 1000.0, _cancel)
+        timer.start()
+        deadline = _time.time() + timeout_ms / 1000.0
+        try:
+            df = planner.plan(ast)
+            if fired.is_set() or _time.time() > deadline:
+                raise QueryTimeoutError(
+                    f"Query timed out (TIMEOUT={timeout_ms}ms)")
+            return df
+        except QueryTimeoutError:
+            raise
+        except Exception as exc:
+            if fired.is_set():
+                raise QueryTimeoutError(
+                    f"Query timed out (TIMEOUT={timeout_ms}ms)") from exc
+            raise
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
 
     # reference: CACHE_SIZE_DEFAULT 25 (src/configuration/config.c:53)
     PLAN_CACHE_SIZE = 25
@@ -506,6 +561,10 @@ class Graph:
         "PLAN_CACHE_SIZE": 25,          # config.c:53
         "MAX_UNBOUNDED_HOPS": 32,       # traversal safety valve
         "RESULTSET_MAX_SIZE": -1,       # unlimited, as reference default
+        # ms; 0 = unlimited (reference TIMEOUT_DEFAULT, config.h:14-18).
+        # Bounds engine-side execution inside query() via job-group
+        # cancellation — see _plan_with_timeout.
+        "TIMEOUT": 0,
     }
 
     def config_get(self, key: str):
@@ -540,16 +599,66 @@ class Graph:
     def profile(self, cypher: str,
                 params: Mapping[str, object] | None = None) -> dict:
         """≈ ``GRAPH.PROFILE`` (``src/execution_plan/execution_plan.c:
-        435-463``): executes the query and reports wall time, row count
-        and the executed plan (Spark's per-operator metrics live in the
-        plan string / UI)."""
+        435-463``): executes the query and reports, per physical
+        operator, rows produced and operator time — the reference's
+        ``Records produced / Execution time`` per op (``ops/op.h:
+        75-78``) read out of Spark's SQLMetrics on the executed plan.
+
+        Returns ``{rows, wall_sec, ops: [{op, depth, rows, time_ms,
+        metrics}], plan}`` — ``ops`` in pre-order (parents first), so
+        indentation by depth reproduces the reference's profile tree."""
         import time as _time
-        df = self.query(cypher, params)
+        # .select("*") forces a FRESH physical plan: SQLMetrics are
+        # accumulators per plan instance, so profiling a plan-cached
+        # DataFrame twice would otherwise double-count
+        df = self.query(cypher, params).select("*")
         t0 = _time.time()
-        n = df.count()
+        n = len(df.collect())
         wall = _time.time() - t0
         return {"rows": n, "wall_sec": round(wall, 4),
+                "ops": self._executed_plan_metrics(df),
                 "plan": self.explain(cypher, params)}
+
+    @staticmethod
+    def _executed_plan_metrics(df: DataFrame) -> list[dict]:
+        """Walk the executed SparkPlan (through AQE's final plan) and
+        extract each operator's SQLMetric values. Time-like metrics
+        (nanosecond ``metricType='timing'`` / ``'nsTiming'``) are summed
+        into ``time_ms``; ``numOutputRows`` becomes ``rows``."""
+        plan = df._jdf.queryExecution().executedPlan()
+        out: list[dict] = []
+
+        def walk(node, depth: int) -> None:
+            name = node.nodeName()
+            if name == "AdaptiveSparkPlan":
+                walk(node.executedPlan(), depth)
+                return
+            metrics: dict[str, int] = {}
+            time_ms = 0.0
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                key, metric = kv._1(), kv._2()
+                try:
+                    val = metric.value()
+                except Exception:
+                    continue
+                metrics[key] = val
+                mtype = metric.metricType()
+                if mtype == "timing":
+                    time_ms += val            # already ms
+                elif mtype == "nsTiming":
+                    time_ms += val / 1e6
+            out.append({"op": name, "depth": depth,
+                        "rows": metrics.get("numOutputRows"),
+                        "time_ms": round(time_ms, 3),
+                        "metrics": metrics})
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), depth + 1)
+
+        walk(plan, 0)
+        return out
 
     # ---------------------------------------------------------------- mutate
     def with_nodes(self, label: str, df: DataFrame) -> "Graph":

@@ -32,6 +32,40 @@ def test_profile(social):
     assert prof["rows"] == 10 and prof["wall_sec"] >= 0
 
 
+def test_profile_per_op_stats(social):
+    """PROFILE reports per-operator rows (the reference's per-op
+    'Records produced', execution_plan.c:435-463): a filter + scan
+    query must show the scan's full row count AND the filter's reduced
+    count on distinct ops."""
+    prof = social.profile(
+        "MATCH (p:person) WHERE p.age > 30 RETURN p.name AS n")
+    ops = prof["ops"]
+    assert len(ops) >= 2 and all("op" in o and "depth" in o for o in ops)
+    rows_seen = {o["rows"] for o in ops if o["rows"] is not None}
+    assert 10 in rows_seen            # scan: all 10 persons
+    assert prof["rows"] in rows_seen  # filtered count surfaces too
+    assert any(o["time_ms"] > 0 for o in ops)  # timing metrics wired
+
+
+def test_query_timeout(social):
+    """TIMEOUT config (reference Config_TIMEOUT): a 1 ms budget kills
+    the eager var-len traversal loop cleanly; the graph stays usable
+    and the config is round-trippable."""
+    import pytest as _pytest
+
+    from redisgraph_spark.graph.graph import QueryTimeoutError
+    assert social.config_get("TIMEOUT") == 0
+    social.config_set("TIMEOUT", 1)
+    try:
+        with _pytest.raises(QueryTimeoutError, match="timed out"):
+            social.query(
+                "MATCH (p:person)-[*1..8]->(q) RETURN count(*) AS n")
+    finally:
+        social.config_set("TIMEOUT", 0)
+    assert social.query("MATCH (p:person) RETURN count(*) AS n") \
+        .collect()[0]["n"] == 10
+
+
 def test_fulltext_index(social):
     res = social.query(
         "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
