@@ -1231,6 +1231,39 @@ def _q_correlated_call(spark, sf_dir):
         "RETURN w, node.p_partkey AS k ORDER BY w, k")
 
 
+_BUCKETED_GRAPHS: dict[tuple, object] = {}
+
+
+def _bucketed_graph(spark, sf_dir):
+    """tpch graph persisted through save_bucketed (nodes bucketed on
+    _id, edges on _src, 64 buckets) and re-loaded — the 100 TB storage
+    layout where a traversal join (edges._src = nodes._id) needs no
+    shuffle exchange on either side. Built once per (session, sf_dir);
+    bench.py triggers the build in its unbilled load phase, mirroring
+    the reference building relation matrices at graph load."""
+    from redisgraph_spark import Graph
+    from redisgraph_spark.graph.tpch import _REL_ENDPOINTS
+    key = (id(spark), sf_dir)
+    g = _BUCKETED_GRAPHS.get(key)
+    if g is None:
+        db = _memory_name("rgbucketed_", sf_dir)
+        Graph.from_tpch(spark, sf_dir).save_bucketed(db)
+        g = Graph.load_bucketed(spark, db, rel_endpoints=_REL_ENDPOINTS)
+        _BUCKETED_GRAPHS[key] = g
+    return g
+
+
+def _q_two_hop_bucketed(spark, sf_dir):
+    """q_two_hop_revenue on the bucketed layout — same answer, same
+    oracle; the measured number for the zero-exchange traversal
+    claim."""
+    return _bucketed_graph(spark, sf_dir).query(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part) "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n_lines, "
+        "tofloat(sum(todecimal(l.l_extendedprice, 4) "
+        "* (1 - todecimal(l.l_discount, 4)))) AS revenue ORDER BY seg")
+
+
 def _q_pagerank(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return g.query(
@@ -1557,6 +1590,17 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         FROM region
         """),
 
+    # two-hop revenue on the bucketed (save_bucketed/load_bucketed)
+    # layout — same oracle as q_two_hop_revenue
+    "q_two_hop_bucketed": (_q_two_hop_bucketed, """
+        SELECT c_mktsegment AS seg, count(*) AS n_lines,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_mktsegment ORDER BY seg
+        """),
+
     "q_variant_types": (_q_variant_types, """
         SELECT r_regionkey AS k,
                CASE r_regionkey WHEN 0 THEN '5' WHEN 1 THEN 'five'
@@ -1791,7 +1835,7 @@ _PRIORITY = [
     "p_minhash_lsh", "p_simhash", "p_cosine_topk_lsh",
     "p_cosine_topk_ivf", "p_multimodal", "p_frames",
     # new this round
-    "p_minhash_verified",
+    "p_minhash_verified", "q_two_hop_bucketed",
     # r3-green entries, same relative order as r3 (refresh as capacity
     # allows)
     "q_chained_comparison", "q_slice", "q_set_replace",

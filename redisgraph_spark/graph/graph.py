@@ -730,9 +730,13 @@ class Graph:
             .write.mode("overwrite").saveAsTable(f"{database}.graph_meta")
 
     @classmethod
-    def load_bucketed(cls, spark: SparkSession, database: str) -> "Graph":
+    def load_bucketed(cls, spark: SparkSession, database: str,
+                      rel_endpoints: Mapping[str, tuple] | None = None
+                      ) -> "Graph":
         """Load a bucketed graph; bucket metadata keeps traversal joins
-        exchange-free."""
+        exchange-free. ``rel_endpoints`` passes the same endpoint-label
+        hints the original graph carried so the planner elides the same
+        existence joins."""
         nodes = {}
         edges = {}
         meta = {(r["kind"], r["table_key"]): r["name"]
@@ -742,7 +746,7 @@ class Graph:
                 nodes[name] = spark.table(f"{database}.nodes_{key}")
             else:
                 edges[name] = spark.table(f"{database}.edges_{key}")
-        return cls(spark, nodes, edges)
+        return cls(spark, nodes, edges, rel_endpoints=rel_endpoints)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Graph":
