@@ -1131,6 +1131,89 @@ def _p_cosine_topk_ivf(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+def _p_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs 450+ act as the held-out eval
+    set; training docs (0-449) sharing any distinct word 8-gram with
+    it are flagged with their collision count (the planted near-dup
+    pairs straddling the split are exactly what this catches). The
+    benchmark gram set broadcasts — one pass over the corpus."""
+    from redisgraph_spark.pipeline.dedup import decontaminate
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 450)
+    bench = docs.filter(F.col("doc_id") >= 450)
+    return decontaminate(corpus, bench, n=8, min_overlap=1) \
+        .orderBy("doc_id")
+
+
+def _decontaminate_oracle() -> str:
+    gram = "concat_ws(' ', " + ", ".join(
+        f"tk[i + {k}]" for k in range(1, 9)) + ")"
+    return f"""
+        WITH bt AS (
+          SELECT string_split_regex(text, '\\s+') AS tk
+          FROM documents WHERE doc_id >= 450
+        ), bg AS (
+          SELECT DISTINCT {gram} AS g
+          FROM bt CROSS JOIN
+               unnest(range(0, greatest(len(tk) - 8, 0) + 1)) AS u(i)
+        ), ct AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+          FROM documents WHERE doc_id < 450
+        ), cg AS (
+          SELECT DISTINCT doc_id, {gram} AS g
+          FROM ct CROSS JOIN
+               unnest(range(0, greatest(len(tk) - 8, 0) + 1)) AS u(i)
+        )
+        SELECT doc_id, count(*) AS n_collisions
+        FROM cg JOIN bg USING (g)
+        GROUP BY doc_id HAVING count(*) >= 1
+        ORDER BY doc_id
+        """
+
+
+def _p_paragraph_dedup(spark, sf_dir):
+    """C4-style paragraph dedup over synthetic multi-paragraph docs
+    (5 consecutive corpus docs joined by newline — the corpus itself
+    has no newlines): each distinct paragraph survives only in the
+    lowest-id doc containing it, original order preserved."""
+    from redisgraph_spark.pipeline.dedup import paragraph_dedup
+    docs = _docs(spark, sf_dir)
+    docs5 = docs.groupBy(
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("doc_id")) \
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("doc_id").alias("i"),
+                             F.col("text").alias("t")))),
+                lambda s: s.getField("t")),
+            "\n").alias("text"))
+    return paragraph_dedup(docs5).orderBy("doc_id")
+
+
+_PARAGRAPH_DEDUP_ORACLE = """
+        WITH docs5 AS (
+          SELECT doc_id - doc_id % 5 AS doc_id,
+                 string_agg(text, chr(10) ORDER BY doc_id) AS text
+          FROM documents GROUP BY 1
+        ), split AS (
+          SELECT doc_id, string_split(text, chr(10)) AS paras
+          FROM docs5
+        ), parts AS (
+          SELECT doc_id, i AS pos, paras[i + 1] AS para
+          FROM split CROSS JOIN
+               unnest(range(0, len(paras))) AS u(i)
+          WHERE length(paras[i + 1]) >= 1
+        ), owner AS (
+          SELECT para, min(doc_id) AS owner FROM parts GROUP BY para
+        )
+        SELECT p.doc_id,
+               string_agg(p.para, chr(10) ORDER BY p.pos) AS text
+        FROM parts p JOIN owner o
+          ON p.para = o.para AND p.doc_id = o.owner
+        GROUP BY p.doc_id ORDER BY p.doc_id
+        """
+
+
 def _p_text_stats(spark, sf_dir):
     from redisgraph_spark.pipeline import text as TXT
     t = F.col("text")
@@ -1725,6 +1808,10 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_cosine_topk_lsh": (_p_cosine_topk_lsh, _COSINE_TOPK_ORACLE),
     "p_cosine_topk_ivf": (_p_cosine_topk_ivf, _COSINE_TOPK_ORACLE),
 
+    # benchmark decontamination + C4-style paragraph dedup
+    "p_decontaminate": (_p_decontaminate, _decontaminate_oracle()),
+    "p_paragraph_dedup": (_p_paragraph_dedup, _PARAGRAPH_DEDUP_ORACLE),
+
     "p_text_stats": (_p_text_stats, """
         SELECT doc_id,
           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
@@ -1835,7 +1922,8 @@ _PRIORITY = [
     "p_minhash_lsh", "p_simhash", "p_cosine_topk_lsh",
     "p_cosine_topk_ivf", "p_multimodal", "p_frames",
     # new this round
-    "p_minhash_verified", "q_two_hop_bucketed",
+    "p_minhash_verified", "q_two_hop_bucketed", "p_decontaminate",
+    "p_paragraph_dedup",
     # r3-green entries, same relative order as r3 (refresh as capacity
     # allows)
     "q_chained_comparison", "q_slice", "q_set_replace",

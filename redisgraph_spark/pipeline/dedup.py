@@ -286,6 +286,63 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         .select(id_col, "cluster", "is_canonical")
 
 
+# -------------------------------------------------------- decontamination
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 8, min_overlap: int = 1,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥
+    ``min_overlap`` distinct word n-grams with any benchmark/eval
+    document (the standard n-gram-collision test run before training —
+    e.g. GPT-3 appendix C / PaLM use 8-13-gram overlap).
+
+    Returns ``(id, n_collisions)`` for contaminated docs only. The
+    benchmark n-gram set is typically tiny next to the corpus — the
+    join broadcasts it, so the corpus is touched in ONE pass with no
+    shuffle of the big side. Distinct-gram counting means repeated
+    hits of one gram count once."""
+    bench_grams = word_shingles(
+        benchmark.select(F.col(bench_text_col).alias("text"))
+        .withColumn("_bid", F.monotonically_increasing_id()),
+        n, "text", "_bid").select("shingle").distinct()
+    doc_grams = word_shingles(docs, n, text_col, id_col)
+    hits = doc_grams.join(F.broadcast(bench_grams), "shingle")
+    return hits.groupBy(id_col) \
+        .agg(F.count(F.lit(1)).alias("n_collisions")) \
+        .filter(F.col("n_collisions") >= min_overlap)
+
+
+# --------------------------------------------------- paragraph-level dedup
+def paragraph_dedup(docs: DataFrame, min_len: int = 1,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = r"\n") -> DataFrame:
+    """C4-style line/paragraph dedup: split each document on ``sep``,
+    keep each distinct paragraph only in the document with the lowest
+    id that contains it, and reassemble the surviving paragraphs in
+    their original order. Returns ``(id, text)`` with deduped text;
+    documents whose every paragraph is owned elsewhere drop out of the
+    result.
+
+    One explode + one groupBy on the paragraph key + one re-group by
+    doc — three linear shuffles, no pairwise comparison anywhere, so
+    it scales to any corpus the cluster can shuffle."""
+    parts = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("_pos", "_para")) \
+        .filter(F.length("_para") >= min_len)
+    owner = parts.groupBy("_para").agg(F.min(id_col).alias("_owner"))
+    kept = parts.join(owner, "_para") \
+        .filter(F.col(id_col) == F.col("_owner"))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_pos"), F.col("_para")))),
+                lambda s: s.getField("_para")),
+            "\n").alias(text_col))
+
+
 # --------------------------------------------------------------- SimHash
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",

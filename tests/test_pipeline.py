@@ -441,6 +441,38 @@ def test_dedup_clusters_star_solver_equivalence(spark):
     assert got[69] == 69                         # singleton
 
 
+def test_decontaminate(spark):
+    """Training docs sharing a distinct word n-gram with the benchmark
+    set are flagged with the distinct-collision count; clean docs are
+    not."""
+    from redisgraph_spark.pipeline.dedup import decontaminate
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (1, "x alpha beta gamma delta y"),          # 1 colliding 4-gram
+        (2, "alpha beta gamma delta alpha beta gamma delta"),  # distinct!
+        (3, "completely unrelated text right here"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_collisions"]
+           for r in decontaminate(docs, bench, n=4).collect()}
+    assert got == {1: 1, 2: 1}   # repeats of one gram count once
+
+
+def test_paragraph_dedup(spark):
+    """Each distinct paragraph survives only in the lowest-id doc;
+    order is preserved; fully-owned-elsewhere docs drop out."""
+    from redisgraph_spark.pipeline.dedup import paragraph_dedup
+    docs = spark.createDataFrame([
+        (1, "A\nB\nC"),
+        (2, "B\nD"),
+        (3, "C\nE\nB"),
+        (4, "A\nB"),          # nothing left
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(docs).collect()}
+    assert got == {1: "A\nB\nC", 2: "D", 3: "E"}
+
+
 def test_wcc_star_via_procedure(social):
     got = social.query(
         "CALL algo.wcc('star') YIELD node, component "
