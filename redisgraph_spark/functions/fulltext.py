@@ -381,3 +381,25 @@ class FulltextCatalog:
             raise ValueError(f"No fulltext index on label {label}")
         return query_index(self._index[label],
                            self.graph.node_tables[label], text)
+
+    def query_many(self, label: str, terms: list[str]) -> DataFrame:
+        """Vectorized batch query for SIMPLE single-token terms (the
+        caller validates — no operators/phrases/prefix/fuzzy): ONE
+        equi-join of the (term, token) set against the inverted index
+        replaces one query_index() plan per term. This is the scale
+        path for ``UNWIND terms CALL queryNodes(...)`` — no per-term
+        driver loop; the join shuffles on token only, and each term's
+        score is the same Σtf that ``FtTerm`` compilation produces.
+        Returns node rows + (``__ft_term`` original term, score)."""
+        if label not in self._index:
+            raise ValueError(f"No fulltext index on label {label}")
+        from redisgraph_spark.session import inline_df
+        pairs = [(t, _WORD_RE.findall(t.lower())[0]) for t in terms]
+        tdf = inline_df(self.graph.spark, pairs,
+                        [("__ft_term", "string"), ("__ft_tok", "string")])
+        idx = self._index[label]
+        matched = idx.join(F.broadcast(tdf),
+                           idx["token"] == F.col("__ft_tok")) \
+            .groupBy("__ft_term", "_id") \
+            .agg(F.sum("tf").cast("double").alias("score"))
+        return self.graph.node_tables[label].join(matched, "_id")

@@ -115,7 +115,10 @@ def run_procedure(planner, clause: A.CallClause
         return inline_df(spark, [(True,)], [("ok", "boolean")]), ["ok"]
     if name == "db.idx.fulltext.querynodes":
         label = str(_lit(clause.args[0]))
-        text = str(_lit(clause.args[1]))
+        raw = _lit(clause.args[1])
+        # null query matches nothing ("" parses to the empty-match
+        # FtAnd) — str(None) would otherwise search the token 'none'
+        text = "" if raw is None else str(raw)
         hits = g.fulltext.query(label, text)
         node_cols = [c for c in hits.columns if c != "score"]
         out = hits.select(

@@ -1283,6 +1283,10 @@ class CypherPlanner:
         chunk_df = None
         chunk_n = 0
         default_cols: list[str] = []
+        vec = self._vectorized_fulltext_call(clause, keys, tuples)
+        if vec is not None:
+            union_df, default_cols = vec
+            tuples = []
         for tup in tuples:
             for v in tup:
                 if not isinstance(v, (str, int, float, bool,
@@ -1349,6 +1353,47 @@ class CypherPlanner:
             ctx.vars[n] = VarInfo("scalar")
         if clause.where is not None:
             self._apply_where(ctx, clause.where)
+
+    def _vectorized_fulltext_call(self, clause: A.CallClause,
+                                  keys: list[str], tuples: list[tuple]):
+        """``db.idx.fulltext.queryNodes(<one label>, <simple term>)``
+        over many distinct argument tuples collapses to ONE equi-join
+        of the term set against the inverted index (FulltextCatalog.
+        query_many) instead of one query plan per tuple — the 100 TB
+        path for UNWIND-terms fan-outs. Applies only when every term
+        is a bare single token (lowered ``[a-z0-9]+``), where batch
+        scoring is provably identical to per-term FtTerm compilation;
+        anything fancier (phrases, prefix, fuzzy, OR/NOT) falls back
+        to the generic per-tuple loop. Returns (union_df,
+        default_cols) or None."""
+        import re as _re
+        if clause.proc.lower() != "db.idx.fulltext.querynodes" \
+                or len(keys) != 2 or len(tuples) < 2:
+            return None
+        labels = {t[0] for t in tuples}
+        if len(labels) != 1 or not isinstance(next(iter(labels)), str):
+            return None
+        simple = _re.compile(r"[a-z0-9]+\Z")
+        terms = []
+        for t in tuples:
+            v = t[1]
+            if not isinstance(v, str) \
+                    or not simple.fullmatch(v.strip().lower()):
+                return None
+            terms.append(v)
+        label = next(iter(labels))
+        g = self.graph
+        if label not in getattr(g.fulltext, "fields", {}):
+            return None      # per-tuple path raises the catalog error
+        hits = g.fulltext.query_many(label, terms)
+        node_cols = [c for c in hits.columns
+                     if c not in ("score", "__ft_term")]
+        out = hits.select(
+            F.struct(*[F.col(c) for c in node_cols]).alias("node"),
+            F.col("score"), F.col("__ft_term")) \
+            .withColumn(keys[0], F.lit(label)) \
+            .withColumnRenamed("__ft_term", keys[1])
+        return out, ["node", "score"]
 
     # ----------------------------------------------------------- WITH/RETURN
     def _clause_with(self, ctx: Ctx, clause: A.WithClause) -> None:

@@ -186,10 +186,9 @@ def test_correlated_call_null_arg(social):
 
 
 def test_correlated_call_over_1000_tuples(social):
-    """The former hard 1000-distinct-tuple ceiling is gone: large
-    fan-outs run in checkpointed chunks (bounded plan depth). 1050
-    distinct no-match terms -> 0 rows, plus sanity on a matching
-    term."""
+    """The former hard 1000-distinct-tuple ceiling is gone. Simple
+    single-token terms take the vectorized path: ONE equi-join of the
+    term set against the inverted index, no per-tuple plans."""
     social.query(
         "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
     got = social.query(
@@ -197,6 +196,41 @@ def test_correlated_call_over_1000_tuples(social):
         "CALL db.idx.fulltext.queryNodes('person', toString(i)) "
         "YIELD node RETURN count(*) AS n").collect()
     assert got[0]["n"] == 0
+
+
+def test_correlated_call_chunked_loop(social):
+    """Non-simple terms (prefix search) force the generic per-tuple
+    loop, which past 256 tuples runs in checkpointed chunks — bounded
+    plan depth, correct results."""
+    social.query(
+        "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
+    got = social.query(
+        "UNWIND range(0, 299) AS i "
+        "CALL db.idx.fulltext.queryNodes('person', "
+        "CASE WHEN i = 0 THEN 'ro*' ELSE toString(i) + '*' END) "
+        "YIELD node RETURN i, node.name AS hit").collect()
+    # only the 'ro*' tuple matches (Roi); the 299 numeric prefixes don't
+    assert [(r["i"], r["hit"]) for r in got] == [(0, "Roi")]
+
+
+def test_correlated_call_vectorized_matches_loop(social):
+    """Batch scoring through the vectorized path must equal per-term
+    execution (which a single-tuple UNWIND still uses)."""
+    social.query(
+        "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
+    vec = sorted(tuple(r) for r in social.query(
+        "UNWIND ['roi', 'alon', 'tal'] AS w "
+        "CALL db.idx.fulltext.queryNodes('person', w) "
+        "YIELD node, score "
+        "RETURN w, node.name AS hit, score").collect())
+    loop = []
+    for w in ("roi", "alon", "tal"):
+        loop.extend(tuple(r) for r in social.query(
+            f"UNWIND ['{w}'] AS w "
+            "CALL db.idx.fulltext.queryNodes('person', w) "
+            "YIELD node, score "
+            "RETURN w, node.name AS hit, score").collect())
+    assert vec == sorted(loop) and len(vec) == 3
 
 
 def test_fulltext_multifield_create(social):
