@@ -41,6 +41,20 @@ def _norm_cell(v):
     return v
 
 
+def _dtype_mismatch(sn: list[tuple], dn: list[tuple]) -> list[int]:
+    """Column positions where one side yields int and the other float
+    (first row with both cells non-null decides per column)."""
+    bad: set[int] = set()
+    for srow, drow in zip(sn, dn):
+        for i, (a, b) in enumerate(zip(srow, drow)):
+            if isinstance(a, bool) or isinstance(b, bool):
+                continue
+            if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+                    and (isinstance(a, int) != isinstance(b, int)):
+                bad.add(i)
+    return sorted(bad)
+
+
 def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
@@ -111,6 +125,14 @@ def main() -> int:
                 ok = False
                 diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
                 msgs.append(f"values differ; first diffs={diffs}")
+            else:
+                # the driver's hash stringifies values, so int-vs-float
+                # column dtypes (991 vs 991.0) hash-differ even when
+                # values compare equal — fail them here, not there
+                bad = _dtype_mismatch(sn, dn)
+                if bad:
+                    ok = False
+                    msgs.append(f"dtype mismatch (int vs float): {bad}")
         if ok:
             print(f"PASS  {name}: {len(s_rows)} rows "
                   f"({time.time()-t0:.1f}s)")
