@@ -633,6 +633,14 @@ class Graph:
             if name == "AdaptiveSparkPlan":
                 walk(node.executedPlan(), depth)
                 return
+            if name.endswith("QueryStage"):
+                # AQE materialization point: the executed subtree lives
+                # in .plan(), not children()
+                walk(node.plan(), depth)
+                return
+            if name.startswith("ReusedExchange"):
+                walk(node.child(), depth)
+                return
             metrics: dict[str, int] = {}
             time_ms = 0.0
             it = node.metrics().iterator()
