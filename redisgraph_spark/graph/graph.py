@@ -517,6 +517,28 @@ class Graph:
             fired.set()
             sc.cancelJobGroup(group)
 
+        # snapshot mutable graph state so an aborted mutation leaves
+        # the graph exactly as it was (the reference's whole-query
+        # abort is atomic under its single-writer lock) — mutations
+        # replace dict entries during planning, so shallow copies of
+        # the dicts are a complete undo log
+        snap = (dict(self.node_tables), dict(self.edge_tables),
+                dict(getattr(self, "_indexes", {})),
+                None if self.rel_endpoints is None
+                else dict(self.rel_endpoints),
+                self._multilabel)
+        ft = self._fulltext
+        ft_snap = (dict(ft.fields), dict(ft._index)) if ft else None
+
+        def _restore() -> None:
+            (self.node_tables, self.edge_tables, self._indexes,
+             self.rel_endpoints, self._multilabel) = \
+                (dict(snap[0]), dict(snap[1]), dict(snap[2]),
+                 None if snap[3] is None else dict(snap[3]), snap[4])
+            if ft is not None and ft_snap is not None:
+                ft.fields, ft._index = dict(ft_snap[0]), dict(ft_snap[1])
+            self._scan_cache.clear()
+
         sc.setJobGroup(group, cypher[:100], interruptOnCancel=True)
         timer = threading.Timer(timeout_ms / 1000.0, _cancel)
         timer.start()
@@ -524,6 +546,7 @@ class Graph:
         try:
             df = planner.plan(ast)
             if fired.is_set() or _time.time() > deadline:
+                _restore()
                 raise QueryTimeoutError(
                     f"Query timed out (TIMEOUT={timeout_ms}ms)")
             return df
@@ -531,6 +554,7 @@ class Graph:
             raise
         except Exception as exc:
             if fired.is_set():
+                _restore()
                 raise QueryTimeoutError(
                     f"Query timed out (TIMEOUT={timeout_ms}ms)") from exc
             raise

@@ -66,6 +66,25 @@ def test_query_timeout(social):
         .collect()[0]["n"] == 10
 
 
+def test_query_timeout_mutation_atomic(social):
+    """A TIMEOUT firing mid-mutation must leave the graph exactly as
+    it was (whole-query abort, like the reference's single-writer
+    commit discipline)."""
+    import pytest as _pytest
+
+    from redisgraph_spark.graph.graph import QueryTimeoutError
+    social.config_set("TIMEOUT", 1)
+    try:
+        with _pytest.raises(QueryTimeoutError):
+            social.query("MATCH (p:person) SET p.zzz = 1")
+    finally:
+        social.config_set("TIMEOUT", 0)
+    got = social.query(
+        "MATCH (p:person) RETURN count(*) AS n, count(p.zzz) AS z") \
+        .collect()[0]
+    assert (got["n"], got["z"]) == (10, 0)
+
+
 def test_fulltext_index(social):
     res = social.query(
         "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
