@@ -522,22 +522,10 @@ class Graph:
         # abort is atomic under its single-writer lock) — mutations
         # replace dict entries during planning, so shallow copies of
         # the dicts are a complete undo log
-        snap = (dict(self.node_tables), dict(self.edge_tables),
-                dict(getattr(self, "_indexes", {})),
-                None if self.rel_endpoints is None
-                else dict(self.rel_endpoints),
-                self._multilabel)
-        ft = self._fulltext
-        ft_snap = (dict(ft.fields), dict(ft._index)) if ft else None
+        snap = self._state_snapshot()
 
         def _restore() -> None:
-            (self.node_tables, self.edge_tables, self._indexes,
-             self.rel_endpoints, self._multilabel) = \
-                (dict(snap[0]), dict(snap[1]), dict(snap[2]),
-                 None if snap[3] is None else dict(snap[3]), snap[4])
-            if ft is not None and ft_snap is not None:
-                ft.fields, ft._index = dict(ft_snap[0]), dict(ft_snap[1])
-            self._scan_cache.clear()
+            self._state_restore(snap)
 
         sc.setJobGroup(group, cypher[:100], interruptOnCancel=True)
         timer = threading.Timer(timeout_ms / 1000.0, _cancel)
@@ -561,6 +549,29 @@ class Graph:
         finally:
             timer.cancel()
             sc.setJobGroup("", "")
+
+    def _state_snapshot(self) -> tuple:
+        """Shallow-copy every mutable piece of graph state (mutations
+        replace dict ENTRIES, so dict copies are a complete undo log)."""
+        ft = self._fulltext
+        return (dict(self.node_tables), dict(self.edge_tables),
+                dict(getattr(self, "_indexes", {})),
+                None if self.rel_endpoints is None
+                else dict(self.rel_endpoints),
+                self._multilabel, self._version,
+                (dict(ft.fields), dict(ft._index)) if ft else None)
+
+    def _state_restore(self, snap: tuple) -> None:
+        (self.node_tables, self.edge_tables, self._indexes,
+         self.rel_endpoints, self._multilabel, self._version,
+         ft_snap) = \
+            (dict(snap[0]), dict(snap[1]), dict(snap[2]),
+             None if snap[3] is None else dict(snap[3]),
+             snap[4], snap[5], snap[6])
+        if self._fulltext is not None and ft_snap is not None:
+            self._fulltext.fields = dict(ft_snap[0])
+            self._fulltext._index = dict(ft_snap[1])
+        self._scan_cache.clear()
 
     # reference: CACHE_SIZE_DEFAULT 25 (src/configuration/config.c:53)
     PLAN_CACHE_SIZE = 25
@@ -611,14 +622,33 @@ class Graph:
     def explain(self, cypher: str,
                 params: Mapping[str, object] | None = None) -> str:
         """≈ ``GRAPH.EXPLAIN`` (``src/commands/cmd_explain.c:54``) — the
-        Catalyst formatted physical plan."""
+        Catalyst formatted physical plan. Like the reference, EXPLAIN
+        of a write query must NOT apply the write (``cmd_explain.c``
+        builds the plan without executing): mutation side effects made
+        while planning are rolled back afterwards."""
         import contextlib
         import io
-        df = self.query(cypher, params)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        return buf.getvalue()
+        from redisgraph_spark.cypher import ast as A
+        from redisgraph_spark.cypher.parser import parse
+
+        stripped, _ = _parse_cypher_prefix(cypher)
+        is_write = any(
+            isinstance(c, (A.CreateClause, A.MergeClause, A.SetClause,
+                           A.DeleteClause, A.RemoveClause, A.IndexDDL))
+            for part in parse(stripped).parts for c in part.clauses)
+        snap = self._state_snapshot() if is_write else None
+        cache = dict(self._plan_cache) if is_write else None
+        try:
+            df = self.query(cypher, params)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+        finally:
+            if snap is not None:
+                self._state_restore(snap)
+                self._plan_cache.clear()
+                self._plan_cache.update(cache)
 
     def profile(self, cypher: str,
                 params: Mapping[str, object] | None = None) -> dict:

@@ -27,6 +27,15 @@ def test_explain_contains_physical_plan(social):
     assert "Join" in plan or "BroadcastHashJoin" in plan
 
 
+def test_explain_write_is_side_effect_free(social):
+    """GRAPH.EXPLAIN builds the plan without executing
+    (cmd_explain.c) — EXPLAIN of a CREATE must not create."""
+    plan = social.explain("CREATE (:person {name: 'Ghost'})")
+    assert "Physical Plan" in plan
+    assert social.query(
+        "MATCH (p:person) RETURN count(*) AS n").collect()[0]["n"] == 10
+
+
 def test_profile(social):
     prof = social.profile("MATCH (p:person) RETURN p.name AS n")
     assert prof["rows"] == 10 and prof["wall_sec"] >= 0
