@@ -83,8 +83,9 @@ def weakly_connected_components_star(node_ids: DataFrame,
     large-star: every node links its larger neighbors to the minimum
     of its neighborhood; small-star: every node links its smaller
     neighbors (and itself) to that minimum. Each phase is one groupBy
-    over the edge set; convergence is detected with a 1-row checksum
-    aggregate. Returns (node, component) like
+    over the edge set; convergence is an EXACT edge-set fixpoint test
+    (equal counts + empty difference — both sides are distinct sets).
+    Returns (node, component) like
     :func:`weakly_connected_components`."""
     e = edges.select(F.col("_src").alias("a"), F.col("_dst").alias("b")) \
         .filter(F.col("a") != F.col("b")) \

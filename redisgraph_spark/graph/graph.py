@@ -559,18 +559,26 @@ class Graph:
                 None if self.rel_endpoints is None
                 else dict(self.rel_endpoints),
                 self._multilabel, self._version,
-                (dict(ft.fields), dict(ft._index)) if ft else None)
+                (dict(ft.fields), dict(ft._index)) if ft else None,
+                dict(self._count_cache))
 
     def _state_restore(self, snap: tuple) -> None:
         (self.node_tables, self.edge_tables, self._indexes,
          self.rel_endpoints, self._multilabel, self._version,
-         ft_snap) = \
+         ft_snap, counts) = \
             (dict(snap[0]), dict(snap[1]), dict(snap[2]),
              None if snap[3] is None else dict(snap[3]),
-             snap[4], snap[5], snap[6])
-        if self._fulltext is not None and ft_snap is not None:
+             snap[4], snap[5], snap[6], snap[7])
+        if ft_snap is None:
+            # the aborted query may have created the FIRST fulltext
+            # index — drop the whole catalog back to its absent state
+            self._fulltext = None
+        elif self._fulltext is not None:
             self._fulltext.fields = dict(ft_snap[0])
             self._fulltext._index = dict(ft_snap[1])
+        # count-store entries computed against the rolled-back state
+        # would answer count(*) wrongly afterwards
+        self._count_cache = dict(counts)
         self._scan_cache.clear()
 
     # reference: CACHE_SIZE_DEFAULT 25 (src/configuration/config.c:53)
@@ -632,9 +640,15 @@ class Graph:
         from redisgraph_spark.cypher.parser import parse
 
         stripped, _ = _parse_cypher_prefix(cypher)
+        # DDL procedures (fulltext create/drop) mutate the catalog at
+        # plan time too — treat CALLs to them as writes
+        write_procs = {"db.idx.fulltext.createnodeindex",
+                       "db.idx.fulltext.drop"}
         is_write = any(
             isinstance(c, (A.CreateClause, A.MergeClause, A.SetClause,
                            A.DeleteClause, A.RemoveClause, A.IndexDDL))
+            or (isinstance(c, A.CallClause)
+                and c.proc.lower() in write_procs)
             for part in parse(stripped).parts for c in part.clauses)
         snap = self._state_snapshot() if is_write else None
         cache = dict(self._plan_cache) if is_write else None
@@ -667,7 +681,10 @@ class Graph:
         # DataFrame twice would otherwise double-count
         df = self.query(cypher, params).select("*")
         t0 = _time.time()
-        n = len(df.collect())
+        # drain through toLocalIterator: executes df's OWN plan (the
+        # one whose metrics we read — count() would build a different
+        # plan) without materializing the whole result on the driver
+        n = sum(1 for _ in df.toLocalIterator())
         wall = _time.time() - t0
         return {"rows": n, "wall_sec": round(wall, 4),
                 "ops": self._executed_plan_metrics(df),

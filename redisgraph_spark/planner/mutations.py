@@ -116,6 +116,18 @@ def _eval_props(planner, ctx, props: list[tuple[str, A.Expr]]) -> dict:
     return {k: _const_eval(planner, v) for k, v in props}
 
 
+def _widen_numeric(a, b) -> str:
+    """SQL type for a numeric-vs-numeric column conflict: two integral
+    types widen to LONG (reference integers are int64 SIValues —
+    widening 991 to 991.0 corrupts max()/sum() results); anything
+    fractional widens to double. Single source of truth for the
+    CREATE-union and SET paths."""
+    import pyspark.sql.types as T
+    integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    return "bigint" if isinstance(a, integral) \
+        and isinstance(b, integral) else "double"
+
+
 def _union_into(tbl: DataFrame | None, rows: DataFrame) -> DataFrame:
     """Append new rows to a table, reconciling per-column type
     conflicts: plain columns conform to the table's variant unions, and
@@ -151,12 +163,7 @@ def _union_into(tbl: DataFrame | None, rows: DataFrame) -> DataFrame:
                 # table already wide — conform the rows only
                 row_cols.append(rc.cast(t).alias(f.name))
             else:
-                # integral+integral widens to LONG (reference integers
-                # are int64 SIValues — widening 991 to 991.0 corrupts
-                # max()/sum() results); anything fractional → double
-                integral = (T.LongType, T.IntegerType, T.ShortType)
-                wide = "bigint" if isinstance(t, integral) \
-                    and isinstance(f.dataType, integral) else "double"
+                wide = _widen_numeric(t, f.dataType)
                 tt[f.name] = ("cast", wide)
                 row_cols.append(rc.cast(wide).alias(f.name))
                 tbl_changed = True
@@ -613,12 +620,7 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
                         uval = uval.cast(col_t)
                     elif isinstance(col_t, numeric) and \
                             isinstance(val_t, numeric):
-                        # integral+integral widens to LONG (int64
-                        # SIValue semantics), fractional → double
-                        integral = (T.LongType, T.IntegerType,
-                                    T.ShortType)
-                        wide = "bigint" if isinstance(col_t, integral) \
-                            and isinstance(val_t, integral) else "double"
+                        wide = _widen_numeric(col_t, val_t)
                         uval = uval.cast(wide)
                         cur = cur.cast(wide)
                     else:

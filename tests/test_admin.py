@@ -36,6 +36,20 @@ def test_explain_write_is_side_effect_free(social):
         "MATCH (p:person) RETURN count(*) AS n").collect()[0]["n"] == 10
 
 
+def test_explain_ddl_procedure_is_side_effect_free(social):
+    """CALLs to catalog-mutating procedures (fulltext create/drop) are
+    writes too — EXPLAIN must roll them back, including the
+    no-catalog → first-index transition."""
+    plan = social.explain(
+        "CALL db.idx.fulltext.createNodeIndex('person', 'name')")
+    assert "Physical Plan" in plan
+    assert social.fulltext.fields == {}      # nothing persisted
+    # and EXPLAIN of a drop must not drop
+    social.query("CALL db.idx.fulltext.createNodeIndex('person', 'name')")
+    social.explain("CALL db.idx.fulltext.drop('person')")
+    assert "person" in social.fulltext.fields
+
+
 def test_profile(social):
     prof = social.profile("MATCH (p:person) RETURN p.name AS n")
     assert prof["rows"] == 10 and prof["wall_sec"] >= 0

@@ -42,8 +42,9 @@ def _norm_cell(v):
 
 
 def _dtype_mismatch(sn: list[tuple], dn: list[tuple]) -> list[int]:
-    """Column positions where one side yields int and the other float
-    (first row with both cells non-null decides per column)."""
+    """Column positions where any row pairs an int on one side with a
+    float on the other (every row is scanned — variant columns may mix
+    types row-by-row)."""
     bad: set[int] = set()
     for srow, drow in zip(sn, dn):
         for i, (a, b) in enumerate(zip(srow, drow)):
