@@ -27,7 +27,14 @@ PROCS = {
     "algo.wcc": ("node", "component"),
     "algo.trianglecount": ("triangles",),
     "db.idx.fulltext.querynodes": ("node", "score"),
+    "db.idx.fulltext.createnodeindex": ("ok",),
+    "db.idx.fulltext.drop": ("ok",),
 }
+
+# Procedures that mutate graph/catalog state at plan time — callers
+# (Graph.query version bump, Graph.explain rollback, GRAPH.RO_QUERY
+# rejection) all consult this one set.
+WRITE_PROCS = {"db.idx.fulltext.createnodeindex", "db.idx.fulltext.drop"}
 
 
 def run_procedure(planner, clause: A.CallClause
@@ -68,7 +75,8 @@ def run_procedure(planner, clause: A.CallClause
                                      ("properties", "array<string>")])
         return df, ["type", "label", "properties"]
     if name == "dbms.procedures":
-        rows = [(p, "READ") for p in sorted(PROCS)]
+        rows = [(p, "WRITE" if p in WRITE_PROCS else "READ")
+                for p in sorted(PROCS)]
         return inline_df(spark, rows, [("name", "string"),
                                        ("mode", "string")]), \
             ["name", "mode"]
@@ -85,10 +93,23 @@ def run_procedure(planner, clause: A.CallClause
         algo = weakly_connected_components
         if clause.args:
             mode = clause.args[0]
-            if isinstance(mode, A.Literal) and mode.value == "star":
+            val = mode.value if isinstance(mode, A.Literal) else mode
+            if val == "star":
                 algo = weakly_connected_components_star
-        out = algo(
+            elif val is not None:
+                # a typo must not silently run the default algorithm
+                raise ValueError(
+                    f"algo.wcc: unknown variant {val!r} "
+                    "(expected 'star')")
+        comp = algo(
             g.nodes().select("_id"), g.edges().select("_src", "_dst"))
+        # yield the full node struct like algo.pageRank / queryNodes —
+        # `YIELD node ... RETURN node.name` must work uniformly
+        nodes = g.nodes()
+        node_struct = F.struct(*[F.col(c) for c in nodes.columns])
+        out = comp.withColumnRenamed("node", "__wcc_id") \
+            .join(nodes, F.col("__wcc_id") == nodes["_id"]) \
+            .select(node_struct.alias("node"), "component")
         return out, ["node", "component"]
     if name == "algo.trianglecount":
         from redisgraph_spark.algorithms.components import triangle_count

@@ -42,17 +42,27 @@ class GraphCatalog:
 
     def delete(self, name: str) -> None:
         """≈ GRAPH.DELETE (module.c:142, Graph_Delete): drop the key
-        and release cached blocks."""
+        and release what can be released eagerly. Cache-manager blocks
+        unpersist immediately; localCheckpoint RDD blocks (mutated
+        tables, warm traversal projections) are not in the cache
+        manager — dropping every reference here lets the
+        ContextCleaner reclaim them at the next GC cycle."""
         g = self._graphs.pop(name, None)
         if g is None:
             raise KeyError(f"no such graph: {name}")
-        for df in getattr(g, "_scan_cache", {}).values():
+        import itertools
+        for df in itertools.chain(
+                getattr(g, "_scan_cache", {}).values(),
+                g.node_tables.values(), g.edge_tables.values()):
             if isinstance(df, DataFrame):
                 try:
                     df.unpersist()
                 except Exception:
                     pass
         g._scan_cache = {}
+        g.node_tables = {}
+        g.edge_tables = {}
+        g._count_cache = {}
         g._plan_cache.clear()
 
     # ------------------------------------------------------------- query
@@ -67,19 +77,14 @@ class GraphCatalog:
 
     def ro_query(self, name: str, cypher: str,
                  params: Mapping[str, object] | None = None) -> DataFrame:
-        """≈ GRAPH.RO_QUERY — readonly: no auto-create, and write
-        clauses are rejected."""
+        """≈ GRAPH.RO_QUERY — readonly: no auto-create; write clauses
+        AND catalog-mutating procedure CALLs (fulltext create/drop)
+        are rejected."""
         g = self.get(name)
-        from redisgraph_spark.cypher import ast as A
         from redisgraph_spark.cypher.parser import parse
-        tree = parse(cypher)
-        for part in tree.parts:
-            for c in part.clauses:
-                if isinstance(c, (A.CreateClause, A.MergeClause,
-                                  A.SetClause, A.DeleteClause,
-                                  A.RemoveClause, A.IndexDDL)):
-                    raise PermissionError(
-                        "graph.RO_QUERY is read-only")
+        from redisgraph_spark.graph.graph import is_write_ast
+        if is_write_ast(parse(cypher)):
+            raise PermissionError("graph.RO_QUERY is read-only")
         return g.query(cypher, params)
 
     def explain(self, name: str, cypher: str) -> str:

@@ -50,6 +50,22 @@ class QueryTimeoutError(RuntimeError):
     on the drain path ``src/commands/cmd_query.c:100-118``)."""
 
 
+def is_write_ast(ast) -> bool:
+    """True when the query mutates graph or catalog state: mutation
+    clauses, index DDL, or CALLs to catalog-mutating procedures
+    (fulltext create/drop). One definition shared by Graph.query's
+    version bump, Graph.explain's rollback, and GRAPH.RO_QUERY's
+    rejection."""
+    from redisgraph_spark.cypher import ast as A
+    from redisgraph_spark.functions.procedures import WRITE_PROCS
+    return any(
+        isinstance(c, (A.CreateClause, A.MergeClause, A.SetClause,
+                       A.DeleteClause, A.RemoveClause, A.IndexDDL))
+        or (isinstance(c, A.CallClause)
+            and c.proc.lower() in WRITE_PROCS)
+        for part in ast.parts for c in part.clauses)
+
+
 def _merge_schemas(tables: Mapping[str, DataFrame],
                    internal: set[str]) -> list[tuple[str, T.DataType]]:
     """Union of property columns across tables, first-seen order.
@@ -451,7 +467,6 @@ class Graph:
         """
         import time as _time
         from redisgraph_spark.planner.planner import CypherPlanner
-        from redisgraph_spark.cypher import ast as A
         from redisgraph_spark.cypher.parser import parse
 
         t0 = _time.time()
@@ -486,10 +501,9 @@ class Graph:
         # mutation statistics for the last executed query
         # (≈ resultset_statistics.h:12-20, returned out-of-band)
         self.last_stats = dict(planner.stats)
-        is_write = any(
-            isinstance(c, (A.CreateClause, A.MergeClause, A.SetClause,
-                           A.DeleteClause, A.RemoveClause, A.IndexDDL))
-            for part in ast.parts for c in part.clauses)
+        # write CALLs (fulltext DDL) count: they must bump the version
+        # so cached queryNodes plans built on the old index invalidate
+        is_write = is_write_ast(ast)
         if is_write:
             self._version += 1
             self._plan_cache.clear()
@@ -636,20 +650,10 @@ class Graph:
         while planning are rolled back afterwards."""
         import contextlib
         import io
-        from redisgraph_spark.cypher import ast as A
         from redisgraph_spark.cypher.parser import parse
 
         stripped, _ = _parse_cypher_prefix(cypher)
-        # DDL procedures (fulltext create/drop) mutate the catalog at
-        # plan time too — treat CALLs to them as writes
-        write_procs = {"db.idx.fulltext.createnodeindex",
-                       "db.idx.fulltext.drop"}
-        is_write = any(
-            isinstance(c, (A.CreateClause, A.MergeClause, A.SetClause,
-                           A.DeleteClause, A.RemoveClause, A.IndexDDL))
-            or (isinstance(c, A.CallClause)
-                and c.proc.lower() in write_procs)
-            for part in parse(stripped).parts for c in part.clauses)
+        is_write = is_write_ast(parse(stripped))
         snap = self._state_snapshot() if is_write else None
         cache = dict(self._plan_cache) if is_write else None
         try:

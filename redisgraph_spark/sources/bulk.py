@@ -43,9 +43,12 @@ def load_nodes(spark: SparkSession, path: str, fmt: str, label: str,
         df = reader.json(path)
     else:
         raise ValueError(f"unsupported format {fmt}")
+    # a pre-existing _id column (re-ingesting a saved canonical table)
+    # must not survive alongside the new alias — ambiguous reference
+    props = [c for c in df.columns if c != "_id"]
     return df.select(
         (F.col(id_col).cast("long") + offset).alias("_id"),
-        *[F.col(c) for c in df.columns])
+        *[F.col(c) for c in props])
 
 
 def load_edges(spark: SparkSession, path: str, fmt: str,
@@ -79,22 +82,45 @@ def bulk_load(spark: SparkSession,
     """Assemble a Graph from declarative source specs.
 
     node spec: {label, path, format, id_col, [offset], [options]}
-    edge spec: {rel, path, format, src_col, dst_col, [src_offset],
-                [dst_offset], [options]}
+    edge spec: {rel, path, format, src_col, dst_col,
+                [src_label], [dst_label], [src_offset], [dst_offset],
+                [options]}
+
+    Edge endpoint offsets MUST line up with the node-id namespacing:
+    explicit ``src_offset``/``dst_offset`` win; else ``src_label``/
+    ``dst_label`` look up the offset actually applied to that label's
+    nodes; else, with exactly one node label, that label's offset is
+    assumed. Multiple labels without endpoint info raise — defaulting
+    to 0 would silently produce edges referencing no node.
     """
     from redisgraph_spark.graph.graph import Graph
     offsets = auto_offsets([s["label"] for s in node_specs])
+    applied: dict[str, int] = {}
     nodes = {}
     for s in node_specs:
         off = s.get("offset", offsets[s["label"]])
+        applied[s["label"]] = off
         nodes[s["label"]] = load_nodes(
             spark, s["path"], s["format"], s["label"], s["id_col"], off,
             s.get("options"))
+
+    def endpoint_offset(s: dict, side: str) -> int:
+        if f"{side}_offset" in s:
+            return s[f"{side}_offset"]
+        if f"{side}_label" in s:
+            return applied[s[f"{side}_label"]]
+        if len(applied) == 1:
+            return next(iter(applied.values()))
+        raise ValueError(
+            f"edge spec {s['rel']!r}: {side}_offset or {side}_label "
+            "required when loading multiple node labels (edge endpoint "
+            "ids must share the node tables' id namespace)")
+
     edges = {}
     for i, s in enumerate(edge_specs):
         edges[s["rel"]] = load_edges(
             spark, s["path"], s["format"], s["src_col"], s["dst_col"],
-            s.get("src_offset", 0), s.get("dst_offset", 0),
+            endpoint_offset(s, "src"), endpoint_offset(s, "dst"),
             edge_offset=(100 + i) * 1_000_000_000_000,
             options=s.get("options"))
     return Graph(spark, nodes, edges)

@@ -66,10 +66,14 @@ def streaming_sessions(stream: DataFrame, gap: str = "30 minutes",
 def streaming_dedup(stream: DataFrame, keys: list[str],
                     watermark: str = "1 hour") -> DataFrame:
     """Exactly-once per key within the watermark horizon (state-store
-    dedup — the streaming form of exact_dedup)."""
+    dedup — the streaming form of exact_dedup).
+
+    Uses ``dropDuplicatesWithinWatermark``: dedup state for a key is
+    evicted once the watermark passes it, so state stays bounded on a
+    continuous stream. Plain ``dropDuplicates(keys)`` without the
+    event-time column in the subset would accumulate state forever."""
     return stream.withWatermark("ts", watermark) \
-        .dropDuplicates(keys + ["ts"]) if "ts" in keys else \
-        stream.withWatermark("ts", watermark).dropDuplicates(keys)
+        .dropDuplicatesWithinWatermark(keys)
 
 
 def running_user_stats(stream: DataFrame) -> DataFrame:
@@ -132,17 +136,37 @@ def stream_into_graph(stream: DataFrame, graph, rel: str,
     continuous graph construction (no reference analog; GRAPH.BULK is
     batch-only)."""
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch's idempotence contract: a retried/replayed
+        # micro-batch (failure between this upsert and the checkpoint
+        # commit, or a query restart against the same Graph) must not
+        # append twice — track applied batch ids per (checkpoint, rel).
+        # Identical EVENTS stay distinct edges (batch_id + row salt in
+        # the id hash), unlike a pure content hash which would
+        # silently collapse legitimate duplicate events.
+        seen = graph.__dict__.setdefault("_stream_batches", set())
+        key = (checkpoint, rel, batch_id)
+        if key in seen:
+            return
         edges = batch_df.select(
-            (F.abs(F.xxhash64(*batch_df.columns))
+            (F.abs(F.xxhash64(
+                F.lit(batch_id), F.monotonically_increasing_id(),
+                *batch_df.columns))
              + 30_000_000_000_000_000).alias("_id"),
             F.col(src_col).cast("long").alias("_src"),
             F.col(dst_col).cast("long").alias("_dst"))
         if rel in graph.edge_tables:
-            graph.edge_tables[rel] = graph.edge_tables[rel] \
-                .unionByName(edges, allowMissingColumns=True) \
-                .localCheckpoint(eager=True)
+            merged = graph.edge_tables[rel] \
+                .unionByName(edges, allowMissingColumns=True)
         else:
-            graph.edge_tables[rel] = edges.localCheckpoint(eager=True)
+            merged = edges
+        graph.edge_tables[rel] = merged.localCheckpoint(eager=True)
+        seen.add(key)
+        # invalidate version-keyed plan/scan/count caches — queries
+        # must see the streamed edges, exactly like the write path
+        # (Graph.query bumps _version on mutations)
+        graph._version += 1
+        graph._plan_cache.clear()
+        graph._scan_cache.clear()
 
     return stream.writeStream.foreachBatch(upsert) \
         .option("checkpointLocation", checkpoint) \

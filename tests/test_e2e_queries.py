@@ -326,9 +326,11 @@ def test_algo_wcc(spark):
         [(100, 1, 2), (101, 3, 2), (102, 11, 10)],
         ["_id", "_src", "_dst"])}
     g = Graph(spark, nodes, edges)
-    got = {r["node"]: r["component"] for r in g.query(
+    # node is the full node struct (uniform with algo.pageRank /
+    # queryNodes) — project the id for comparison
+    got = {r["nid"]: r["component"] for r in g.query(
         "CALL algo.wcc() YIELD node, component "
-        "RETURN node, component").collect()}
+        "RETURN node._id AS nid, component").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
     n = g.query("CALL algo.wcc() YIELD node, component "
                 "RETURN count(DISTINCT component) AS n").collect()[0]["n"]

@@ -71,12 +71,18 @@ def test_stream_into_graph(spark, event_dir):
     from redisgraph_spark.streaming.stream import (read_event_stream,
                                                    stream_into_graph)
     g = Graph(spark, {}, {})
+    # prime the version-keyed plan/count caches — the upsert must
+    # invalidate them so queries see the streamed edges
+    assert g.query("MATCH ()-[e:DID]->() RETURN count(e) AS n") \
+        .collect()[0]["n"] == 0
     ckpt = tempfile.mkdtemp(prefix="rgckpt")
     q = stream_into_graph(read_event_stream(spark, event_dir), g,
                           "DID", "user_id", "event_id", ckpt)
     q.awaitTermination()
     assert "DID" in g.edge_tables
     assert g.edge_tables["DID"].count() == 5
+    assert g.query("MATCH ()-[e:DID]->() RETURN count(e) AS n") \
+        .collect()[0]["n"] == 5
 
 
 def test_custom_stateful_operator(spark, event_dir):
