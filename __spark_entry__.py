@@ -1814,7 +1814,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 
     "p_text_stats": (_p_text_stats, """
         SELECT doc_id,
-          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+          len(list_filter(string_split_regex(trim(text), '\\s+'),
+              t -> t <> '')) AS n_tokens,
           length(text) AS n_chars,
           round(1e6 * (len(list_filter(
               string_split_regex(lower(trim(text)), '\\s+'),

@@ -81,6 +81,16 @@ def bfs_call(planner, ctx, clause) -> tuple[DataFrame, list[str]]:
         visited = visited.unionByName(nxt.select("__root", "__nid")) \
             .localCheckpoint(eager=True)
         frontier = nxt.select("__root", "__nid")
+    else:
+        if depth <= 0:
+            # "unlimited" BFS (reference proc_bfs.c) hit the safety cap
+            # with a live frontier — say so instead of silently
+            # truncating the reachable set
+            import warnings
+            warnings.warn(
+                f"algo.BFS(depth=0) stopped at {MAX_LEVELS} levels "
+                "with a live frontier; deeper nodes are not reported",
+                RuntimeWarning, stacklevel=2)
 
     node_flat = g.nodes(None)
     node_struct = F.struct(*[F.col(c) for c in node_flat.columns])

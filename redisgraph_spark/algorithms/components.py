@@ -52,6 +52,13 @@ def weakly_connected_components(node_ids: DataFrame,
         if s == prev_sum:  # min-propagation is monotone: equal ⇒ fixpoint
             break
         prev_sum = s
+    else:
+        import warnings
+        warnings.warn(
+            f"weakly_connected_components: no fixpoint after {max_iter} "
+            "rounds (graph diameter exceeds max_iter) — components may "
+            "be split; raise max_iter or use the star variant",
+            RuntimeWarning, stacklevel=2)
     return comp.select(F.col("node"), F.col("comp").alias("component"))
 
 
@@ -127,6 +134,12 @@ def weakly_connected_components_star(node_ids: DataFrame,
                 and e.exceptAll(prev_e).isEmpty():
             break
         prev_e, prev_n = e, n
+    else:
+        import warnings
+        warnings.warn(
+            f"weakly_connected_components_star: no fixpoint after "
+            f"{max_iter} rounds — components may be split; raise "
+            "max_iter", RuntimeWarning, stacklevel=2)
     # converged: e is a star per component (b → component-min a)
     parent = e.select(F.col("b").alias("node"),
                       F.col("a").alias("component")) \

@@ -29,7 +29,17 @@ def compile_shortest_path(planner, ctx, path: A.PatternPath) -> None:
     src_np, rel, dst_np = path.elements
     if rel.min_hops is None:
         raise ValueError("shortestPath() requires a variable-length pattern")
-    max_hops = rel.max_hops or MAX_BFS_HOPS
+    if rel.min_hops > 1:
+        # BFS first-reach pruning makes longer-than-shortest paths
+        # unreachable — openCypher/Neo4j reject the same way rather
+        # than silently returning nothing
+        raise ValueError(
+            "shortestPath() does not support a minimal length "
+            "different from 0 or 1")
+    # max of 0 is a real bound ([*0..0] = zero-length paths only);
+    # only absence means unbounded
+    unbounded = rel.max_hops is None
+    max_hops = MAX_BFS_HOPS if unbounded else rel.max_hops
 
     src = planner._bind_node(ctx, src_np)
     from_c, to_c = "__spf", "__spt"
@@ -99,6 +109,13 @@ def compile_shortest_path(planner, ctx, path: A.PatternPath) -> None:
             nxt.select(F.col("__sp_origin").alias("__so"),
                        F.col("__sp_cur").alias("__sc"))).dropDuplicates() \
             .localCheckpoint(eager=True)
+    else:
+        if unbounded:
+            import warnings
+            warnings.warn(
+                f"unbounded shortestPath() stopped at {MAX_BFS_HOPS} "
+                "hops with a live frontier; longer shortest paths are "
+                "not found", RuntimeWarning, stacklevel=2)
 
     if not results:
         results = [frontier.limit(0)]
@@ -115,6 +132,24 @@ def compile_shortest_path(planner, ctx, path: A.PatternPath) -> None:
     tgt = dst_np.var or planner.sym("n")
     if tgt in ctx.vars:
         out = out.filter(F.col("__sp_cur") == F.col(f"{tgt}._id"))
+        # labels / inline props on the bound destination constrain it
+        # exactly like _bind_node does for the source side
+        if dst_np.labels:
+            if planner.graph._multilabel:
+                out = out.filter(F.arrays_overlap(
+                    F.col(f"{tgt}._labels"),
+                    F.array(*[F.lit(l) for l in dst_np.labels])))
+            else:
+                out = out.filter(
+                    F.col(f"{tgt}._label").isin(list(dst_np.labels)))
+        if dst_np.props:
+            pcomp = planner.compiler(ctx)
+            for k, v in dst_np.props:
+                if k in ctx.vars[tgt].fields:
+                    out = out.filter(pcomp.prop_eq(
+                        F.col(tgt).getField(k), pcomp.compile(v)))
+                else:
+                    out = out.filter(F.lit(False))
     else:
         flat, nprops = planner._node_scan(dst_np.labels or None)
         nid = planner.sym("nid")

@@ -104,6 +104,16 @@ def ivf_build(emb: DataFrame, nlist: int = 16, iters: int = 3,
     init = [r[vec_col] for r in
             emb.orderBy(id_col).limit(nlist).collect()]
     from redisgraph_spark.session import inline_df
+    if not init:
+        # empty corpus: empty quantizer + assignments (downstream
+        # top-k then yields zero rows) instead of an IndexError
+        empty_c = inline_df(
+            spark, [], [("list_id", "bigint"),
+                        ("center", "array<double>")])
+        empty_a = emb.select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("list_id")).limit(0)
+        return empty_c, empty_a
     centroids = inline_df(
         spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(init)],
@@ -183,12 +193,17 @@ def cosine_topk_np(emb: DataFrame, queries: DataFrame, k: int = 5,
     Arrow batches."""
     import numpy as np
 
+    # id columns keep their source types (cosine_topk supports any id
+    # type — hardcoding long would Arrow-fail on string ids)
+    q_id_t = dict(queries.dtypes)[q_id_col]
+    n_id_t = dict(emb.dtypes)[id_col]
+    partial_schema = (f"query_id {q_id_t}, neighbor_id {n_id_t}, "
+                      "cosine double")
     q_rows = queries.select(F.col(q_id_col).alias("qid"),
                             F.col(q_vec_col).alias("qv")).collect()
     if not q_rows:
         return emb.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, "
-                "rank int")
+            [], partial_schema + ", rank int")
     q_ids = np.array([r["qid"] for r in q_rows])
     qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -212,16 +227,19 @@ def cosine_topk_np(emb: DataFrame, queries: DataFrame, k: int = 5,
                 cand_i = np.nonzero(mask)[0]
                 if not len(cand_i):
                     continue
-                top = cand_i[np.argsort(-col[cand_i],
-                                        kind="stable")[:k]]
+                # tie-break by neighbor_id ASC, matching the final
+                # window rank — batch-position tie-breaking would drop
+                # a tied neighbor the exact path keeps (lexsort's LAST
+                # key is primary)
+                order = np.lexsort((nid[cand_i], -col[cand_i]))
+                top = cand_i[order[:k]]
                 out.append(pd.DataFrame({
                     "query_id": ids[j], "neighbor_id": nid[top],
                     "cosine": col[top]}))
             if out:
                 yield pd.concat(out)
 
-    partial = emb.mapInPandas(
-        score, schema="query_id long, neighbor_id long, cosine double")
+    partial = emb.mapInPandas(score, schema=partial_schema)
     w = Window.partitionBy("query_id") \
         .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return partial.withColumn("rank", F.row_number().over(w)) \

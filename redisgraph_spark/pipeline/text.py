@@ -25,9 +25,12 @@ STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count.
-    SQL: len(string_split_regex(trim(text), '\\s+'))"""
-    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    """Whitespace token count; empty / whitespace-only text counts 0
+    (split of '' yields [''] — the phantom token must be filtered).
+    SQL: len(list_filter(string_split_regex(trim(text), '\\s+'),
+    t -> t <> ''))"""
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"),
+                           lambda t: t != "")).cast("long")
 
 
 def char_count(text: Column) -> Column:

@@ -434,3 +434,33 @@ class TestShortestPathExpr:
             "MATCH p = shortestPath((a)-[:friend*..3]->(b)) "
             "RETURN count(p) AS k"))
         assert got == [(4,)]
+
+    def test_bound_dst_constraints_applied(self, social):
+        # labels/props on an already-bound destination must constrain
+        # the match (they were silently dropped before)
+        all_rows = rows(social.query(
+            "MATCH (a:person {name: 'Roi'}), (b:person) "
+            "MATCH p = shortestPath((a)-[:friend*..3]->(b)) "
+            "RETURN count(p) AS k"))
+        filtered = rows(social.query(
+            "MATCH (a:person {name: 'Roi'}), (b:person) "
+            "MATCH p = shortestPath((a)-[:friend*..3]"
+            "->(b:person {name: 'Alon'})) RETURN count(p) AS k"))
+        assert all_rows[0][0] > 1 and filtered == [(1,)]
+
+    def test_min_hops_over_one_rejected(self, social):
+        # BFS first-reach pruning cannot enumerate longer-than-shortest
+        # paths — reject like openCypher instead of returning nothing
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="minimal length"):
+            social.query(
+                "MATCH p = shortestPath((a:person)-[:friend*2..3]->(b)) "
+                "RETURN p").collect()
+
+    def test_zero_length_bound(self, social):
+        # [*0..0] matches only the zero-length path (a = b)
+        got = rows(social.query(
+            "MATCH (a:person {name: 'Roi'}) "
+            "MATCH p = shortestPath((a)-[:friend*0..0]->(b)) "
+            "RETURN b.name AS n"))
+        assert got == [("Roi",)]
