@@ -337,7 +337,9 @@ class Parser:
     def parse_pattern_path(self) -> A.PatternPath:
         var = None
         nxt2 = self.peek(2)
-        if (self.tok.kind == "name" and self.peek().kind == "op"
+        # keyword-named path variables parse like everywhere else
+        # (`MATCH order = (a)-[]->(b)`)
+        if (self.tok.kind in ("name", "kw") and self.peek().kind == "op"
                 and self.peek().value == "="
                 and ((nxt2.kind == "op" and nxt2.value == "(")
                      or (nxt2.kind == "name" and str(nxt2.value).lower()
@@ -367,9 +369,10 @@ class Parser:
         var = None
         labels: list[str] = []
         props: list[tuple[str, A.Expr]] = []
-        if self.tok.kind in ("name", "kw") and not self.at_op(")"):
-            if not self.at_op(":") and not self.at_op("{"):
-                var = self.name()
+        if self.tok.kind in ("name", "kw"):
+            # (kind name/kw is mutually exclusive with op-kind ')' ':'
+            # '{' — no further guards needed)
+            var = self.name()
         while self.opt_op(":"):
             labels.append(self.name())
         if self.at_op("{"):
@@ -749,8 +752,15 @@ class Parser:
         if self.at_op("]"):
             self.advance()
             return A.ListLiteral([])
-        # lookahead for comprehension: name IN ...
-        if (self.tok.kind == "name" and self.peek().kind == "kw"
+        # lookahead for comprehension: name IN ... — keyword-named
+        # variables are legal identifiers here like everywhere else
+        # (`[end IN [1,2] | end + 1]`), except the literal keywords,
+        # which start membership tests (`[null IN [1], ...]`)
+        if ((self.tok.kind == "name"
+             or (self.tok.kind == "kw"
+                 and str(self.tok.value).lower()
+                 not in ("null", "true", "false")))
+                and self.peek().kind == "kw"
                 and str(self.peek().value).lower() == "in"):
             var = self.name()
             self.eat_kw("in")

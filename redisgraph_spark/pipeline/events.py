@@ -19,8 +19,8 @@ def _epoch_seconds(col: str) -> Column:
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
-    """Count + value stats per (event_type, hour).
-    SQL: date_trunc('hour', ts), count(*), sum/avg(value)."""
+    """Count + value sum per (event_type, hour).
+    SQL: date_trunc('hour', ts), count(*), round(sum(value), 2)."""
     return events.groupBy(
         F.col("event_type"),
         F.date_trunc("hour", F.col("ts")).alias("hour")) \

@@ -44,11 +44,9 @@ FEATURE_SCHEMA = T.StructType([
 
 
 # --------------------------------------------------------- real decoders
-def decode_ppm(data: bytes, mime: str = "image/x-portable-pixmap"
-               ) -> dict:
-    """Binary PPM (P6): pure numpy decode. Feature = per-channel mean +
-    per-channel std (6 floats)."""
-    import numpy as np
+def _ppm_header(data: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header → (width, height, maxval, pixel_offset).
+    O(header) — lets resize skip the full-image decode."""
     if not data or not data.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     # header: P6 <width> <height> <maxval> then a single whitespace
@@ -67,6 +65,18 @@ def decode_ppm(data: bytes, mime: str = "image/x-portable-pixmap"
         i = j
     i += 1  # the single whitespace after maxval
     w, h, maxval = parts
+    if maxval > 255:
+        # 2-byte samples — misreading them as uint8 halves the image
+        raise ValueError("only 1-byte-sample P6 (maxval <= 255) supported")
+    return w, h, maxval, i
+
+
+def decode_ppm(data: bytes, mime: str = "image/x-portable-pixmap"
+               ) -> dict:
+    """Binary PPM (P6): pure numpy decode. Feature = per-channel mean +
+    per-channel std (6 floats)."""
+    import numpy as np
+    w, h, maxval, i = _ppm_header(data)
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
     img = px.reshape(h, w, 3).astype(np.float32) / float(maxval)
     feat = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1))])
@@ -80,8 +90,8 @@ def decode_wav(data: bytes, mime: str = "audio/wav") -> dict:
     import numpy as np
     if not data or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    i, rate, n_ch, bits, frames = 12, None, 1, 16, None
-    samples = None
+    i, rate, n_ch, bits = 12, None, 1, 16
+    data_chunk = None
     while i + 8 <= len(data):
         cid, size = data[i:i + 4], struct.unpack_from("<I", data, i + 4)[0]
         body = i + 8
@@ -89,13 +99,17 @@ def decode_wav(data: bytes, mime: str = "audio/wav") -> dict:
             _, n_ch, rate = struct.unpack_from("<HHI", data, body)
             bits = struct.unpack_from("<H", data, body + 14)[0]
         elif cid == b"data":
-            if bits != 16:
-                raise ValueError(f"only PCM16 supported, got {bits}-bit")
-            samples = np.frombuffer(
-                data, dtype="<i2", count=size // 2, offset=body)
+            data_chunk = (body, size)
         i = body + size + (size & 1)
-    if samples is None or rate is None:
+    if data_chunk is None or rate is None or not n_ch:
         raise ValueError("missing fmt/data chunk")
+    # validate AFTER the walk: a [data, fmt]-ordered file must not be
+    # decoded against the default bits=16
+    if bits != 16:
+        raise ValueError(f"only PCM16 supported, got {bits}-bit")
+    body, size = data_chunk
+    samples = np.frombuffer(data, dtype="<i2", count=size // 2,
+                            offset=body)
     frames = len(samples) // n_ch
     mono = samples.reshape(-1, n_ch).mean(axis=1).astype(np.float32) \
         / 32768.0
@@ -147,7 +161,13 @@ def extract_features(media: DataFrame,
             rows = []
             for _, r in pdf.iterrows():
                 decoder = _decoder_for(r["kind"], r["mime"])
-                d = decoder(r["data"], r["mime"])
+                try:
+                    d = decoder(r["data"], r["mime"])
+                except Exception:
+                    # one corrupt/null payload must not abort a 100 TB
+                    # job — fall back to the deterministic stub row
+                    # (the module's documented degradation path)
+                    d = _stub_decode(r["data"] or b"", r["mime"])
                 rows.append({
                     "media_id": r["media_id"],
                     "kind": r["kind"],
@@ -176,15 +196,18 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 data = r["data"]
                 if not (data and bytes(data[:2]) == b"P6"):
                     continue
-                d = decode_ppm(bytes(data))
-                w0, h0 = d["width"], d["height"]
+                # header-only parse: resize doesn't need the features
+                # (an O(pixels) float pass) decode_ppm would compute
+                w0, h0, _maxval, off = _ppm_header(bytes(data))
                 px = np.frombuffer(
-                    bytes(data), dtype=np.uint8)[-w0 * h0 * 3:] \
-                    .reshape(h0, w0, 3)
+                    bytes(data), dtype=np.uint8,
+                    count=w0 * h0 * 3, offset=off).reshape(h0, w0, 3)
                 ys = (np.arange(height) * h0 // height)
                 xs = (np.arange(width) * w0 // width)
                 resized = px[ys][:, xs]
-                hdr = f"P6\n{width} {height}\n255\n".encode()
+                # preserve the source maxval — rewriting it as 255
+                # without rescaling would darken maxval<255 images
+                hdr = f"P6\n{width} {height}\n{_maxval}\n".encode()
                 out.at[idx, "data"] = hdr + resized.tobytes()
                 meta = dict(r["meta"] or {})
                 meta["resized"] = f"{width}x{height}"
@@ -318,9 +341,10 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
             for _, r in pdf.iterrows():
                 if r["kind"] != "video":
                     continue
-                data = bytes(r["data"])
+                data = bytes(r["data"]) if r["data"] is not None else b""
                 if data[:4] == b"RGVD":
                     w, h, n, fps = struct.unpack_from("<IIII", data, 4)
+                    fps = fps or 1          # corrupt header: avoid /0
                     step = max(int(every_ms * fps / 1000), 1)
                     hdr = f"P6\n{w} {h}\n255\n".encode()
                     for f in range(0, n, step):

@@ -278,7 +278,9 @@ def add(l: Column, r: Column) -> Column:
          .when(either_arr, _pack(TAG_ARRAY, a=F.concat(l_arr, r_arr)))
          .when(either_str,
                _pack(TAG_STRING, s=F.concat(render(l), render(r))))
-         .when(both_int, _pack(TAG_INT, i=num_sum.cast("long")))
+         # int+int adds in LONG — routing through the double num_view
+         # would silently round int64 values beyond 2^53
+         .when(both_int, _pack(TAG_INT, i=l["_i"] + r["_i"]))
          .when(num_sum.isNotNull(), _pack(TAG_FLOAT, d=num_sum)))
 
 
@@ -286,6 +288,11 @@ def _scalar_canon(e: Column) -> Column:
     """Canonical comparable form of a scalar array element: (type-rank,
     payload) so struct comparison orders by type first (disjoint elems
     order by type delta, src/value.c:553) then value, with int/double
+
+    Known precision limit: the numeric payload canonicalizes to double
+    so int-vs-float compares work (3 = 3.0); int64 values beyond 2^53
+    therefore compare at double precision here (arithmetic — add —
+    stays exact in long).
     unified by numeric value (src/value.h:58-60)."""
     rank = (F.when(e["_vt"] == TAG_STRING, 1)
              .when(e["_vt"] == TAG_BOOL, 2)

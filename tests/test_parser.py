@@ -97,6 +97,19 @@ def test_list_comprehension_and_quantifiers():
     assert isinstance(c, A.Reduce)
 
 
+def test_keyword_named_variables():
+    """Keywords are legal identifiers in comprehension-variable and
+    named-path positions too, while literal keywords still start
+    membership tests."""
+    q = single("RETURN [end IN [1,2] | end + 1] AS a, "
+               "null IN [1, null] AS b")
+    a, b = (i.expr for i in q.clauses[0].items)
+    assert isinstance(a, A.ListComprehension) and a.var == "end"
+    assert not isinstance(b, A.ListComprehension)
+    q2 = single("MATCH order = (a)-[:R]->(b) RETURN order")
+    assert q2.clauses[0].paths[0].var == "order"
+
+
 def test_union():
     out = parse("RETURN 1 AS x UNION RETURN 2 AS x UNION ALL RETURN 3 AS x")
     assert len(out.parts) == 3

@@ -441,6 +441,23 @@ def test_dedup_clusters_star_solver_equivalence(spark):
     assert got[69] == 69                         # singleton
 
 
+def test_multimodal_corrupt_payloads_degrade_to_stub(spark):
+    """Null/corrupt media payloads must not abort the job: decode
+    errors fall back to the deterministic stub row; frame sampling
+    emits the plumbing row for undecodable videos."""
+    from redisgraph_spark.pipeline.multimodal import (MEDIA_SCHEMA,
+                                                      extract_features,
+                                                      sample_frames)
+    rows = [(1, "audio", "audio/wav", None, {}),
+            (2, "image", "image/x-portable-pixmap", b"P6 garbage", {}),
+            (3, "video", "video/x-raw-rgb", None, {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    assert len(feats) == 3                      # nothing dropped/crashed
+    frames = sample_frames(media).collect()
+    assert len(frames) == 1 and frames[0]["frame"] is None
+
+
 def test_decontaminate(spark):
     """Training docs sharing a distinct word n-gram with the benchmark
     set are flagged with the distinct-collision count; clean docs are
