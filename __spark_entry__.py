@@ -33,7 +33,9 @@ _GRAPHS: dict[tuple[int, str], object] = {}
 
 def _graph(spark: SparkSession, sf_dir: str):
     from redisgraph_spark import Graph
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): object-address reuse by a NEW
+    # session must not resurrect DataFrames of a stopped one
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GRAPHS:
         _GRAPHS[key] = Graph.from_tpch(spark, sf_dir)
     return _GRAPHS[key]
@@ -54,7 +56,7 @@ def _plan_cached(fn):
     DataFrame (execution still happens per action). Mutation entries
     are never cached."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (fn.__name__, id(spark), sf_dir)
+        key = (fn.__name__, spark.sparkContext.applicationId, sf_dir)
         df = _PLAN_CACHE.get(key)
         if df is None:
             df = fn(spark, sf_dir)
@@ -1326,7 +1328,7 @@ def _bucketed_graph(spark, sf_dir):
     the reference building relation matrices at graph load."""
     from redisgraph_spark import Graph
     from redisgraph_spark.graph.tpch import _REL_ENDPOINTS
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     g = _BUCKETED_GRAPHS.get(key)
     if g is None:
         db = _memory_name("rgbucketed_", sf_dir)

@@ -29,12 +29,25 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 20,
     if n_count == 0:
         return nodes.select(F.col("_id"), F.lit(0.0).alias("score"))
     base = 1.0 / n_count
+    # restrict to the node-induced subgraph (the reference runs on the
+    # label-restricted submatrix): an edge to/from a node outside
+    # `nodes` must neither inflate out-degrees (leaking rank mass out
+    # of the graph) nor mask a node's dangling status
+    ids = nodes.select("_id")
+    edges = edges.join(ids.withColumnRenamed("_id", "_src"),
+                       "_src", "left_semi") \
+                 .join(ids.withColumnRenamed("_id", "_dst"),
+                       "_dst", "left_semi")
     deg = edges.groupBy("_src").agg(F.count("*").alias("__deg"))
     ranks = nodes.select(F.col("_id"), F.lit(base).alias("score"))
-    e = edges.select("_src", "_dst").join(deg, "_src")
+    # deg/e/dangling are static across iterations — materialize once
+    # instead of re-aggregating the full edge table every round
+    e = edges.select("_src", "_dst").join(deg, "_src") \
+        .localCheckpoint(eager=True)
     dangling = nodes.select("_id").join(
         deg, nodes["_id"] == deg["_src"], "left_anti") \
-        .withColumn("__dang", F.lit(1))
+        .withColumn("__dang", F.lit(1)) \
+        .localCheckpoint(eager=True)
     # dangling-node mass is teleported uniformly (LAGraph-style)
     d_mass = ranks.join(dangling, "_id").agg(
         F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]

@@ -128,12 +128,12 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
     if need_uniq:
         state.append(F.array().cast("array<long>").alias("__vl_eids"))
     if track:
-        state.append(F.array().cast(
-            "array<struct<" + ",".join(
-                f"{f.name}:{f.dataType.simpleString()}"
-                for f in edges.select(edge_struct.alias("x"))
-                              .schema[0].dataType.fields) + ">>"
-        ).alias("__vl_path"))
+        # cast with the DataType object — a DDL string round-trip
+        # breaks on property names that need quoting
+        from pyspark.sql import types as T
+        path_t = T.ArrayType(
+            edges.select(edge_struct.alias("x")).schema[0].dataType)
+        state.append(F.array().cast(path_t).alias("__vl_path"))
     frontier = base.select(*cur_cols, *state)
 
     results: list[DataFrame] = []
@@ -187,10 +187,11 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
     if not results:
         # empty result with correct schema
         results = [frontier.limit(0)]
+    # every accumulated frontier shares the same column set (base
+    # columns + the state columns chosen once above)
     out = results[0]
     for r in results[1:]:
-        out = out.unionByName(r, allowMissingColumns=True) \
-            if set(out.columns) != set(r.columns) else out.unionByName(r)
+        out = out.unionByName(r)
     final = [F.col(c) for c in base.columns] + \
         [F.col("__vl_cur").alias(out_id)]
     if track:

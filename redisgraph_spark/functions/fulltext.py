@@ -285,6 +285,16 @@ def _compile(index: DataFrame, node, id_col: str,
         if not node.children:     # dangling-operator residue: match ∅
             return universe.limit(0) \
                 .select(id_col, F.lit(0.0).alias("score"))
+        # punctuation-only tokens ('!!', ':)') parse to empty FtAnd
+        # markers; RediSearch ignores stray punctuation, so they must
+        # not zero out the conjunction. A query of ONLY such tokens
+        # still matches nothing (the all-dropped case below).
+        children = [c for c in node.children
+                    if not (isinstance(c, FtAnd) and not c.children)]
+        if not children:
+            return universe.limit(0) \
+                .select(id_col, F.lit(0.0).alias("score"))
+        node = FtAnd(children)
         pos = [c for c in node.children
                if not isinstance(c, (FtNot, FtOptional))]
         neg = [c for c in node.children if isinstance(c, FtNot)]

@@ -37,13 +37,18 @@ OFF = {
     "Part": 5_000_000_000_000,
     "Order": 6_000_000_000_000,
 }
-# Per-relation edge-id namespaces.
+# Per-relation edge-id namespaces, 1e16 apart: CONTAINS ids are dense
+# (orderkey*8 + linenumber ≤ 1.2e13 even at SF 100k ≈ 100 TB), so a
+# 1e16 gap keeps every relation's range disjoint with ~1000× headroom.
 EOFF = {
-    "IN_REGION": 10_000_000_000_000,
-    "IN_NATION": 11_000_000_000_000,
-    "PLACED": 12_000_000_000_000,
-    "CONTAINS": 13_000_000_000_000,
-    "SUPPLIED_BY": 14_000_000_000_000,
+    "IN_REGION": 10_000_000_000_000_000,
+    "IN_NATION": 20_000_000_000_000_000,
+    "PLACED": 30_000_000_000_000_000,
+    "CONTAINS": 40_000_000_000_000_000,
+    # SUPPLIED_BY ids are hash-derived (see below): the (partkey,
+    # suppkey) pair can't be densely packed into 64 bits at 100 TB
+    # (partkey ≤ 2e10 × suppkey ≤ 1e9 overflows int64)
+    "SUPPLIED_BY": 1_000_000_000_000_000_000,
 }
 
 
@@ -62,7 +67,10 @@ _BUILD_CACHE: dict = {}
 def tpch_graph(spark: SparkSession, sf_dir: str):
     from redisgraph_spark.graph.graph import Graph
 
-    key = (id(spark), sf_dir)
+    # applicationId (not id(spark)): a new session reusing a freed
+    # session object's address must not hit stale DataFrames bound to
+    # a stopped SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BUILD_CACHE.get(key)
     if cached is not None:
         nodes, edges, count_hints = cached
@@ -127,11 +135,17 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
         "l_suppkey",
     )
+    # hash-derived ids in [1e18, 9e18): deterministic and coordination-
+    # free; collision odds ~(n_pairs)²/2/8e18 ≈ 4e-16 per pair — at SF
+    # 1e5 (~8e10 pairs) a few hundred expected collisions, which only
+    # soften edge-identity dedup for this derived relation (the old
+    # dense partkey*1e6+suppkey encoding COLLIDED deterministically
+    # once suppkey exceeded 1e6, i.e. beyond SF 100)
     supplied_by = (
         lineitem.select("l_partkey", "l_suppkey").distinct().select(
-            (F.col("l_partkey").cast("long") * 1_000_000
-             + F.col("l_suppkey").cast("long")
-             + EOFF["SUPPLIED_BY"]).alias("_id"),
+            (F.abs(F.xxhash64(F.col("l_partkey"), F.col("l_suppkey")))
+             % F.lit(8_000_000_000_000_000_000)
+             + F.lit(EOFF["SUPPLIED_BY"])).alias("_id"),
             (F.col("l_partkey").cast("long") + OFF["Part"]).alias("_src"),
             (F.col("l_suppkey").cast("long") + OFF["Supplier"]).alias("_dst"),
         ))

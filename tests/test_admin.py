@@ -177,6 +177,20 @@ def test_fulltext_or_not_field(spark):
     assert got == [1, 3, 4]
 
 
+def test_fulltext_stray_punctuation_ignored(spark):
+    """Punctuation-only tokens must not zero out the conjunction
+    (RediSearch ignores them); a query of ONLY punctuation matches
+    nothing."""
+    from redisgraph_spark.functions.fulltext import query_index
+    docs, idx = _ft_fixture(spark)
+    with_junk = sorted(r["_id"] for r in
+                       query_index(idx, docs, "red !!").collect())
+    plain = sorted(r["_id"] for r in
+                   query_index(idx, docs, "red").collect())
+    assert with_junk == plain and plain
+    assert query_index(idx, docs, "!! ,").count() == 0
+
+
 def test_fulltext_prefix_fuzzy(spark):
     from redisgraph_spark.functions.fulltext import query_index
     docs, idx = _ft_fixture(spark)

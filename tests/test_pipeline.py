@@ -182,6 +182,22 @@ def test_pagerank_converges(spark):
     assert abs(sum(pr.values()) - 1.0) < 0.2
 
 
+def test_pagerank_node_induced_subgraph(spark):
+    """Edges leaving the node set must not inflate out-degrees or mask
+    dangling status (reference runs on the label-restricted submatrix):
+    with every edge pointing outside, all nodes are dangling and rank
+    stays uniform, summing to 1."""
+    from redisgraph_spark.algorithms.pagerank import pagerank
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["_id"])
+    edges = spark.createDataFrame(
+        [(i, 100 + i) for i in range(4)], ["_src", "_dst"])  # all external
+    pr = {r["_id"]: r["score"]
+          for r in pagerank(nodes, edges, iterations=5).collect()}
+    assert set(pr) == {0, 1, 2, 3}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert max(pr.values()) - min(pr.values()) < 1e-9   # uniform
+
+
 def test_cosine_topk_ivf_recall_on_clusters(spark):
     import random
     from redisgraph_spark.pipeline.similarity import (cosine_topk,
