@@ -404,7 +404,14 @@ class FulltextCatalog:
         if label not in self._index:
             raise ValueError(f"No fulltext index on label {label}")
         from redisgraph_spark.session import inline_df
-        pairs = [(t, _WORD_RE.findall(t.lower())[0]) for t in terms]
+        pairs = []
+        for t in terms:
+            toks = _WORD_RE.findall(t.lower())
+            if not toks:
+                raise ValueError(
+                    f"query_many requires simple alphanumeric terms; "
+                    f"got no tokens in {t!r}")
+            pairs.append((t, toks[0]))
         tdf = inline_df(self.graph.spark, pairs,
                         [("__ft_term", "string"), ("__ft_tok", "string")])
         idx = self._index[label]

@@ -1664,3 +1664,12 @@ _FN_ARITY: dict[str, tuple[int, int | None]] = {
     "tostring": (1, 1),
     "todecimal": (1, 2),
 }
+
+# _FN_ARITY is a hand-maintained parallel table; a handler added without
+# an entry would skip arity validation and leak raw IndexErrors to
+# users. Fail at import time instead.
+_missing_arity = [n[4:] for n in dir(ExprCompiler)
+                  if n.startswith("_fn_") and n[4:] not in _FN_ARITY]
+assert not _missing_arity, \
+    f"_fn_* handlers missing _FN_ARITY entries: {_missing_arity}"
+del _missing_arity

@@ -147,10 +147,13 @@ def stream_into_graph(stream: DataFrame, graph, rel: str,
         key = (checkpoint, rel, batch_id)
         if key in seen:
             return
+        # pmod keeps the id in [3e16, ~8.03e18] — abs()+offset would
+        # overflow int64 (ANSI ARITHMETIC_OVERFLOW, ~0.33% of rows)
+        # whenever |hash| lands within 3e16 of Long.MAX.
         edges = batch_df.select(
-            (F.abs(F.xxhash64(
+            (F.pmod(F.xxhash64(
                 F.lit(batch_id), F.monotonically_increasing_id(),
-                *batch_df.columns))
+                *batch_df.columns), F.lit(8_000_000_000_000_000_000))
              + 30_000_000_000_000_000).alias("_id"),
             F.col(src_col).cast("long").alias("_src"),
             F.col(dst_col).cast("long").alias("_dst"))

@@ -85,6 +85,33 @@ def test_stream_into_graph(spark, event_dir):
         .collect()[0]["n"] == 5
 
 
+def test_stream_edge_ids_no_overflow(spark):
+    """Edge-id expression must stay inside int64 under ANSI mode: with
+    the old abs(xxhash64)+3e16 form ~0.33% of rows overflowed, so a
+    3000-row batch failed with ARITHMETIC_OVERFLOW w.p. >99.99%."""
+    from redisgraph_spark import Graph
+    from redisgraph_spark.streaming.stream import (read_event_stream,
+                                                   stream_into_graph)
+    d = tempfile.mkdtemp(prefix="rgstreambig")
+    with open(f"{d}/part1.json", "w") as f:
+        for i in range(3000):
+            f.write(json.dumps({
+                "event_id": i, "ts": "2024-01-01T10:00:00",
+                "user_id": i % 7, "event_type": "click",
+                "value": float(i), "props": "{}"}) + "\n")
+    g = Graph(spark, {}, {})
+    ckpt = tempfile.mkdtemp(prefix="rgckptbig")
+    q = stream_into_graph(read_event_stream(spark, d), g,
+                          "DID", "user_id", "event_id", ckpt)
+    q.awaitTermination()
+    edges = g.edge_tables["DID"]
+    assert edges.count() == 3000
+    from pyspark.sql import functions as F
+    bad = edges.filter((F.col("_id") < 30_000_000_000_000_000)
+                       | (F.col("_id") > 8_030_000_000_000_000_000))
+    assert bad.count() == 0
+
+
 def test_custom_stateful_operator(spark, event_dir):
     from redisgraph_spark.streaming.stream import (read_event_stream,
                                                    running_user_stats)
