@@ -80,19 +80,28 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 20,
 
 def pagerank_proc(planner, args: list[A.Expr]):
     """CALL algo.pageRank(label, relType) YIELD node, score — signature
-    parity with proc_pagerank.c."""
+    parity with proc_pagerank.c. Additive extension: the label argument
+    also accepts a LIST of labels (the reference's single-label
+    submatrix generalized to a label-set-induced subgraph — cross-label
+    relations like Nation→Region are otherwise unrankable, every edge
+    leaving the single label's node set)."""
     g = planner.graph
 
     def _s(e):
         if isinstance(e, A.Literal):
             return e.value
+        if isinstance(e, A.ListLiteral):
+            return [_s(x) for x in e.items]
         if isinstance(e, A.Parameter):
             return planner.params[e.name]
         raise ValueError("algo.pageRank args must be literals")
 
     label = _s(args[0]) if args else None
     rel = _s(args[1]) if len(args) > 1 else None
-    nodes = g.nodes([label] if label else None)
+    if isinstance(label, list):
+        nodes = g.nodes(label)
+    else:
+        nodes = g.nodes([label] if label else None)
     edges = g.edges([rel] if rel else None)
     pr = pagerank(nodes.select("_id"), edges.select("_src", "_dst"))
     node_struct = nodes.select(

@@ -28,6 +28,18 @@ from pyspark.sql import functions as F
 # bounds depth by |E|, this just caps runaway local tests.
 MAX_UNBOUNDED_HOPS = 32
 
+# Frontier-broadcast gate: hint-broadcast the frontier side of a hop
+# join only when the statistics-estimated frontier size (start_rows ×
+# avg_degree^hops × bytes/row, ×4 hub-skew margin) stays under this.
+# Catalyst left alone broadcasts the EDGE side (it has stats for the
+# checkpointed projection but none for the frontier) — correct at
+# 100 TB where neither side fits, but backwards when the frontier is a
+# few thousand ids and the edge table is millions of rows: a frontier
+# hash relation builds in ms and probes the edge table in place. The
+# estimate assumes worst-case (nothing pruned) width and a 4× hub-skew
+# margin, so the realized relation is typically ≪ this bound.
+BROADCAST_FRONTIER_BYTES = 64 * 1024 * 1024
+
 
 def oriented_edges(edge_df: DataFrame, direction: str,
                    from_col: str, to_col: str) -> DataFrame:
@@ -74,6 +86,117 @@ def slim_projection(edges: DataFrame, from_col: str, to_col: str,
     return edges.select(esel)
 
 
+def _gate_broadcast(frontier: DataFrame, hop: int, need_uniq: bool,
+                    start_rows: int | None,
+                    avg_degree: float | None) -> DataFrame:
+    """Hint-broadcast the frontier entering hop `hop` when the
+    statistics estimate says its hash relation is small (see
+    BROADCAST_FRONTIER_BYTES); otherwise leave the join strategy to
+    Catalyst (which at scale correctly shuffles both sides)."""
+    if start_rows is None or avg_degree is None:
+        return frontier
+
+    def _leaves(dt) -> int:
+        fields = getattr(dt, "fields", None)
+        if fields is None:
+            return 1
+        return sum(_leaves(f.dataType) for f in fields)
+
+    # bytes/row: ~12 per leaf field the frontier carries (worst case:
+    # nothing pruned), plus the growing uniqueness array when carried
+    row_bytes = 12 * _leaves(frontier.schema) \
+        + (8 * hop if need_uniq else 0)
+    est = start_rows * (avg_degree ** (hop - 1)) * row_bytes * 4
+    return F.broadcast(frontier) if est < BROADCAST_FRONTIER_BYTES \
+        else frontier
+
+
+def _stop_augmented(e: DataFrame, from_col: str,
+                    ckpt_cache: dict | None,
+                    cache_key: tuple | None) -> DataFrame | None:
+    """Edge projection augmented with absorbing stop-states: for every
+    node v reachable as a hop destination, rows (v → ⊥v) and (⊥v → ⊥v)
+    with ⊥v = -v-1. A path in the single-cascade expansion may take the
+    stop transition once it has satisfied min_hops and then rides the
+    deterministic ⊥ self-loop to the end of the cascade — so every
+    admissible prefix length falls out of ONE join pipeline instead of
+    a union that re-evaluates each shorter chain.
+
+    The ⊥ encoding requires the real id space to be non-negative (so
+    ⊥ ids can never collide with a live id); returns None when the edge
+    projection contains a negative id and the caller falls back to the
+    prefix-union plan. The stop table is checkpointed once per
+    (relation set, direction, graph version) alongside the slim
+    projection it derives from."""
+    key = None if cache_key is None else ("vlstop",) + cache_key
+    if ckpt_cache is not None and key is not None and key in ckpt_cache:
+        stops = ckpt_cache[key]
+    else:
+        lo = e.select(F.least(F.min(from_col), F.min("__vl_next"))
+                      .alias("lo")).collect()[0]["lo"]
+        if lo is not None and lo < 0:
+            stops = None
+        else:
+            bot = (-F.col("__v") - 1).cast("long")
+            stops = e.select(F.col("__vl_next").alias("__v")) \
+                .dropDuplicates() \
+                .select(F.explode(F.array(
+                    F.struct(F.col("__v").cast("long").alias(from_col),
+                             bot.alias("__vl_next")),
+                    F.struct(bot.alias(from_col),
+                             bot.alias("__vl_next")))).alias("__s")) \
+                .select("__s.*") \
+                .localCheckpoint(eager=True)
+        if ckpt_cache is not None and key is not None:
+            ckpt_cache[key] = stops
+    if stops is None:
+        return None
+    return e.select(F.col(from_col).cast("long").alias(from_col),
+                    F.col("__vl_next").cast("long").alias("__vl_next")) \
+        .unionByName(stops)
+
+
+def _cascade_expand(base: DataFrame, frontier: DataFrame, e: DataFrame,
+                    min_hops: int, max_hops: int, out_id: str,
+                    from_col: str, ckpt_cache: dict | None,
+                    cache_key: tuple | None,
+                    start_rows: int | None,
+                    avg_degree: float | None) -> DataFrame | None:
+    """Bounded anonymous ``[*min..max]`` as one join cascade.
+
+    Hops ≤ max(min,1) join the real edge projection (the path must
+    advance); later hops join the stop-augmented projection, so a path
+    may halt at any admissible length and is carried to the end by the
+    absorbing ⊥ transitions. min=0 contributes the untouched base rows
+    by union (no join subtree duplicated). Returns None when the stop
+    encoding is unavailable (negative ids in the graph)."""
+    must = max(min_hops, 1)
+    e_plus = None
+    if max_hops > must:
+        e_plus = _stop_augmented(e, from_col, ckpt_cache, cache_key)
+        if e_plus is None:
+            return None
+    keep = [F.col(c) for c in base.columns]
+    cur = frontier
+    for hop in range(1, max_hops + 1):
+        side = e if hop <= must else e_plus
+        probe = _gate_broadcast(cur, hop, False, start_rows, avg_degree)
+        cur = probe.join(side, cur["__vl_cur"] == side[from_col],
+                         "inner") \
+            .select(*keep, F.col("__vl_next").alias("__vl_cur"))
+    end = F.col("__vl_cur")
+    if e_plus is not None:
+        # ⊥ ids appear only when stop transitions were in play (and the
+        # gate then guarantees real ids are non-negative)
+        end = F.when(end < 0, -end - 1).otherwise(end)
+    out = cur.select(*keep, end.alias(out_id))
+    if min_hops == 0:
+        zero = frontier.select(
+            *keep, F.col("__vl_cur").alias(out_id))
+        out = zero.unionByName(out) if max_hops > 0 else zero
+    return out
+
+
 def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
                    min_hops: int, max_hops: int | None,
                    out_id: str, out_edges: str | None,
@@ -81,7 +204,9 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
                    edge_struct: Column | None = None,
                    ckpt_cache: dict | None = None,
                    cache_key: tuple | None = None,
-                   hop_cap: int | None = None) -> DataFrame:
+                   hop_cap: int | None = None,
+                   start_rows: int | None = None,
+                   avg_degree: float | None = None) -> DataFrame:
     """Expand ``base`` along ``edges`` for ``min_hops..max_hops``.
 
     base       — input records (any columns; preserved on output)
@@ -136,6 +261,19 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
         state.append(F.array().cast(path_t).alias("__vl_path"))
     frontier = base.select(*cur_cols, *state)
 
+    if not need_uniq:
+        # bounded anonymous expansion: single join cascade with
+        # absorbing stop-states instead of a union of per-hop prefix
+        # chains (which re-evaluates every shorter chain — hop 1's join
+        # appears once per longer hop in the union plan). None = stop
+        # encoding unavailable (negative ids); fall through to the
+        # prefix-union plan below.
+        cascade = _cascade_expand(base, frontier, e, min_hops, max_hops,
+                                  out_id, from_col, ckpt_cache,
+                                  cache_key, start_rows, avg_degree)
+        if cascade is not None:
+            return cascade
+
     results: list[DataFrame] = []
     if min_hops == 0:
         results.append(frontier)
@@ -153,7 +291,9 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
     truncated = False
     while hop < cap:
         hop += 1
-        joined = frontier.join(e, frontier["__vl_cur"] == e[from_col], "inner")
+        probe = _gate_broadcast(frontier, hop, need_uniq,
+                                start_rows, avg_degree)
+        joined = probe.join(e, frontier["__vl_cur"] == e[from_col], "inner")
         keep = [F.col(c) for c in base.columns]
         nxt_cols = [F.col("__vl_next").alias("__vl_cur")]
         if need_uniq:

@@ -157,7 +157,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
                       n: int = 3, threshold: float | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
                       shingle: str = "word",
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      sig: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     bands=8 × rows=4 over 32 hashes ⇒ collision prob ≈ 1-(1-s^4)^8
@@ -170,12 +171,16 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
     ids, not arrays.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col,
-                             shingle, hash_fn)
-    # sig feeds the banding AND both post-dedup signature rejoins —
-    # materialize once instead of recomputing the shingle+minhash
-    # pipeline three times (signatures are tiny: ids + 32 longs)
-    sig = sig.localCheckpoint(eager=True)
+    if sig is None:
+        sig = minhash_signatures(docs, num_hashes, n, text_col, id_col,
+                                 shingle, hash_fn)
+        # sig feeds the banding AND both post-dedup signature rejoins —
+        # materialize once instead of recomputing the shingle+minhash
+        # pipeline three times (signatures are tiny: ids + 32 longs).
+        # Callers that reuse a corpus can pass a pre-checkpointed `sig`
+        # (build-once index, like the reference building its relation
+        # matrices at graph load) and skip this materialization.
+        sig = sig.localCheckpoint(eager=True)
     band_structs = ", ".join(
         "named_struct('band', {b}, 'bucket', xxhash64({cols}))".format(
             b=bi, cols=", ".join(f"sig[{bi * rows + ri}]"
@@ -325,15 +330,27 @@ def paragraph_dedup(docs: DataFrame, min_len: int = 1,
 
     One explode + one groupBy on the paragraph key + one re-group by
     doc — three linear shuffles, no pairwise comparison anywhere, so
-    it scales to any corpus the cluster can shuffle."""
+    it scales to any corpus the cluster can shuffle.
+
+    Skew shape: boilerplate paragraphs ("Introduction", license
+    headers) are massive hot keys at corpus scale, so nothing ever
+    shuffles on the raw paragraph: ownership groups on a 128-bit
+    paragraph fingerprint (two independent xxhash64 lanes — collision
+    odds ~2^-128·n², nil at any corpus size), the min() aggregate
+    combines map-side, and the ownership join keys on
+    (fingerprint, doc_id) — a hot paragraph's rows carry distinct doc
+    ids, so they spread across reducers instead of piling onto the
+    fingerprint's partition."""
     parts = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep))
         .alias("_pos", "_para")) \
-        .filter(F.length("_para") >= min_len)
-    owner = parts.groupBy("_para").agg(F.min(id_col).alias("_owner"))
-    kept = parts.join(owner, "_para") \
-        .filter(F.col(id_col) == F.col("_owner"))
+        .filter(F.length("_para") >= min_len) \
+        .withColumn("_pk1", F.xxhash64("_para")) \
+        .withColumn("_pk2", F.xxhash64(F.lit(1), F.col("_para")))
+    owner = parts.groupBy("_pk1", "_pk2") \
+        .agg(F.min(id_col).alias(id_col))
+    kept = parts.join(owner, ["_pk1", "_pk2", id_col])
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -50,6 +50,16 @@ class Ctx:
     # edge reuse inside one clause is VariableAlreadyBound, reuse of an
     # earlier-clause binding is an identity constraint
     clause_bound: frozenset = frozenset()
+    # statistics breadcrumbs, both keyed by id(df) so ANY later operator
+    # that replaces df invalidates them automatically:
+    # (id(df), metadata row count) when df is a pristine label scan —
+    # lets the var-len expansion cost its frontier with graph statistics
+    # (the reference costs traversals with matrix nvals, graph.h:72-77)
+    scan_info: tuple | None = None
+    # (id(df), paths_df, end_id_col, n_sel, nid_col, target_var) set by
+    # the var-len node bind; _project_agg uses it to push a partial
+    # count below the bind join when only the target is referenced
+    vl_bind: tuple | None = None
 
 
 def _walk(e):
@@ -830,6 +840,10 @@ class CypherPlanner:
         sdf = flat.select(struct)
         if ctx.df is None:
             ctx.df = sdf
+            # pristine-scan label set; a var-len hop resolves it to a
+            # metadata row count (reduceCount counters) to cost its
+            # frontier. Invalidated by identity once anything rewrites df.
+            ctx.scan_info = (id(ctx.df), tuple(np.labels or ()))
         else:
             ctx.df = ctx.df.crossJoin(sdf)
         ctx.vars[name] = VarInfo("node", props)
@@ -1030,12 +1044,36 @@ class CypherPlanner:
             cache_key = TRAV.slim_cache_key(
                 rel.types, rel.direction, out_edges is not None,
                 rel.max_hops is None, self.graph._version)
+        # frontier cost model from graph statistics (reduceCount
+        # counters — the analog of the reference costing traversals by
+        # matrix nvals): |frontier at hop k| ≈ start_rows · avg_degree^k.
+        # Known only when the base is a pristine label scan (or the
+        # free-seed case, bounded by the node count); lets the expansion
+        # broadcast small frontiers instead of the edge table.
+        start_rows = None
+        avg_degree = None
+        try:
+            if prev[0] == "free" and ctx.df is None:
+                start_rows = self.graph.node_count(None)
+            elif ctx.scan_info is not None and ctx.df is not None \
+                    and ctx.scan_info[0] == id(ctx.df):
+                labels = ctx.scan_info[1] or (None,)
+                start_rows = sum(self.graph.node_count(l) for l in labels)
+            if start_rows is not None:
+                types = rel.types or (None,)
+                n_edges = sum(self.graph.edge_count(t) for t in types)
+                if rel.direction == "both":
+                    n_edges *= 2
+                avg_degree = n_edges / max(1, self.graph.node_count(None))
+        except Exception:
+            start_rows = avg_degree = None
         ctx.df = TRAV.var_len_expand(
             base, start_col, oriented,
             rel.min_hops, rel.max_hops, out_id, out_edges,
             from_col=from_c, to_col=to_c, edge_struct=struct,
             ckpt_cache=self.graph._scan_cache, cache_key=cache_key,
-            hop_cap=int(self.graph.config_get("MAX_UNBOUNDED_HOPS")))
+            hop_cap=int(self.graph.config_get("MAX_UNBOUNDED_HOPS")),
+            start_rows=start_rows, avg_degree=avg_degree)
         if prev[0] == "free":
             ctx.df = ctx.df.drop("__vseed")
         elif prev[0] == "col":
@@ -1078,8 +1116,13 @@ class CypherPlanner:
         n_sel = flat.select(
             F.struct(*[F.col(c) for c in flat.columns]).alias(tgt),
             F.col("_id").alias(nid))
+        paths_df = ctx.df
         ctx.df = ctx.df.join(n_sel, F.col(out_id) == F.col(nid), "inner") \
                        .drop(out_id, nid)
+        # breadcrumb for _project_agg's partial-count pushdown; valid
+        # only while ctx.df IS this exact join result (identity check) —
+        # any later filter/join/projection replaces df and voids it
+        ctx.vl_bind = (id(ctx.df), paths_df, out_id, n_sel, nid, tgt)
         ctx.vars[tgt] = VarInfo("node", nprops)
         comp = self.compiler(ctx)
         for k, v in node.props:
@@ -1609,10 +1652,40 @@ class CypherPlanner:
             agg_pairs.append((n, name))
             agg_cols.append(self._compile_agg(n, comp).alias(name))
 
+        # Partial-count pushdown below the var-len node-bind join: when
+        # the aggregate-RETURN immediately follows a var-len expansion's
+        # endpoint bind (ctx.vl_bind identity holds), references ONLY the
+        # bound endpoint, and every aggregate is count(*), group the path
+        # rows by endpoint id FIRST and join the (much smaller) per-node
+        # counts to the node table — count(*) then becomes sum(partial).
+        # The reference gets this for free from its matrix formulation
+        # (a frontier vector of multiplicities); in Spark it turns a
+        # |paths|-row join probe into a ≤|V|-row one.
+        agg_input = ctx.df
+        count_star_col = None
+        if ctx.vl_bind is not None and ctx.vl_bind[0] == id(ctx.df) \
+                and agg_nodes \
+                and all(isinstance(n, A.CountStar) for n in agg_nodes):
+            _, paths_df, end_id, n_sel, nid, tgt = ctx.vl_bind
+            refs_ok = all(
+                v.name == tgt
+                for it in items for v in _walk(it.expr)
+                if isinstance(v, A.Variable))
+            if refs_ok:
+                pre = paths_df.groupBy(end_id).agg(
+                    F.count(F.lit(1)).alias("__vl_precnt"))
+                agg_input = pre.join(
+                    n_sel, F.col(end_id) == F.col(nid), "inner") \
+                    .drop(end_id, nid)
+                count_star_col = F.sum("__vl_precnt")
+                agg_cols = [(count_star_col if key_cols else
+                             F.coalesce(count_star_col, F.lit(0)))
+                            .alias(name) for _, name in agg_pairs]
+
         if key_cols:
-            gdf = ctx.df.groupBy(*key_cols).agg(*agg_cols)
+            gdf = agg_input.groupBy(*key_cols).agg(*agg_cols)
         else:
-            gdf = ctx.df.agg(*agg_cols)
+            gdf = agg_input.agg(*agg_cols)
 
         post = _PostAggCompiler(
             gdf, {a: VarInfo("scalar") for _, a in key_items},

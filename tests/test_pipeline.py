@@ -198,6 +198,27 @@ def test_pagerank_node_induced_subgraph(spark):
     assert max(pr.values()) - min(pr.values()) < 1e-9   # uniform
 
 
+def test_pagerank_nation_region_constants(spark):
+    """Pins the exact 20-iteration doubles on the 25→5 bipartite shape
+    that q_pagerank's contract oracle asserts to 6 decimals: sources
+    all share one score, sinks another, both given by the recurrence
+      n' = (1-d)/N + d·dmass/N
+      r' = (1-d)/N + d·(5·n + dmass/N),  dmass = 5·r,  N = 30, d = .85
+    (every summed contribution is an identical double, so the result
+    is FP-order independent)."""
+    from redisgraph_spark.algorithms.pagerank import pagerank
+    nodes = spark.createDataFrame([(i,) for i in range(30)], ["_id"])
+    # 25 sources (ids 5..29) → 5 sinks (ids 0..4), 5 sources each
+    edges = spark.createDataFrame(
+        [(i, i % 5) for i in range(5, 30)], ["_src", "_dst"])
+    pr = {r["_id"]: r["score"]
+          for r in pagerank(nodes, edges, iterations=20).collect()}
+    for i in range(5, 30):
+        assert pr[i] == 0.019526168371116082, pr[i]
+    for i in range(5):
+        assert pr[i] == 0.1023691581444196, pr[i]
+
+
 def test_cosine_topk_ivf_recall_on_clusters(spark):
     import random
     from redisgraph_spark.pipeline.similarity import (cosine_topk,
@@ -504,6 +525,37 @@ def test_paragraph_dedup(spark):
     got = {r["doc_id"]: r["text"]
            for r in paragraph_dedup(docs).collect()}
     assert got == {1: "A\nB\nC", 2: "D", 3: "E"}
+
+
+def test_paragraph_dedup_hot_key_skew(spark):
+    """Boilerplate hot paragraphs (10% duplication) must neither skew
+    the shuffle nor break ownership: nothing may shuffle or join on the
+    raw paragraph string — the ownership join keys on the 128-bit
+    fingerprint + doc id, which spreads a hot paragraph's rows across
+    documents."""
+    from redisgraph_spark.pipeline.dedup import paragraph_dedup
+    rows = []
+    for i in range(1, 501):
+        paras = [f"unique-{i}-{j}" for j in range(3)]
+        if i % 10 != 1:          # 90% of docs carry the boilerplate
+            paras.insert(0, "COMMON LICENSE HEADER")
+        rows.append((i, "\n".join(paras)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = paragraph_dedup(docs)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert len(got) == 500                      # every doc keeps uniques
+    # the hot paragraph survives only in the lowest id that has it (2)
+    owners = [d for d, t in got.items()
+              if "COMMON LICENSE HEADER" in t.split("\n")]
+    assert owners == [2]
+    assert got[2].split("\n")[0] == "COMMON LICENSE HEADER"  # order kept
+    # plan: every exchange partitions on fingerprints/ids, never the
+    # raw paragraph string
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_para#" not in line.split("hashpartitioning", 1)[1] \
+                .split(")", 1)[0] + ")", line
 
 
 def test_wcc_star_via_procedure(social):
