@@ -1252,6 +1252,82 @@ def _p_text_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _p_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality signals (Rae et al. 2021 §A1.1) — word
+    stats, line-repetition ratios, top-2-gram repetition. Every ratio
+    is a single division of exact integer aggregates, so the DuckDB
+    oracle reproduces the doubles bit-for-bit before the 1e-6 round."""
+    from redisgraph_spark.pipeline.text import gopher_quality
+    q = gopher_quality(_docs(spark, sf_dir))
+
+    def r6(c):
+        return (F.round(F.col(c) * 1e6) / 1e6).alias(c)
+
+    return q.select(
+        "doc_id", "n_words", r6("mean_word_len"),
+        r6("symbol_word_ratio"), r6("frac_alpha_words"), "n_lines",
+        r6("frac_dup_lines"), r6("frac_dup_line_chars"),
+        r6("top_2gram_char_frac")).orderBy("doc_id")
+
+
+_GOPHER_QUALITY_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w <> '') AS ws,
+             list_filter(string_split(text, chr(10)),
+                         l -> l <> '') AS ls,
+             greatest(length(text), 1) AS chars
+      FROM documents
+    ), wstat AS (
+      SELECT doc_id,
+        len(ws) AS n_words,
+        coalesce(list_sum(list_transform(ws, w -> length(w))), 0) * 1.0
+          / greatest(len(ws), 1) AS mean_word_len,
+        ((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3) * 1.0
+          / greatest(len(ws), 1) AS symbol_word_ratio,
+        len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0
+          / greatest(len(ws), 1) AS frac_alpha_words,
+        chars
+      FROM base
+    ), lcnt AS (
+      SELECT doc_id, l, count(*) AS c
+      FROM (SELECT doc_id, unnest(ls) AS l FROM base) GROUP BY 1, 2
+    ), lstat AS (
+      SELECT doc_id, sum(c) AS n_lines,
+        (sum(c) - count(*)) * 1.0 / sum(c) AS frac_dup_lines,
+        coalesce(sum(CASE WHEN c >= 2 THEN c * length(l) END), 0) * 1.0
+          / greatest(sum(c * length(l)), 1) AS frac_dup_line_chars
+      FROM lcnt GROUP BY 1
+    ), gcnt AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+        FROM base, unnest(range(1, len(ws))) AS t(i)
+      ) GROUP BY 1, 2
+    ), gtop AS (
+      SELECT doc_id, c, length(g) AS gl, row_number() OVER (
+        PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+      FROM gcnt
+    )
+    SELECT w.doc_id, w.n_words,
+           round(1e6 * w.mean_word_len) / 1e6 AS mean_word_len,
+           round(1e6 * w.symbol_word_ratio) / 1e6 AS symbol_word_ratio,
+           round(1e6 * w.frac_alpha_words) / 1e6 AS frac_alpha_words,
+           coalesce(l.n_lines, 0) AS n_lines,
+           round(1e6 * coalesce(l.frac_dup_lines, 0)) / 1e6
+             AS frac_dup_lines,
+           round(1e6 * coalesce(l.frac_dup_line_chars, 0)) / 1e6
+             AS frac_dup_line_chars,
+           round(1e6 * coalesce(g.c * g.gl * 1.0 / w.chars, 0)) / 1e6
+             AS top_2gram_char_frac
+    FROM wstat w
+    LEFT JOIN lstat l ON l.doc_id = w.doc_id
+    LEFT JOIN (SELECT * FROM gtop WHERE rn = 1) g ON g.doc_id = w.doc_id
+    ORDER BY w.doc_id
+    """
+
+
 def _p_bpe_tokens(spark, sf_dir):
     from redisgraph_spark.pipeline.text import bpe_token_count
     return _docs(spark, sf_dir).select(
@@ -1802,6 +1878,16 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         ORDER BY doc_a, doc_b
         """),
 
+    # SF-DEPENDENCE NOTE (applies to p_minhash_lsh, p_simhash,
+    # p_minhash_verified, p_cosine_topk_lsh, p_cosine_topk_ivf): these
+    # oracles rest on corpus-MEASURED equivalences (candidate recall
+    # 1.0 / identical candidate sets at the sf0.01 contract corpus),
+    # not on construction. At a different scale factor a hash-dependent
+    # recall drop would surface as a value mismatch here — that is a
+    # RECALL property of the approximate generator at those settings,
+    # not an engine correctness bug; pytest recall tests cover the
+    # low-recall regimes directly.
+    #
     # xxhash64 and md5 LSH produce the SAME candidate set on this
     # corpus (both threshold-verified at est≥0.5 and every true pair
     # sits far above the threshold — measured identical 25-pair sets
@@ -1875,6 +1961,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         """),
 
     "p_lang_guess": (_p_lang_guess, _lang_guess_oracle()),
+    # Gopher-rule quality signals (word/line/2-gram repetition ratios)
+    "p_gopher_quality": (_p_gopher_quality, _GOPHER_QUALITY_ORACLE),
     # same RE2-compatible split pattern evaluated by BOTH engines
     "p_bpe_tokens": (_p_bpe_tokens, _bpe_tokens_oracle()),
 

@@ -422,6 +422,10 @@ class Graph:
                 oriented, "__vlf", "__vlt", need_uniq=False, track=False,
                 edge_struct=None).localCheckpoint(eager=True)
             self._scan_cache[key] = e
+        # the absorbing stop-state table the single-cascade [*min..max]
+        # plan unions past min_hops — same build-at-load treatment
+        TRAV._stop_augmented(self._scan_cache[key], "__vlf",
+                             self._scan_cache, key)
         return self
 
     # ---------------------------------------------------------------- stats

@@ -218,6 +218,99 @@ def winnow_pairs(docs: DataFrame, min_shared: int = 2, k: int = 8,
         .filter(F.col("shared_fps") >= min_shared)
 
 
+# ------------------------------------------- Gopher-style quality signals
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021 §A1.1, the standard
+    pretraining-corpus filter set). Per document:
+
+      n_words             whitespace tokens
+      mean_word_len       chars-in-words / words
+      symbol_word_ratio   (#'#' + #'...') / words (non-overlapping
+                          occurrence counts via the replace trick)
+      frac_alpha_words    words containing ≥1 [a-zA-Z] / words
+      n_lines             non-empty '\\n' lines
+      frac_dup_lines      excess duplicate line occurrences / lines
+                          = (n_lines − distinct_lines) / n_lines
+      frac_dup_line_chars chars in lines occurring ≥2× (all
+                          occurrences) / chars in all lines
+      top_2gram_char_frac count(top word 2-gram) × len(gram) /
+                          max(len(text), 1); ties break to the
+                          lexicographically smallest gram
+
+    Scale shape: word signals are per-row array folds (no shuffle);
+    line and 2-gram repetition go through explode → (doc, key) count →
+    per-doc aggregate — two key-partitioned shuffles, never a per-row
+    O(len²) fold, so a 100k-line document costs the same per-row work
+    as a 10-line one. Every formula is reproducible in ANSI SQL (the
+    contract oracle runs the same CTEs in DuckDB).
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w)).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    symbols = (_count_occurrences(t, "#")
+               + _count_occurrences(t, "...")).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        (word_chars.cast("double")
+         / F.greatest(n_words, F.lit(1))).alias("mean_word_len"),
+        (symbols.cast("double")
+         / F.greatest(n_words, F.lit(1))).alias("symbol_word_ratio"),
+        (n_alpha.cast("double")
+         / F.greatest(n_words, F.lit(1))).alias("frac_alpha_words"),
+        F.greatest(F.length(t), F.lit(1)).alias("__chars"),
+        words.alias("__ws"),
+        F.filter(F.split(t, r"\n"), lambda l: l != "").alias("__ls"))
+
+    lines = base.select(id_col, F.explode("__ls").alias("__l"))
+    lcnt = lines.groupBy(id_col, "__l").agg(F.count(F.lit(1)).alias("c"))
+    lstat = lcnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        ((F.sum("c") - F.count(F.lit(1))).cast("double")
+         / F.sum("c")).alias("frac_dup_lines"),
+        (F.coalesce(F.sum(F.when(F.col("c") >= 2,
+                                 F.col("c") * F.length("__l"))), F.lit(0))
+         .cast("double")
+         / F.greatest(F.sum(F.col("c") * F.length("__l")), F.lit(1)))
+        .alias("frac_dup_line_chars"))
+
+    grams = base.select(
+        id_col,
+        F.explode(F.expr(
+            # sequence(1, 0) counts DOWN in Spark — empty-array guard
+            # for 0/1-word docs instead of a descending range
+            "if(size(__ws) < 2, array(),"
+            " transform(sequence(1, size(__ws) - 1),"
+            "  i -> concat_ws(' ', slice(__ws, i, 2))))")).alias("g"))
+    gcnt = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    # deterministic mode: min over (−count, gram) = max count, then
+    # lexicographically smallest gram
+    gtop = gcnt.groupBy(id_col).agg(F.min(F.struct(
+        (-F.col("c")).alias("nc"), F.col("g").alias("g"))).alias("t")) \
+        .select(id_col, (-F.col("t.nc")).alias("__tc"),
+                F.length(F.col("t.g")).alias("__tl"))
+
+    return base.drop("__ws", "__ls") \
+        .join(lstat, id_col, "left") \
+        .join(gtop, id_col, "left") \
+        .select(
+            id_col, "n_words", "mean_word_len", "symbol_word_ratio",
+            "frac_alpha_words",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("frac_dup_lines"), F.lit(0.0))
+            .alias("frac_dup_lines"),
+            F.coalesce(F.col("frac_dup_line_chars"), F.lit(0.0))
+            .alias("frac_dup_line_chars"),
+            F.coalesce((F.col("__tc") * F.col("__tl")).cast("double")
+                       / F.col("__chars"), F.lit(0.0))
+            .alias("top_2gram_char_frac"))
+
+
 # GPT-2-style pre-tokenizer approximation, restricted to RE2-compatible
 # syntax (no lookahead) so the DuckDB oracle evaluates the SAME pattern:
 # contractions | space+letters | space+digits | space+punct-run | spaces

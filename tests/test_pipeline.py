@@ -558,6 +558,28 @@ def test_paragraph_dedup_hot_key_skew(spark):
                 .split(")", 1)[0] + ")", line
 
 
+def test_gopher_quality_hand_computed(spark):
+    from redisgraph_spark.pipeline.text import gopher_quality
+    docs = spark.createDataFrame([
+        (1, "aa bb aa\nline one\nline one\n##"),
+        (2, "x"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
+    d1 = got[1]
+    assert d1["n_words"] == 8
+    assert d1["mean_word_len"] == 22 / 8
+    assert d1["symbol_word_ratio"] == 2 / 8          # two '#'
+    assert d1["frac_alpha_words"] == 7 / 8           # '##' has no alpha
+    assert d1["n_lines"] == 4
+    assert d1["frac_dup_lines"] == 1 / 4             # one excess 'line one'
+    assert abs(d1["frac_dup_line_chars"] - 16 / 26) < 1e-12
+    assert abs(d1["top_2gram_char_frac"] - 2 * 8 / 29) < 1e-12
+    d2 = got[2]
+    assert (d2["n_words"], d2["n_lines"]) == (1, 1)
+    assert d2["frac_dup_lines"] == 0.0
+    assert d2["top_2gram_char_frac"] == 0.0          # no 2-grams
+
+
 def test_wcc_star_via_procedure(social):
     got = social.query(
         "CALL algo.wcc('star') YIELD node, component "

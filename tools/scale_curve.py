@@ -1,0 +1,102 @@
+"""Scale curve for the document-pipeline operators.
+
+Builds an ~sf1 documents corpus by replicating sf0.1 10× (each replica
+gets remapped doc ids and a per-replica consonant translate, so
+replicas are DISTINCT texts and the near-duplicate density — pairs per
+document — stays constant instead of every doc gaining 9 clones), then
+times the contract entries at sf0.1 and at the replicated scale.
+Sub-linear wall growth at 10× the rows is the pass criterion recorded
+in docs/SCALE.md.
+
+Usage: python tools/scale_curve.py [entry ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale_sf1"
+REPLICAS = 10
+# one consonant rotation per replica: bijective translates, so shingle
+# sets across replicas are disjoint but every intra-replica duplicate
+# relationship is preserved verbatim
+ALPHA = "bcdfghjklmnpqrstvwz"
+
+DEFAULT = ["p_dedup_exact", "p_minhash_lsh", "p_minhash_verified",
+           "p_decontaminate", "p_paragraph_dedup", "p_winnow"]
+
+WARM_RUNS = 2
+
+
+def build_corpus(spark) -> None:
+    from pyspark.sql import functions as F
+    if os.path.exists(os.path.join(DST, "_built")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        link = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for i in range(REPLICAS):
+        rep = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
+        if i:
+            rot = ALPHA[i:] + ALPHA[:i]
+            rep = rep.withColumn("text", F.translate("text", ALPHA, rot))
+        parts.append(rep)
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+    open(os.path.join(DST, "_built"), "w").write("ok")
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    import __spark_entry__ as em
+    from redisgraph_spark import get_spark
+    spark = get_spark("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_corpus(spark)
+    qs = em.queries()
+
+    def timed(fn):
+        t0 = time.time()
+        fn()
+        cold = time.time() - t0
+        best = cold
+        for _ in range(WARM_RUNS):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(cold, 3), round(best, 3)
+
+    # load-phase analogs (same treatment as bench.py at both scales)
+    for d in (SRC, DST):
+        spark.read.parquet(f"{d}/documents.parquet").count()
+        em._minhash_sig(spark, d)
+
+    out = {}
+    for name in names:
+        fn = qs[name]
+        _, w_small = timed(lambda: fn(spark, SRC).count())
+        _, w_big = timed(lambda: fn(spark, DST).count())
+        ratio = round(w_big / w_small, 2) if w_small else None
+        out[name] = {"sf0.1_warm": w_small, "sf1_warm": w_big,
+                     "ratio_at_10x_rows": ratio}
+        print(f"{name:22s} sf0.1 {w_small:7.3f}s   sf~1 {w_big:7.3f}s  "
+              f"ratio {ratio}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
