@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
+
 
 # --------------------------------------------------------------- exact
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -45,8 +47,9 @@ def char_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     idx = F.sequence(F.lit(1), F.greatest(
         F.length(F.col(text_col)) - (n - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(n)))
-    out = docs.select(F.col(id_col), F.explode(sh).alias("shingle")) \
-              .filter(F.length("shingle") == n)
+    out = spread(docs).select(F.col(id_col),
+                              F.explode(sh).alias("shingle")) \
+        .filter(F.length("shingle") == n)
     return out.distinct() if dedup else out
 
 
@@ -59,7 +62,7 @@ def word_shingles(docs: DataFrame, n: int = 2, text_col: str = "text",
     (``slice`` would copy O(tokens) per position → quadratic per doc;
     measured 5s → <1s on 5k docs at sf0.1).
     """
-    with_toks = docs.select(
+    with_toks = spread(docs).select(
         F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__toks"))
     toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(
@@ -341,7 +344,7 @@ def paragraph_dedup(docs: DataFrame, min_len: int = 1,
     (fingerprint, doc_id) — a hot paragraph's rows carry distinct doc
     ids, so they spread across reducers instead of piling onto the
     fingerprint's partition."""
-    parts = docs.select(
+    parts = spread(docs).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep))
         .alias("_pos", "_para")) \
@@ -371,7 +374,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     b is the sign of the vote sum. Pure higher-order-function pipeline.
     """
     bits = 60 if hash_fn == "md5" else 64
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")) \
         .filter(F.col("tok") != "")

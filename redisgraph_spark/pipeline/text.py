@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
+
 # minimal per-language stopword markers for the n-gram/stopword-ratio
 # heuristic (documents fixture languages: en fr es de zh)
 LANG_MARKERS = {
@@ -129,7 +131,7 @@ def tf_idf(docs: DataFrame, text_col: str = "text",
     broadcast-sized term dictionary at any corpus size with min_df
     pruning.
     """
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                           r"\s+")).alias("term")) \
@@ -188,7 +190,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
               f" 1)), i -> {h})").format(t=text_col)
     mins = (f"transform(sequence(1, greatest(size(__wh) - {w - 1}, 1)),"
             f" j -> array_min(slice(__wh, j, {w})))")
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col),
         F.expr(hashes).alias("__wh")) \
         .select(F.col(id_col),
@@ -254,7 +256,7 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     symbols = (_count_occurrences(t, "#")
                + _count_occurrences(t, "...")).cast("long")
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col),
         n_words.alias("n_words"),
         (word_chars.cast("double")
