@@ -1252,6 +1252,106 @@ def _p_text_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _p_source_quota(spark, sf_dir):
+    """Over-represented-source cap: keep the 10 longest docs per
+    source (doc_id tiebreak) — the standard domain-quota curation op."""
+    from redisgraph_spark.pipeline.sampling import per_key_quota
+    return per_key_quota(
+        _docs(spark, sf_dir), "source", 10,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()]) \
+        .select("doc_id", "source", "n_chars") \
+        .orderBy("doc_id")
+
+
+_SOURCE_QUOTA_ORACLE = """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars, row_number() OVER (
+        PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM ranked
+    WHERE rn <= 10 ORDER BY doc_id
+    """
+
+
+def _p_source_mix(spark, sf_dir):
+    """Per-source mixture report (count + corpus share)."""
+    from redisgraph_spark.pipeline.sampling import key_histogram
+    return key_histogram(_docs(spark, sf_dir), "source") \
+        .select("source", "n_rows",
+                (F.round(F.col("share") * 1e6) / 1e6).alias("share")) \
+        .orderBy("source")
+
+
+_SOURCE_MIX_ORACLE = """
+    SELECT source, count(*) AS n_rows,
+           round(1e6 * (count(*) * 1.0 /
+             (SELECT count(*) FROM documents))) / 1e6 AS share
+    FROM documents GROUP BY source ORDER BY source
+    """
+
+
+def _p_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label prediction over the embedding corpus
+    (exact top-5 cosine neighbors; deterministic tie-break)."""
+    from redisgraph_spark.pipeline.similarity import knn_classify
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_classify(emb, queries, k=5) \
+        .orderBy("query_id")
+
+
+_KNN_CLASSIFY_ORACLE = """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ), ranked AS (
+      SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT query_id, label, count(*) AS votes
+      FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+    ), top AS (
+      SELECT query_id, label, votes, row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+      FROM votes
+    )
+    SELECT query_id, label AS pred_label, votes
+    FROM top WHERE rn = 1 ORDER BY query_id
+    """
+
+
+def _p_c4_filter(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2). The synthetic
+    corpus is single-line unpunctuated text, so the entry disables the
+    terminal-punctuation rule and raises the words-per-line floor (the
+    prose-default rules are pinned by a unit-test fixture with
+    punctuation/javascript/brace lines)."""
+    from redisgraph_spark.pipeline.text import c4_quality_filter
+    return c4_quality_filter(_docs(spark, sf_dir), min_words_per_line=30,
+                             min_lines=1, require_terminal_punct=False) \
+        .orderBy("doc_id")
+
+
+_C4_FILTER_ORACLE = r"""
+    WITH kept AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+               l -> len(list_filter(string_split_regex(l, '\s+'),
+                                    w -> w <> '')) >= 30
+                    AND NOT contains(lower(l), 'javascript')) AS kl
+      FROM documents
+      WHERE NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')
+    )
+    SELECT doc_id, array_to_string(kl, chr(10)) AS text
+    FROM kept WHERE len(kl) >= 1 ORDER BY doc_id
+    """
+
+
 def _p_gopher_quality(spark, sf_dir):
     """Gopher-rule quality signals (Rae et al. 2021 §A1.1) — word
     stats, line-repetition ratios, top-2-gram repetition. Every ratio
@@ -1963,6 +2063,13 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_lang_guess": (_p_lang_guess, _lang_guess_oracle()),
     # Gopher-rule quality signals (word/line/2-gram repetition ratios)
     "p_gopher_quality": (_p_gopher_quality, _GOPHER_QUALITY_ORACLE),
+    # C4 cleaning rules (line keep-filters + page drops)
+    "p_c4_filter": (_p_c4_filter, _C4_FILTER_ORACLE),
+    # corpus curation: domain quota cap + mixture report
+    "p_source_quota": (_p_source_quota, _SOURCE_QUOTA_ORACLE),
+    "p_source_mix": (_p_source_mix, _SOURCE_MIX_ORACLE),
+    # k-NN majority-vote classification over embeddings
+    "p_knn_classify": (_p_knn_classify, _KNN_CLASSIFY_ORACLE),
     # same RE2-compatible split pattern evaluated by BOTH engines
     "p_bpe_tokens": (_p_bpe_tokens, _bpe_tokens_oracle()),
 

@@ -58,6 +58,33 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def knn_classify(emb: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """k-NN majority-vote classification over an embedding corpus:
+    each query gets the modal `label_col` of its exact top-k cosine
+    neighbors (ties → max count, then smallest label — deterministic).
+    Returns (query_id, pred_label, votes).
+
+    Composition: exact top-k (corpus never shuffles, queries
+    broadcast) → broadcast label join on the k·|queries| neighbor rows
+    → one grouped aggregate. At 100 TB the only large-side pass is the
+    top-k scan itself."""
+    nn = cosine_topk(emb, queries, k, id_col, vec_col)
+    labels = emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(label_col).alias("__lbl"))
+    votes = nn.join(labels, "neighbor_id") \
+        .groupBy("query_id", "__lbl") \
+        .agg(F.count(F.lit(1)).alias("votes"))
+    # deterministic mode: min over (−votes, label)
+    top = votes.groupBy("query_id").agg(F.min(F.struct(
+        (-F.col("votes")).alias("nv"), F.col("__lbl").alias("l"))).alias("t"))
+    return top.select(
+        F.col("query_id"),
+        F.col("t.l").alias("pred_label"),
+        (-F.col("t.nv")).alias("votes"))
+
+
 def _rh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(vec · plane_i)."""
     bits = []

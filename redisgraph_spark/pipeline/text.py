@@ -313,6 +313,44 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
             .alias("top_2gram_char_frac"))
 
 
+# ------------------------------------------------- C4-style quality filter
+def c4_quality_filter(docs: DataFrame, min_words_per_line: int = 5,
+                      min_lines: int = 3,
+                      require_terminal_punct: bool = True,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2), the deterministic
+    subset: keep only lines that end in terminal punctuation
+    ([.!?\"]), have ≥ `min_words_per_line` words, and do not mention
+    "javascript"; drop pages containing "lorem ipsum" or '{' and pages
+    with fewer than `min_lines` surviving lines. Returns (id, text)
+    with the surviving lines rejoined in order.
+    ``require_terminal_punct=False`` disables the punctuation rule for
+    corpora that are not prose (code, logs, the synthetic fixture).
+
+    Scale shape: pure per-row array predicates (split → filter →
+    array_join) — a map-only stage with NO shuffle at any corpus size;
+    page-level drops are pushdown-able filters."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+
+    def _keep(l):
+        ok = (F.size(F.filter(F.split(l, r"\s+"),
+                              lambda w: w != "")) >= min_words_per_line) \
+            & ~F.lower(l).contains("javascript")
+        if require_terminal_punct:
+            ok = ok & F.rtrim(l).rlike('[.!?"]$')
+        return ok
+
+    kept = F.filter(lines, _keep)
+    return docs \
+        .filter(~F.lower(t).contains("lorem ipsum")) \
+        .filter(~t.contains("{")) \
+        .select(F.col(id_col), kept.alias("__kl")) \
+        .filter(F.size("__kl") >= min_lines) \
+        .select(id_col, F.array_join("__kl", "\n").alias(text_col))
+
+
 # GPT-2-style pre-tokenizer approximation, restricted to RE2-compatible
 # syntax (no lookahead) so the DuckDB oracle evaluates the SAME pattern:
 # contractions | space+letters | space+digits | space+punct-run | spaces

@@ -580,6 +580,70 @@ def test_gopher_quality_hand_computed(spark):
     assert d2["top_2gram_char_frac"] == 0.0          # no 2-grams
 
 
+def test_c4_quality_filter_rules(spark):
+    """Every C4 rule on a crafted page set: terminal punctuation,
+    words-per-line, javascript lines, lorem-ipsum pages, brace pages,
+    min surviving lines, order preservation."""
+    from redisgraph_spark.pipeline.text import c4_quality_filter
+    good = "this line has plenty of words and ends properly."
+    docs = spark.createDataFrame([
+        (1, f"{good}\nno terminal punctuation here at all\n"
+            f"short line.\nuses javascript everywhere in this line.\n"
+            f"{good}\nAnother good line stays right here too!"),
+        (2, f"{good}\nlorem ipsum dolor sit amet here."),      # page drop
+        (3, f"{good}\nfunction() {{ return 1; }}"),            # page drop
+        (4, good),                                             # < 3 lines
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"]
+           for r in c4_quality_filter(docs).collect()}
+    assert set(got) == {1}
+    assert got[1].split("\n") == [
+        good, good, "Another good line stays right here too!"]
+    # relaxed mode for non-prose corpora: punct rule off, 1-line floor
+    relaxed = {r["doc_id"] for r in c4_quality_filter(
+        docs, min_words_per_line=1, min_lines=1,
+        require_terminal_punct=False).collect()}
+    assert relaxed == {1, 4}
+
+
+def test_per_key_quota_and_histogram(spark):
+    from pyspark.sql import functions as F
+    from redisgraph_spark.pipeline.sampling import (key_histogram,
+                                                    per_key_quota)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "a", 20), (4, "b", 5)],
+        ["doc_id", "source", "n_chars"])
+    got = {r["doc_id"] for r in per_key_quota(
+        df, "source", 2,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()]).collect()}
+    assert got == {2, 3, 4}          # a keeps its 2 longest, b keeps all
+    hist = {r["source"]: (r["n_rows"], r["share"])
+            for r in key_histogram(df, "source").collect()}
+    assert hist == {"a": (3, 0.75), "b": (1, 0.25)}
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """3 votes beat 2; on a 2-2-1 split with k=5 the smaller label
+    wins the tie only when counts tie — construct both cases."""
+    from pyspark.sql import functions as F
+    from redisgraph_spark.pipeline.similarity import knn_classify
+    # corpus on a line: the k nearest to q are ids 1..k in order.
+    # interleaved labels: top-5 = [7,9,7,9,7] (3-2), top-4 = 2-2 tie
+    rows = [
+        (0, [1.0, 0.00], 0),     # the query
+        (1, [1.0, 0.01], 7), (2, [1.0, 0.02], 9), (3, [1.0, 0.03], 7),
+        (4, [1.0, 0.04], 9), (5, [1.0, 0.05], 7),
+        (6, [0.0, 1.00], 1),     # far away — excluded from top-5
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = emb.filter(F.col("vec_id") == 0)
+    got = knn_classify(emb, q, k=5).collect()[0]
+    assert (got["pred_label"], got["votes"]) == (7, 3)
+    # tie case: top-4 = 2×7, 2×9 → smaller label wins
+    got2 = knn_classify(emb, q, k=4).collect()[0]
+    assert (got2["pred_label"], got2["votes"]) == (7, 2)
+
+
 def test_wcc_star_via_procedure(social):
     got = social.query(
         "CALL algo.wcc('star') YIELD node, component "
