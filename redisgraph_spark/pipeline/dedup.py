@@ -461,6 +461,7 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             "force exact all-pairs)", RuntimeWarning, stacklevel=2)
         return embedding_dup_pairs_lsh(emb, threshold, id_col, vec_col,
                                        dim=dim)
+    emb = spread(emb)   # per-pair HOF cosine math must not run one-task
     a = emb.select(F.col(id_col).alias("doc_a"),
                    F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("doc_b"),
@@ -499,6 +500,7 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
         raise ValueError(
             f"embedding_dup_pairs_lsh: cannot infer dim from {vec_col!r} "
             "(empty or all-null column); pass dim= explicitly")
+    emb = spread(emb)
     parts = []
     for t in range(ntables):
         planes = _planes(dim, nbits, seed=2000 + t)

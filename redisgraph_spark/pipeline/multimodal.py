@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .util import spread
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),      # image | audio | video
@@ -179,7 +181,7 @@ def extract_features(media: DataFrame,
                 })
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return spread(media).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -214,7 +216,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 out.at[idx, "meta"] = meta
             yield out
 
-    return media.mapInPandas(run, schema=media.schema)
+    return spread(media).mapInPandas(run, schema=media.schema)
 
 
 def make_ppm(width: int, height: int, seed: int) -> bytes:
@@ -363,4 +365,4 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+    return spread(media).mapInPandas(run, schema=FRAME_SCHEMA)

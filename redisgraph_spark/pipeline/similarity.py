@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -46,8 +48,8 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     """
     q = queries.select(F.col(q_id_col).alias("query_id"),
                        F.col(q_vec_col).alias("qv"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("cv"))
+    c = spread(emb).select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("cv"))
     scored = c.join(F.broadcast(q), F.col("query_id").isNotNull()
                     & (F.col("neighbor_id") != F.col("query_id")), "inner") \
         .withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
@@ -128,6 +130,7 @@ def ivf_build(emb: DataFrame, nlist: int = 16, iters: int = 3,
     assignments(id, list_id)).
     """
     spark = emb.sparkSession
+    emb = spread(emb)   # per-row HOF cosine math must not run one-task
     init = [r[vec_col] for r in
             emb.orderBy(id_col).limit(nlist).collect()]
     from redisgraph_spark.session import inline_df
@@ -266,7 +269,7 @@ def cosine_topk_np(emb: DataFrame, queries: DataFrame, k: int = 5,
             if out:
                 yield pd.concat(out)
 
-    partial = emb.mapInPandas(score, schema=partial_schema)
+    partial = spread(emb).mapInPandas(score, schema=partial_schema)
     w = Window.partitionBy("query_id") \
         .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return partial.withColumn("rank", F.row_number().over(w)) \
@@ -338,7 +341,7 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
             out = out.unionByName(p)
         return out
 
-    cb = bucketize(emb, id_col, vec_col, "n")
+    cb = bucketize(spread(emb), id_col, vec_col, "n")
     qb = bucketize(queries, id_col, vec_col, "q")
     cand = cb.join(qb, ["tbl", "bucket"]) \
         .filter(F.col("n_id") != F.col("q_id")) \
