@@ -269,7 +269,11 @@ def cosine_topk_np(emb: DataFrame, queries: DataFrame, k: int = 5,
             if out:
                 yield pd.concat(out)
 
-    partial = spread(emb).mapInPandas(score, schema=partial_schema)
+    # no spread() here: the BLAS batch is ~µs per row, so a one-partition
+    # small corpus is fine single-task, and the repartition shuffle it
+    # would add (~0.2 s) exceeds the gain; at real scale the scan is
+    # already wide and spread would be a no-op anyway
+    partial = emb.mapInPandas(score, schema=partial_schema)
     w = Window.partitionBy("query_id") \
         .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return partial.withColumn("rank", F.row_number().over(w)) \
