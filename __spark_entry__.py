@@ -1778,6 +1778,23 @@ def _p_stream_user_stats(spark, sf_dir):
         .orderBy("user_id")
 
 
+def _p_stream_dedup(spark, sf_dir):
+    """State-store streaming dedup (dropDuplicatesWithinWatermark):
+    keep one event per (user_id, event_type) within the watermark
+    horizon, then count survivors per type — with the whole table
+    draining in one availableNow micro-batch this equals the batch
+    COUNT(DISTINCT user_id) per type exactly."""
+    from redisgraph_spark.streaming.stream import (run_to_memory,
+                                                   streaming_dedup)
+    name = _memory_name("stream_dedup_", sf_dir)
+    out = streaming_dedup(_stream_events(spark, sf_dir),
+                          ["user_id", "event_type"])
+    run_to_memory(out, name, output_mode="append")
+    return spark.table(name).groupBy("event_type") \
+        .agg(F.count(F.lit(1)).alias("n_users")) \
+        .orderBy("event_type")
+
+
 def _p_multimodal(spark, sf_dir):
     """Multimodal plumbing: synthetic binary media → Arrow-batched
     mapInPandas feature extraction (decoders are deterministic stubs —
@@ -2111,6 +2128,12 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # operators, produced by the incremental engine (watermark +
     # window / session_window state) over events.parquet drained with
     # an availableNow trigger
+    # state-store dedup: one availableNow batch ⇒ equals batch DISTINCT
+    "p_stream_dedup": (_p_stream_dedup, """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+        """),
+
     "p_stream_rollup": (_p_stream_rollup, """
         SELECT event_type,
                CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour,
@@ -2160,10 +2183,16 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 # maintained by hand each round so behavior changes are re-verified
 # before already-green unaffected entries are refreshed.
 _FORCE_FRONT = [
-    # round 5: streaming edge-id fix, var-len single-plan union,
-    # paragraph-dedup skew grouping, value-bearing pagerank oracle
+    # round 5: streaming edge-id fix; var-len single-cascade plan +
+    # frontier-broadcast + count pushdown; paragraph-dedup skew
+    # grouping; value-bearing pagerank oracle; minhash signature index;
+    # spread() repartitioning of compute-dense single-partition scans
     "p_stream_rollup", "p_stream_sessions", "p_stream_user_stats",
     "q_var_len", "p_paragraph_dedup", "q_pagerank",
+    "p_minhash_lsh", "p_minhash_verified", "p_minhash_lsh_md5",
+    "p_dedup_clusters", "p_winnow", "p_simhash", "p_tfidf",
+    "p_cosine_topk", "p_cosine_topk_ivf", "p_cosine_topk_lsh",
+    "p_embedding_dups", "p_multimodal",
 ]
 
 

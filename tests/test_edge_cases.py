@@ -94,6 +94,26 @@ def test_var_len_strict_uniqueness_referenced(loop):
     assert got.collect()[0]["n"] == 0
 
 
+def test_var_len_negative_ids_fallback(spark):
+    """Negative node ids disable the cascade's ⊥-encoding (⊥v = -v-1
+    would collide with live ids); the expansion must detect this and
+    fall back to the prefix-union plan with identical results."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(-1, "a"), (-2, "b"), (-3, "c"), (0, "d")], ["_id", "name"])}
+    # chain a→b→c→d with negative ids; -(-2)-1 = 1 etc. would be fake
+    edges = {"R": spark.createDataFrame(
+        [(10, -1, -2), (11, -2, -3), (12, -3, 0)],
+        ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges)
+    got = sorted(r["n"] for r in g.query(
+        "MATCH (a {name: 'a'})-[:R*1..3]->(b) "
+        "RETURN b.name AS n").collect())
+    assert got == ["b", "c", "d"]
+    got2 = g.query("MATCH (a)-[:R*1..2]->(b) RETURN count(*) AS n")
+    assert got2.collect()[0]["n"] == 5   # 3 one-hop + 2 two-hop
+
+
 def test_null_property_comparisons(spark):
     from redisgraph_spark import Graph
     nodes = {"N": spark.createDataFrame(
