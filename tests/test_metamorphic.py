@@ -151,3 +151,37 @@ def test_ternary_partition_law_fuzzed(social):
         checked += 1
         assert sum(counts) == total, (pred, counts, total)
     assert checked >= 10
+
+
+def test_cascade_equals_prefix_union_random_graphs(spark):
+    """The single-cascade bounded var-len plan (absorbing stop-states)
+    must return EXACTLY the prefix-union plan's multiset of rows on
+    random graphs (self-loops, multi-edges, unreachable nodes) for
+    every (min,max) shape. The fallback is forced by stubbing the
+    stop-table builder to None — the cascade then declines."""
+    import random
+
+    from redisgraph_spark import Graph
+    from redisgraph_spark.algorithms import traversal as TRAV
+
+    rng = random.Random(7)
+    n = 8
+    for trial in range(3):
+        nodes = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(n)], ["_id", "name"])
+        edges = spark.createDataFrame(
+            [(100 + i, rng.randrange(n), rng.randrange(n))
+             for i in range(14)], ["_id", "_src", "_dst"])
+        for mn, mx in ((0, 2), (1, 2), (1, 3), (2, 2), (0, 3), (0, 0)):
+            q = (f"MATCH (a)-[*{mn}..{mx}]->(b) "
+                 "RETURN a.name AS a, b.name AS b")
+            got = sorted(map(tuple, Graph(
+                spark, {"N": nodes}, {"R": edges}).query(q).collect()))
+            orig = TRAV._stop_augmented
+            TRAV._stop_augmented = lambda *a, **k: None
+            try:
+                exp = sorted(map(tuple, Graph(
+                    spark, {"N": nodes}, {"R": edges}).query(q).collect()))
+            finally:
+                TRAV._stop_augmented = orig
+            assert got == exp, (trial, mn, mx)
