@@ -473,6 +473,9 @@ class CypherPlanner:
     def _pattern_subplan(self, ctx: Ctx, pattern: A.PatternPath
                          ) -> tuple[DataFrame, list[str], Ctx]:
         """Compile a pattern standalone; return (df, shared_vars, subctx)."""
+        fast = self._simple_exists_subplan(ctx, pattern)
+        if fast is not None:
+            return fast
         sub = Ctx()
         self._compile_path(sub, pattern, [])
         shared = [v for v in sub.vars
@@ -483,6 +486,54 @@ class CypherPlanner:
             raise PlanError(
                 "pattern predicate must share at least one bound variable")
         return sub.df, shared, sub
+
+    def _simple_exists_subplan(self, ctx: Ctx, pattern: A.PatternPath):
+        """Key-only subplan for the common pattern-predicate shape
+        `(bound)-[:T]->(anon)` (either direction / undirected): the
+        semi/anti/flag join only consumes the shared end's id, and the
+        outer side already proves that node exists, so the keys come
+        straight off the edge table — no node-union scan, no broadcast
+        of all labels. The anonymous end joins its label table only
+        when the rel-endpoint hints can't guarantee the label (same
+        rule as reduceScans in the main pattern compiler). Returns
+        (df with column <var> = struct(_id), [var], None), or None when
+        the shape doesn't apply (var-len, edge var/props, both ends
+        bound, labels/props on the shared end)."""
+        if pattern.var is not None or pattern.shortest is not None:
+            return None
+        els = pattern.elements
+        if len(els) != 3:
+            return None
+        n1, rel, n2 = els
+        if not isinstance(rel, A.RelPattern):
+            return None
+        if rel.min_hops is not None or rel.var is not None or rel.props:
+            return None
+
+        def outer_node(nd):
+            return (nd.var is not None and nd.var in ctx.vars
+                    and ctx.vars[nd.var].kind == "node")
+
+        b1, b2 = outer_node(n1), outer_node(n2)
+        if b1 == b2:
+            return None
+        shared, other = (n1, n2) if b1 else (n2, n1)
+        if shared.labels or shared.props or other.props:
+            return None
+        oriented, _ = self._oriented_edge_sel(rel, "__pf", "__pt")
+        shared_col = "__pf" if shared is n1 else "__pt"
+        other_col = "__pt" if shared is n1 else "__pf"
+        if other.labels:
+            target = other is n2
+            if not self._endpoint_guaranteed(rel, list(other.labels),
+                                             target=target):
+                lbl_ids = self.graph.nodes(list(other.labels)) \
+                    .select(F.col("_id").alias(other_col))
+                oriented = oriented.join(lbl_ids, other_col, "left_semi")
+        var = shared.var
+        df = oriented.select(
+            F.struct(F.col(shared_col).alias("_id")).alias(var))
+        return df, [var], None
 
     def _pattern_join(self, ctx: Ctx, pattern: A.PatternPath,
                       anti: bool) -> None:
