@@ -1324,6 +1324,32 @@ _KNN_CLASSIFY_ORACLE = """
     """
 
 
+_PQ_CACHE: dict[tuple, tuple] = {}
+
+
+def _p_cosine_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (asymmetric distance over m-byte code
+    words + exact-cosine rerank of a 256-wide shortlist). Codebooks +
+    codes are a build-once index cached per (app, sf_dir) — the PQ
+    analog of the minhash signature index. At the sf0.01 contract
+    corpus the measured shortlist-256 recall is 1.0, so the exact
+    top-k oracle applies (sf-dependent equivalence — see the
+    SF-DEPENDENCE NOTE; the recall curve itself is pytest-measured)."""
+    from redisgraph_spark.pipeline.similarity import (cosine_topk_pq,
+                                                      pq_build)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pre = _PQ_CACHE.get(key)
+    if pre is None:
+        pre = pq_build(_emb(spark, sf_dir))
+        _PQ_CACHE[key] = pre
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_pq(emb, queries, k=5, shortlist=256,
+                          prebuilt=pre) \
+        .select("query_id", "neighbor_id", "rank") \
+        .orderBy("query_id", "rank")
+
+
 def _p_c4_filter(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. 2020 §2.2). The synthetic
     corpus is single-line unpunctuated text, so the entry disables the
@@ -2057,6 +2083,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # low-recall scale settings are covered by pytest recall tests
     "p_cosine_topk_lsh": (_p_cosine_topk_lsh, _COSINE_TOPK_ORACLE),
     "p_cosine_topk_ivf": (_p_cosine_topk_ivf, _COSINE_TOPK_ORACLE),
+    "p_cosine_topk_pq": (_p_cosine_topk_pq, _COSINE_TOPK_ORACLE),
 
     # benchmark decontamination + C4-style paragraph dedup
     "p_decontaminate": (_p_decontaminate, _decontaminate_oracle()),

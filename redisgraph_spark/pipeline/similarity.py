@@ -205,6 +205,152 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
                 F.col("n_id").alias("neighbor_id"), "cosine", "rank")
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double")))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _normalized(vec: Column) -> Column:
+    n = norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def pq_build(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> tuple[DataFrame, DataFrame]:
+    """Product quantizer (Jégou et al., TPAMI'11): vectors are
+    L2-normalized (so L2 order ≡ cosine order), split into `m`
+    subspaces, and each subspace gets a `ksub`-centroid k-means
+    codebook. Returns (codebook(sub, code, center), codes(id,
+    codes array<int>)).
+
+    All `m` subspace k-means run in ONE DataFrame pipeline per Lloyd
+    iteration (explode to (id, sub, subvector) rows; assignment is a
+    broadcast join + window argmin; re-estimation one groupBy) — the
+    iteration cost is a single key-partitioned shuffle regardless of
+    m. Centroid init is the lowest-id vectors' subvectors
+    (deterministic). Empty codes keep their previous center.
+    """
+    from redisgraph_spark.session import inline_df
+    spark = emb.sparkSession
+    first = emb.filter(F.col(vec_col).isNotNull()) \
+        .select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    if dim <= 0 or dim % m:
+        raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    nv = _normalized(F.col(vec_col))
+    subs = spread(emb).select(
+        F.col(id_col).alias("__pid"),
+        F.posexplode(F.array(*[
+            F.slice(nv, s * dsub + 1, dsub) for s in range(m)]))
+        .alias("__sub", "__sv"))
+    seed_rows = emb.orderBy(id_col).limit(ksub) \
+        .select(nv.alias("__nv")).collect()
+    cent_rows = []
+    for code, r in enumerate(seed_rows):
+        v = r["__nv"]
+        for s in range(m):
+            cent_rows.append((s, code, [float(x) for x in
+                                        v[s * dsub:(s + 1) * dsub]]))
+    centroids = inline_df(
+        spark, cent_rows,
+        [("__sub", "int"), ("__code", "int"),
+         ("__center", "array<double>")])
+    wa = Window.partitionBy("__pid", "__sub").orderBy(
+        F.col("__d").asc(), F.col("__code").asc())
+
+    def assign(cents):
+        return subs.join(F.broadcast(cents), "__sub") \
+            .withColumn("__d", _l2sq(F.col("__sv"), F.col("__center"))) \
+            .withColumn("__rk", F.row_number().over(wa)) \
+            .filter(F.col("__rk") == 1) \
+            .select("__pid", "__sub", "__code", "__sv")
+
+    for _ in range(iters):
+        a = assign(centroids)
+        new_c = a.groupBy("__sub", "__code").agg(
+            *[F.avg(F.element_at(F.col("__sv"), i + 1)).alias(f"d{i}")
+              for i in range(dsub)]) \
+            .select("__sub", "__code",
+                    F.array(*[F.col(f"d{i}")
+                              for i in range(dsub)]).alias("__newc"))
+        centroids = centroids.join(new_c, ["__sub", "__code"], "left") \
+            .select("__sub", "__code",
+                    F.coalesce(F.col("__newc"), F.col("__center"))
+                    .alias("__center")) \
+            .localCheckpoint(eager=True)
+    codes = assign(centroids).groupBy(F.col("__pid").alias(id_col)).agg(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("__sub"), F.col("__code")))),
+            lambda st: st.getField("__code")).alias("codes"))
+    return centroids, codes.localCheckpoint(eager=True)
+
+
+def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 5,
+                   m: int = 8, ksub: int = 16, iters: int = 3,
+                   shortlist: int = 128,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   prebuilt: tuple[DataFrame, DataFrame] | None = None
+                   ) -> DataFrame:
+    """PQ ANN with asymmetric distance + exact rerank: corpus vectors
+    live as m-byte code words; each query computes an m×ksub lookup
+    table of subspace distances once, scores every code word with m
+    array lookups (no vector arithmetic on the corpus side), keeps a
+    `shortlist`, and reranks the shortlist with exact cosine.
+
+    100 TB shape: the scored pass touches only the code table (m bytes
+    per vector — 32× smaller than the float corpus at m=8/dim=64);
+    full vectors are read only for the shortlist join. Recall is
+    governed by `shortlist` (pytest measures the recall curve; the
+    contract entry runs at measured recall-1.0 settings).
+    """
+    centroids, codes = prebuilt if prebuilt is not None \
+        else pq_build(emb, m, ksub, iters, id_col, vec_col)
+    nv = _normalized(F.col(vec_col))
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.array(*[
+            F.slice(nv, s * (F.size(nv) / m).cast("int") + 1,
+                    (F.size(nv) / m).cast("int"))
+            for s in range(m)])).alias("__sub", "__qv"))
+    lut = qsubs.join(F.broadcast(centroids), "__sub") \
+        .withColumn("__d", _l2sq(F.col("__qv"), F.col("__center"))) \
+        .groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("__sub"), F.col("__code"), F.col("__d")))),
+                lambda st: st.getField("__d")).alias("__lut"))
+    scored = codes.crossJoin(F.broadcast(lut)) \
+        .filter(F.col(id_col) != F.col("query_id")) \
+        .withColumn("__approx", F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+            lambda acc, s: acc + F.element_at(
+                "__lut", (s * ksub
+                          + F.element_at("codes", s + 1) + 1)
+                .cast("int"))))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").asc(), F.col(id_col).asc())
+    short = scored.withColumn("__rk", F.row_number().over(ws)) \
+        .filter(F.col("__rk") <= shortlist) \
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    nvec = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__nv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("__qfull"))
+    rer = short.join(nvec, "neighbor_id") \
+        .join(F.broadcast(qvec), "query_id") \
+        .withColumn("cosine", cosine_sim(F.col("__qfull"),
+                                         F.col("__nv")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return rer.withColumn("rank", F.row_number().over(wr)) \
+        .filter(F.col("rank") <= k) \
+        .select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def cosine_topk_np(emb: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    q_id_col: str = "vec_id", q_vec_col: str = "embedding"

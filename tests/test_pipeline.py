@@ -606,6 +606,34 @@ def test_c4_quality_filter_rules(spark):
     assert relaxed == {1, 4}
 
 
+def test_pq_recall_monotone_and_exact_at_full_shortlist(spark):
+    """PQ ANN: recall grows with shortlist size, and a corpus-sized
+    shortlist makes the rerank exhaustive — exactly the brute-force
+    answer (the shortlist is the ONLY approximation; ADC ordering
+    never touches the final ranking)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from redisgraph_spark.pipeline.similarity import (cosine_topk,
+                                                      cosine_topk_pq,
+                                                      pq_build)
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = set(map(tuple, cosine_topk(emb, q, k=3)
+                    .select("query_id", "neighbor_id").collect()))
+    pre = pq_build(emb, m=8, ksub=8, iters=2)
+    recalls = []
+    for sl in (8, 40, 120):
+        got = set(map(tuple, cosine_topk_pq(
+            emb, q, k=3, m=8, ksub=8, shortlist=sl, prebuilt=pre)
+            .select("query_id", "neighbor_id").collect()))
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls   # monotone in shortlist
+    assert recalls[-1] == 1.0                    # full shortlist = exact
+
+
 def test_per_key_quota_and_histogram(spark):
     from pyspark.sql import functions as F
     from redisgraph_spark.pipeline.sampling import (key_histogram,
