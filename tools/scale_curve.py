@@ -29,18 +29,20 @@ REPLICAS = 10
 ALPHA = "bcdfghjklmnpqrstvwz"
 
 DEFAULT = ["p_dedup_exact", "p_minhash_lsh", "p_minhash_verified",
-           "p_decontaminate", "p_paragraph_dedup", "p_winnow"]
+           "p_decontaminate", "p_paragraph_dedup", "p_winnow",
+           "p_cosine_topk_np", "p_cosine_topk_ivf", "p_cosine_topk_pq",
+           "p_knn_classify"]
 
 WARM_RUNS = 2
 
 
 def build_corpus(spark) -> None:
     from pyspark.sql import functions as F
-    if os.path.exists(os.path.join(DST, "_built")):
+    if os.path.exists(os.path.join(DST, "_built_v2")):
         return
     os.makedirs(DST, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"):
+              "orders", "lineitem", "events"):
         link = os.path.join(DST, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
@@ -57,7 +59,17 @@ def build_corpus(spark) -> None:
     for p in parts[1:]:
         big = big.unionByName(p)
     big.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
-    open(os.path.join(DST, "_built"), "w").write("ok")
+    # embeddings: id-remapped replicas (ANN wall time is size-driven,
+    # not value-driven — ties just resolve by neighbor id)
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    eparts = [emb.withColumn("vec_id",
+                             F.col("vec_id") + F.lit(i * 100_000_000))
+              for i in range(REPLICAS)]
+    ebig = eparts[0]
+    for p in eparts[1:]:
+        ebig = ebig.unionByName(p)
+    ebig.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+    open(os.path.join(DST, "_built_v2"), "w").write("ok")
 
 
 def main() -> None:
