@@ -1847,7 +1847,226 @@ def _p_frames(spark, sf_dir):
         .orderBy("media_id", "frame_idx")
 
 
+# deterministic PII injection: the synthetic documents corpus carries
+# no real PII, so both engines append the SAME formula-generated
+# email / phone / IPv4 strings keyed on doc_id before detection —
+# the detectors then genuinely fire and redaction is value-checked.
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-'"
+    " || lpad(CAST(doc_id % 9999 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END")
+
+
+def _p_pii_redact(spark, sf_dir):
+    """PII detection + redaction counts over deterministically
+    augmented text (emails/phones/IPv4 injected by a doc_id formula —
+    both engines apply the identical augmentation, so the regex
+    detectors and the nested redaction are fully value-checked)."""
+    from redisgraph_spark.pipeline.pii import pii_scan
+    aug = F.expr(
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-'"
+        " || lpad(CAST(doc_id % 9999 AS STRING), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'"
+        " || CAST(doc_id % 256 AS STRING) || '.1' ELSE '' END")
+    docs = _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+    return pii_scan(docs) \
+        .select("doc_id", "n_email", "n_phone", "n_ipv4",
+                F.md5(F.col("redacted")).alias("red_fp")) \
+        .orderBy("doc_id")
+
+
+_PII_REDACT_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+      len(regexp_extract_all(text,
+        '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b')) AS n_phone,
+      len(regexp_extract_all(text,
+        '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS n_ipv4,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>',
+        'g'),
+        '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+        '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'))
+        AS red_fp
+    FROM aug ORDER BY doc_id
+    """
+
+
+def _p_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score: per-doc mean ln p(token) under the
+    corpus's own unigram distribution (KenLM-perplexity stand-in)."""
+    from redisgraph_spark.pipeline.text import unigram_logprob
+    return unigram_logprob(_docs(spark, sf_dir)) \
+        .select("doc_id", "n_tokens",
+                (F.round(F.col("mean_logprob") * 1e6) / 1e6)
+                .alias("mean_lp")) \
+        .orderBy("doc_id")
+
+
+_UNIGRAM_LOGPROB_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, u.t AS token
+      FROM documents, unnest(list_filter(
+        string_split_regex(lower(trim(text)), '\s+'),
+        x -> x <> '')) AS u(t)
+    ), freq AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), tot AS (SELECT sum(cnt) AS total FROM freq)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(1e6 * avg(ln(cnt * 1.0 / total))) / 1e6 AS mean_lp
+    FROM toks JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _p_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (suffix-array dedup
+    approximation, Lee et al.): stride-10 30-char grams equi-joined
+    across docs; per-doc duplicated-gram counts."""
+    from redisgraph_spark.pipeline.text import duplicated_spans
+    return duplicated_spans(_docs(spark, sf_dir), k=30, stride=10) \
+        .orderBy("doc_id")
+
+
+_SUBSTRING_SPANS_ORACLE = """
+    WITH grams AS (
+      SELECT doc_id, substr(text, CAST(g.p AS INTEGER), 30) AS gram
+      FROM documents, unnest(generate_series(
+        1, greatest(length(text) - 29, 1), 10)) AS g(p)
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_grams
+    FROM grams g LEFT JOIN dup d USING (gram)
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """
+
+
+def _p_stratified_sample(spark, sf_dir):
+    """Deterministic stratified mixture sampling: md5-bucket keep
+    decision at per-language rates (en 50%, fr 25%, rest 12.5%)."""
+    from redisgraph_spark.pipeline.sampling import hash_sample
+    return hash_sample(_docs(spark, sf_dir), "doc_id",
+                       {"en": 0.5, "fr": 0.25}, "lang",
+                       default_rate=0.125, seed="s0") \
+        .select("doc_id", "lang", "source") \
+        .orderBy("doc_id")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)),
+                               1, 4)) AS BIGINT)
+          < CASE lang WHEN 'en' THEN 32768 WHEN 'fr' THEN 16384
+                      ELSE 8192 END
+    ORDER BY doc_id
+    """
+
+
+def _p_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk training-stream packing: per-source document
+    streams split into 64-token context windows; each doc's start
+    chunk + offset."""
+    from redisgraph_spark.pipeline.sampling import pack_sequences
+    from redisgraph_spark.pipeline.text import token_count
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(docs, 64, "n_tokens", "source") \
+        .orderBy("doc_id")
+
+
+_PACK_SEQUENCES_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+      CAST(floor(coalesce(sum(n_tokens) OVER w, 0) / 64) AS BIGINT)
+        AS chunk,
+      CAST(coalesce(sum(n_tokens) OVER w, 0) % 64 AS BIGINT)
+        AS chunk_offset
+    FROM t
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ORDER BY doc_id
+    """
+
+
+def _p_semdedup(spark, sf_dir):
+    """SemDeDup: k-means (8 clusters, 2 Lloyd iterations, lowest-id
+    seeds, centroids rounded to a 1e-6 grid each step) over the
+    embedding corpus, then intra-cluster cosine > 0.45 drops the
+    higher-id member. The oracle replays the identical iteration
+    arithmetic as a CTE chain. [sf-dependent: dim=64 is baked into the
+    oracle's generate_series(1,64).]"""
+    from redisgraph_spark.pipeline.dedup import semdedup
+    return semdedup(_emb(spark, sf_dir), threshold=0.45, nlist=8,
+                    iters=2).orderBy("vec_id")
+
+
+def _semdedup_oracle() -> str:
+    assign = """
+  SELECT vec_id, list_id, v FROM (
+    SELECT e.vec_id, c.list_id, e.v,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round(1e9 * list_cosine_similarity(e.v, c.center)) / 1e9 DESC,
+        c.list_id ASC) AS rn
+    FROM e CROSS JOIN {c} AS c) WHERE rn = 1
+"""
+    centroid = """
+  SELECT list_id, list(c ORDER BY i) AS center FROM (
+    SELECT list_id, d.i, round(1e6 * avg(v[CAST(d.i AS INTEGER)])) / 1e6
+      AS c
+    FROM {a} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+    GROUP BY list_id, d.i) GROUP BY list_id
+"""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+        AS list_id, v AS center
+      FROM e ORDER BY vec_id LIMIT 8
+    ),
+    a0 AS ({assign.format(c='c0')}),
+    c1 AS ({centroid.format(a='a0')}),
+    a1 AS ({assign.format(c='c1')}),
+    c2 AS ({centroid.format(a='a1')}),
+    a2 AS ({assign.format(c='c2')}),
+    dropped AS (
+      SELECT DISTINCT a.vec_id FROM a2 a JOIN a2 b
+        ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+      WHERE round(1e6 * list_cosine_similarity(a.v, b.v)) / 1e6 > 0.45
+    )
+    SELECT a2.vec_id, a2.list_id, (d.vec_id IS NULL) AS kept
+    FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
+    ORDER BY a2.vec_id
+    """
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    # round-6 training-pipeline additions
+    "p_pii_redact": (_p_pii_redact, _PII_REDACT_ORACLE),
+    "p_unigram_logprob": (_p_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
+    "p_substring_spans": (_p_substring_spans, _SUBSTRING_SPANS_ORACLE),
+    "p_stratified_sample": (_p_stratified_sample,
+                            _STRATIFIED_SAMPLE_ORACLE),
+    "p_pack_sequences": (_p_pack_sequences, _PACK_SEQUENCES_ORACLE),
+    "p_semdedup": (_p_semdedup, _semdedup_oracle()),
     # deterministic synthetic media: the decode results are a pure
     # formula over media_id (see _multimodal_oracle), so the oracle is
     # the same formula in SQL over range()

@@ -521,3 +521,84 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
     return cand.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb"))) \
         .filter(F.col("cosine") >= threshold) \
         .select("doc_a", "doc_b", "cosine")
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.45, nlist: int = 8,
+             iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", grid: float = 1e6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means
+    clustering the embedding space, then dropping any document whose
+    cosine to a LOWER-ID document in the SAME cluster exceeds
+    `threshold`. Clustering bounds the quadratic pairwise term to
+    within-cluster — the whole point of the algorithm and exactly the
+    shape that survives 100 TB: the pairwise join is an equi-join on
+    list_id, so each cluster's O(c^2) runs independently and nlist
+    scales with the corpus to hold c constant.
+
+    Determinism contract (what makes this oracle-verifiable): centroid
+    init = the nlist lowest-id vectors; assignment = max cosine with
+    list_id tie-break; after every Lloyd averaging step each centroid
+    component is rounded to the 1/grid grid, which absorbs float
+    summation-order noise (~1e-12) so any engine replaying the same
+    arithmetic — e.g. the DuckDB oracle's CTE chain — lands on bitwise
+    identical centroids and identical assignments.
+
+    Returns (id, list_id, kept) for every input row.
+    """
+    from .similarity import cosine_sim
+    from redisgraph_spark.session import inline_df
+    from pyspark.sql import Window
+    spark = emb.sparkSession
+    vecs = spread(emb).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double")).alias("__v"))
+    seed_rows = vecs.orderBy(id_col).limit(nlist).collect()
+    if not seed_rows:
+        return vecs.select(F.col(id_col),
+                           F.lit(0).cast("bigint").alias("list_id"),
+                           F.lit(True).alias("kept")).limit(0)
+    dim = len(seed_rows[0]["__v"])
+    centroids = inline_df(
+        spark,
+        [(i, [float(x) for x in r["__v"]])
+         for i, r in enumerate(seed_rows)],
+        [("list_id", "bigint"), ("center", "array<double>")])
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("list_id").asc())
+    # assignment similarities round to a 1e-9 grid before the argmax so
+    # last-ulp summation differences between engines cannot flip it
+    sim9 = lambda a, b: F.round(cosine_sim(a, b) * 1e9) / 1e9  # noqa: E731
+    for _ in range(iters):
+        assign = vecs.crossJoin(F.broadcast(centroids)) \
+            .withColumn("__sim", sim9(F.col("__v"),
+                                      F.col("center"))) \
+            .withColumn("__rk", F.row_number().over(w)) \
+            .filter(F.col("__rk") == 1).select(id_col, "list_id", "__v")
+        new_c = assign.groupBy("list_id").agg(
+            *[(F.round(F.avg(F.element_at(F.col("__v"), i + 1)) * grid)
+               / grid).alias(f"d{i}") for i in range(dim)])
+        centroids = new_c.select(
+            "list_id",
+            F.array(*[F.col(f"d{i}") for i in range(dim)])
+            .alias("center")).localCheckpoint(eager=True)
+    clustered = vecs.crossJoin(F.broadcast(centroids)) \
+        .withColumn("__sim", sim9(F.col("__v"), F.col("center"))) \
+        .withColumn("__rk", F.row_number().over(w)) \
+        .filter(F.col("__rk") == 1).select(id_col, "list_id", "__v")
+    a = clustered.select(F.col(id_col).alias("__a"),
+                         F.col("__v").alias("__va"), "list_id")
+    b = clustered.select(F.col(id_col).alias("__b"),
+                         F.col("__v").alias("__vb"), "list_id")
+    dropped = a.join(b, "list_id") \
+        .filter(F.col("__b") < F.col("__a")) \
+        .withColumn("__cos",
+                    F.round(cosine_sim(F.col("__va"), F.col("__vb"))
+                            * grid) / grid) \
+        .filter(F.col("__cos") > threshold) \
+        .select(F.col("__a").alias(id_col)).distinct() \
+        .withColumn("__dropped", F.lit(True))
+    return clustered.join(dropped, id_col, "left") \
+        .select(F.col(id_col), F.col("list_id"),
+                F.coalesce(~F.col("__dropped"), F.lit(True))
+                .alias("kept"))

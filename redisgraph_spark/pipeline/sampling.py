@@ -38,3 +38,66 @@ def key_histogram(df: DataFrame, key_col: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(total)) \
         .select(key_col, "n_rows",
                 (F.col("n_rows") / F.col("__t")).alias("share"))
+
+
+def hash_sample(df: DataFrame, id_col: str, rates: dict[str, float],
+                stratum_col: str, default_rate: float = 0.0,
+                seed: str = "s0") -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the md5 of
+    `seed:id` falls under its stratum's rate. The standard mixture
+    re-weighting op (up-/down-sample languages or sources to a target
+    mix) — hash-based instead of RNG so the sample is reproducible
+    across runs, engines, and partitionings, and a re-run on an
+    appended corpus keeps previously-kept rows stable.
+
+    Rates are quantized to 1/65536 granularity: a row is kept when the
+    first 4 hex chars of md5('<seed>:' || id) read as an int are
+    < rate * 65536. Identical arithmetic runs in the DuckDB oracle.
+
+    Scale shape: pure per-row map fused into the scan (the rate lookup
+    is a CASE over a handful of strata) — no shuffle, no state.
+    """
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.col(id_col).cast("string"))), 1, 4),
+        16, 10).cast("long")
+    thresh = None
+    for stratum, rate in sorted(rates.items()):
+        cut = int(rate * 65536)
+        cond = F.when(F.col(stratum_col) == stratum, F.lit(cut))
+        thresh = cond if thresh is None else thresh.when(
+            F.col(stratum_col) == stratum, F.lit(cut))
+    thresh = (thresh.otherwise(F.lit(int(default_rate * 65536)))
+              if thresh is not None
+              else F.lit(int(default_rate * 65536)))
+    return df.filter(bucket < thresh)
+
+
+def pack_sequences(docs: DataFrame, window_tokens: int,
+                   token_col: str, shard_col: str,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign each document its position in a concat-and-chunk training
+    stream: docs are concatenated in (shard, id) order and split into
+    fixed `window_tokens` context windows; each doc gets the chunk
+    index and offset where it starts.
+
+    Packing is inherently sequential, so at scale it runs PER SHARD
+    (`shard_col` — a source, a date bucket, a hash bucket): the running
+    token total is a window cumulative sum partitioned by shard, which
+    Spark executes as one shuffle + per-partition scan. A global
+    single-stream pack would serialize the whole corpus through one
+    task — that is the anti-pattern this signature forbids (pass a
+    constant shard column explicitly if you truly want it).
+
+    Output: (id, shard, n_tokens, chunk, chunk_offset) where `chunk` =
+    floor(preceding_tokens / window) within the shard and
+    `chunk_offset` = preceding_tokens % window.
+    """
+    w = Window.partitionBy(shard_col).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    prev = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return docs.select(
+        F.col(id_col), F.col(shard_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.floor(prev / window_tokens).cast("long").alias("chunk"),
+        (prev % window_tokens).cast("long").alias("chunk_offset"))

@@ -362,3 +362,83 @@ def bpe_token_count(text: Column) -> Column:
     """Approximate BPE pre-tokenization count (GPT-2 split regex,
     lookahead-free). SQL: len(regexp_extract_all(text, pattern))."""
     return F.regexp_count(text, F.lit(BPE_SPLIT_RE)).cast("long")
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the cheap stand-in for a KenLM perplexity quality
+    filter (docs full of rare/garbage tokens score low, fluent docs
+    score near the corpus mode).
+
+    Two linear passes: (1) token -> corpus frequency (groupBy), (2)
+    re-tokenize and join each doc's tokens against the frequency table,
+    then average ln(count/total) per doc. The frequency table is
+    vocabulary-sized (≪ corpus at 100 TB: a few GB for a trillion-token
+    corpus) so Spark broadcasts the probe side of the join; the corpus
+    never shuffles on anything wider than (doc_id, token).
+
+    SQL equivalent: two CTEs over unnest(string_split_regex(...)),
+    join, avg(ln(cnt / total)).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(F.trim(F.col(text_col))),
+                                   r"\s+"),
+                           lambda t: t != "")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("__total"))
+    scored = toks.join(F.broadcast(freq), "token") \
+        .crossJoin(F.broadcast(total)) \
+        .groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("cnt") / F.col("__total")))
+            .alias("mean_logprob"))
+    return scored
+
+
+def duplicated_spans(docs: DataFrame, k: int = 30, stride: int = 10,
+                     text_col: str = "text", id_col: str = "doc_id"
+                     ) -> DataFrame:
+    """Exact duplicated-substring detection, the scalable approximation
+    of suffix-array dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): slide a k-char window at `stride`
+    over every doc, and count how many of a doc's grams also occur
+    verbatim in ANOTHER doc. A full suffix array is a global sequential
+    structure; stride-k grams give the same "this span is copied"
+    signal as a bucketed equi-join that scales linearly.
+
+    Output: (doc_id, n_grams, n_dup_grams) — n_dup_grams*stride ≈
+    duplicated character mass; callers clip spans where the signal
+    fires.
+
+    Scale shape: explode is linear (len/stride grams per doc); the
+    dup-gram table is a groupBy on the gram; the per-doc rollup joins
+    doc grams against it. Boilerplate grams (license headers) are hot
+    keys — the groupBy output is (gram, n_docs) which AQE handles, and
+    the join back is on the gram hash. No pairwise compare anywhere.
+    """
+    t = F.col(text_col)
+    grams = spread(docs).select(
+        F.col(id_col),
+        # greatest(..., 1): a doc shorter than k chars contributes its
+        # whole text as one (short) gram — and Spark's sequence() would
+        # reject an empty 1..0 range with a positive step
+        F.explode(F.sequence(
+            F.lit(1),
+            F.greatest(F.length(t) - F.lit(k - 1), F.lit(1)),
+            F.lit(stride))).alias("pos"),
+        t.alias("__t")) \
+        .select(id_col, "pos",
+                F.substring(F.col("__t"), F.col("pos"), k).alias("gram"))
+    # grams present in >= 2 distinct docs are duplicated spans
+    dup = grams.groupBy("gram") \
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd")) \
+        .filter(F.col("__nd") >= 2).select("gram")
+    flagged = grams.join(dup, "gram", "left_semi") \
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    base = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return base.join(flagged, id_col, "left") \
+        .select(id_col, "n_grams",
+                F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+                .alias("n_dup_grams"))

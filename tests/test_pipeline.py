@@ -680,3 +680,108 @@ def test_wcc_star_via_procedure(social):
         "CALL algo.wcc() YIELD node, component "
         "RETURN count(*) AS n, count(DISTINCT component) AS c").collect()[0]
     assert (got["n"], got["c"]) == (plain["n"], plain["c"])
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from redisgraph_spark.pipeline.pii import pii_scan
+    docs = spark.createDataFrame([
+        (1, "mail a.b+c@ex-ample.co.uk or call 555-010-1234 now"),
+        (2, "server at 10.0.3.1 and 192.168.0.12, no contacts"),
+        (3, "plain text with nothing to hide"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) \
+        == (1, 1, 0)
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_ipv4"]) \
+        == (0, 0, 2)
+    assert got[1]["redacted"] == "mail <EMAIL> or call <PHONE> now"
+    assert got[2]["redacted"] == "server at <IP> and <IP>, no contacts"
+    assert got[3]["redacted"] == "plain text with nothing to hide"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+    from redisgraph_spark.pipeline.text import unigram_logprob
+    # corpus: 4 tokens total; "a" appears 2x, "b" 1x, "c" 1x
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "b c")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert got[1]["n_tokens"] == 2
+    assert abs(got[1]["mean_logprob"] - math.log(0.5)) < 1e-12
+    assert abs(got[2]["mean_logprob"] - math.log(0.25)) < 1e-12
+
+
+def test_duplicated_spans_flags_copied_text(spark):
+    from redisgraph_spark.pipeline.text import duplicated_spans
+    shared = "x" * 80                      # verbatim-copied span
+    docs = spark.createDataFrame([
+        (1, shared + " unique tail one of document number one here"),
+        (2, shared + " a different continuation in document two !!"),
+        (3, "totally unrelated text that shares no grams with others"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           duplicated_spans(docs, k=30, stride=10).collect()}
+    # grams fully inside the shared 80-char prefix are duplicated
+    assert got[1]["n_dup_grams"] >= 5 and got[2]["n_dup_grams"] >= 5
+    assert got[3]["n_dup_grams"] == 0
+    # short doc: single whole-text gram, not an error
+    short = spark.createDataFrame([(9, "tiny")], ["doc_id", "text"])
+    g9 = duplicated_spans(short, k=30, stride=10).collect()[0]
+    assert (g9["n_grams"], g9["n_dup_grams"]) == (1, 0)
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from redisgraph_spark.pipeline.sampling import hash_sample
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = hash_sample(df, "doc_id", {"en": 0.5, "fr": 0.1}, "lang",
+                       seed="s0")
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in kept.collect()}
+    assert ids1 == ids2                       # reproducible
+    en = sum(1 for i in ids1 if i % 2 == 0)
+    fr = len(ids1) - en
+    assert 400 < en < 600                     # ~50% of 1000
+    assert 50 < fr < 160                      # ~10% of 1000
+    # appending rows never flips an existing keep decision
+    df2 = spark.createDataFrame(
+        rows + [(9999, "en")], ["doc_id", "lang"])
+    ids3 = {r["doc_id"] for r in hash_sample(
+        df2, "doc_id", {"en": 0.5, "fr": 0.1}, "lang",
+        seed="s0").collect()}
+    assert ids3 - {9999} == ids1
+
+
+def test_pack_sequences_chunk_arithmetic(spark):
+    from redisgraph_spark.pipeline.sampling import pack_sequences
+    docs = spark.createDataFrame([
+        (1, "a", 40), (2, "a", 40), (3, "a", 50),   # stream a
+        (4, "b", 100),                              # stream b
+    ], ["doc_id", "source", "n_tokens"])
+    got = {r["doc_id"]: (r["chunk"], r["chunk_offset"])
+           for r in pack_sequences(docs, 64, "n_tokens",
+                                   "source").collect()}
+    assert got[1] == (0, 0)       # starts the stream
+    assert got[2] == (0, 40)      # 40 tokens precede
+    assert got[3] == (1, 16)      # 80 precede: chunk 1, offset 16
+    assert got[4] == (0, 0)       # independent shard
+
+
+def test_semdedup_drops_higher_id_near_duplicates(spark):
+    from redisgraph_spark.pipeline.dedup import semdedup
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),  # near-dup pair
+        (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.995, 0.02]),  # near-dup pair
+        (5, [0.0, 0.0, 1.0]),                           # singleton
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r for r in
+           semdedup(emb, threshold=0.9, nlist=3, iters=2).collect()}
+    assert len(got) == 5
+    # lower id of each near-dup pair kept, higher dropped
+    assert got[1]["kept"] and not got[2]["kept"]
+    assert got[3]["kept"] and not got[4]["kept"]
+    assert got[5]["kept"]
+    # dup pairs co-clustered
+    assert got[1]["list_id"] == got[2]["list_id"]
+    assert got[3]["list_id"] == got[4]["list_id"]

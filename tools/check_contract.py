@@ -63,11 +63,20 @@ def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf" and i + 1 < len(argv):
+            sf_dir = argv[i + 1]
+            i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
 
     import duckdb
     import __spark_entry__ as entrymod
