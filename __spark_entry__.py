@@ -2058,8 +2058,150 @@ def _semdedup_oracle() -> str:
     """
 
 
+def _p_chunks(spark, sf_dir):
+    """Overlapping RAG chunking: 120-char windows, 30-char overlap;
+    chunks fingerprinted (md5) so the contract hash stays small."""
+    from redisgraph_spark.pipeline.text import chunk_text
+    return chunk_text(_docs(spark, sf_dir), size=120, overlap=30) \
+        .select("doc_id", "chunk_idx", "start",
+                F.md5(F.col("chunk")).alias("chunk_fp")) \
+        .orderBy("doc_id", "chunk_idx")
+
+
+_CHUNKS_ORACLE = """
+    SELECT doc_id,
+           CAST((g.s - 1) / 90 AS BIGINT) AS chunk_idx,
+           CAST(g.s AS BIGINT) AS start,
+           md5(substr(text, CAST(g.s AS INTEGER), 120)) AS chunk_fp
+    FROM documents, unnest(generate_series(
+      1, greatest(length(text) - 30, 1), 90)) AS g(s)
+    ORDER BY doc_id, chunk_idx
+    """
+
+
+def _p_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: hashed-unigram (1024 md5 buckets)
+    log-ratio of the en-docs target LM vs the full-corpus source LM,
+    averaged per doc."""
+    from redisgraph_spark.pipeline.text import dsir_logratio
+    docs = _docs(spark, sf_dir)
+    return dsir_logratio(docs, docs.filter(F.col("lang") == "en")) \
+        .orderBy("doc_id")
+
+
+_DSIR_WEIGHTS_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(u.t), 1, 8)) AS BIGINT) % 1024
+               AS b
+      FROM documents, unnest(list_filter(
+        string_split_regex(lower(trim(text)), '\s+'),
+        x -> x <> '')) AS u(t)
+    ), ttok AS (
+      SELECT CAST(('0x' || substr(md5(u.t), 1, 8)) AS BIGINT) % 1024
+               AS b
+      FROM documents, unnest(list_filter(
+        string_split_regex(lower(trim(text)), '\s+'),
+        x -> x <> '')) AS u(t)
+      WHERE lang = 'en'
+    ), tc AS (SELECT b, count(*) AS tc FROM ttok GROUP BY b),
+    sc AS (SELECT b, count(*) AS sc FROM tok GROUP BY b),
+    tt AS (SELECT sum(tc) AS tt FROM tc),
+    st AS (SELECT sum(sc) AS st FROM sc),
+    lr AS (
+      SELECT g.b,
+             ln((coalesce(tc.tc, 0) + 1) * 1.0 / (tt.tt + 1024))
+           - ln((coalesce(sc.sc, 0) + 1) * 1.0 / (st.st + 1024)) AS lr
+      FROM (SELECT unnest(range(0, 1024)) AS b) g
+      LEFT JOIN tc ON tc.b = g.b LEFT JOIN sc ON sc.b = g.b
+      CROSS JOIN tt CROSS JOIN st
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(1e6 * avg(lr)) / 1e6 AS logratio
+    FROM tok JOIN lr ON lr.b = tok.b
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _p_temperature_sample(spark, sf_dir):
+    """Temperature mixture rebalancing (share^alpha, alpha=0.5) with
+    the deterministic md5-threshold keep rule; `cut` carries each
+    language's quantized keep threshold so values are checked."""
+    from redisgraph_spark.pipeline.sampling import temperature_sample
+    return temperature_sample(_docs(spark, sf_dir), "doc_id", "lang",
+                              alpha=0.5, base_rate=0.5, seed="s0") \
+        .orderBy("doc_id")
+
+
+_TEMPERATURE_SAMPLE_ORACLE = """
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), t AS (SELECT sum(n) AS t FROM c),
+    r AS (
+      SELECT lang, pow(n * 1.0 / t, -0.5) AS w,
+             max(pow(n * 1.0 / t, -0.5)) OVER () AS wmax
+      FROM c CROSS JOIN t
+    ), cut AS (
+      SELECT lang,
+             CAST(floor(round(0.5 * w / wmax * 65536 * 1e9) / 1e9)
+                  AS BIGINT) AS cut
+      FROM r
+    )
+    SELECT d.doc_id, d.lang, cut.cut
+    FROM documents d JOIN cut ON cut.lang = d.lang
+    WHERE CAST(('0x' || substr(md5('s0:' || CAST(d.doc_id AS VARCHAR)),
+                               1, 4)) AS BIGINT) < cut.cut
+    ORDER BY d.doc_id
+    """
+
+
+def _p_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup canonicalization: MinHash-LSH clusters keep
+    their LONGEST member (n_chars desc, id asc) instead of min-id."""
+    from redisgraph_spark.pipeline.dedup import (keep_best,
+                                                 minhash_lsh_pairs)
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, hash_fn="md5",
+                              sig=_minhash_sig(spark, sf_dir, "md5"))
+    return keep_best(docs, pairs, "n_chars").orderBy("doc_id")
+
+
+def _keep_best_oracle() -> str:
+    """dedup_clusters closure + row_number by (n_chars DESC, doc_id)
+    within each cluster — the kept representative is the longest doc."""
+    return f"""
+        WITH RECURSIVE {_minhash_md5_ctes()},
+        e AS (
+          SELECT doc_a AS a, doc_b AS b FROM cand
+          UNION SELECT doc_b, doc_a FROM cand
+        ),
+        reach(a, b) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM e)
+          UNION
+          SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a
+        ),
+        comp AS (
+          SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
+        ),
+        cl AS (
+          SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id, cluster,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY n_chars DESC, doc_id ASC) = 1 AS is_kept
+        FROM cl ORDER BY doc_id
+        """
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # round-6 training-pipeline additions
+    "p_chunks": (_p_chunks, _CHUNKS_ORACLE),
+    "p_dsir_weights": (_p_dsir_weights, _DSIR_WEIGHTS_ORACLE),
+    "p_temperature_sample": (_p_temperature_sample,
+                             _TEMPERATURE_SAMPLE_ORACLE),
+    "p_dedup_keep_best": (_p_dedup_keep_best, _keep_best_oracle()),
     "p_pii_redact": (_p_pii_redact, _PII_REDACT_ORACLE),
     "p_unigram_logprob": (_p_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "p_substring_spans": (_p_substring_spans, _SUBSTRING_SPANS_ORACLE),

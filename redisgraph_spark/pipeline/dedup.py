@@ -602,3 +602,32 @@ def semdedup(emb: DataFrame, threshold: float = 0.45, nlist: int = 8,
         .select(F.col(id_col), F.col("list_id"),
                 F.coalesce(~F.col("__dropped"), F.lit(True))
                 .alias("kept"))
+
+
+def keep_best(docs: DataFrame, pairs: DataFrame, quality_col: str,
+              id_col: str = "doc_id",
+              star_threshold: int | None = 100_000) -> DataFrame:
+    """Quality-aware canonical selection: like `dedup_clusters`, but
+    the kept representative of each duplicate cluster is the HIGHEST
+    `quality_col` member (id ascending as tiebreak) instead of the
+    minimum id. The standard refinement once a pipeline has quality
+    scores — near-dup groups keep the cleanest copy, not the one that
+    happened to crawl first.
+
+    Output: (id, cluster, is_kept) for every input doc.
+
+    Scale shape: identical to `dedup_clusters` (components over the
+    pair graph only) plus one row_number window partitioned by cluster
+    — clusters are small by construction (they are near-dup groups), so
+    the window never sees a hot key larger than the biggest dup group.
+    """
+    from pyspark.sql import Window
+    clustered = dedup_clusters(docs, pairs, id_col=id_col,
+                               star_threshold=star_threshold) \
+        .select(id_col, "cluster") \
+        .join(docs.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc())
+    return clustered.withColumn("__rk", F.row_number().over(w)) \
+        .select(F.col(id_col), F.col("cluster"),
+                (F.col("__rk") == 1).alias("is_kept"))

@@ -101,3 +101,46 @@ def pack_sequences(docs: DataFrame, window_tokens: int,
         F.col(token_col).cast("long").alias("n_tokens"),
         F.floor(prev / window_tokens).cast("long").alias("chunk"),
         (prev % window_tokens).cast("long").alias("chunk_offset"))
+
+
+def temperature_sample(df: DataFrame, id_col: str, stratum_col: str,
+                       alpha: float = 0.7, base_rate: float = 0.5,
+                       seed: str = "s0") -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual
+    up-/down-sampling rule of mBERT/mT5): the output mix follows
+    share^alpha renormalized, so alpha<1 flattens the head strata and
+    boosts the tail. Per-row keep rate r_i ∝ share_i^(alpha-1), scaled
+    so the largest rate equals `base_rate`; the keep decision is the
+    same deterministic md5-threshold as `hash_sample`, so the sample is
+    reproducible and append-stable.
+
+    Rates are rounded to a 1e-9 grid before quantizing to the 16-bit
+    cut so both engines (libm pow on IEEE doubles) land on the same
+    integer threshold.
+
+    Output: kept rows as (id, stratum, cut) — `cut` carries the
+    stratum's quantized threshold so results are value-checkable.
+
+    Scale shape: one tiny groupBy for the histogram (strata count ~
+    languages/sources), a broadcast join of the rates, and a fused
+    per-row filter. The corpus never shuffles.
+    """
+    counts = df.groupBy(stratum_col) \
+        .agg(F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__t"))
+    w = F.pow(F.col("__n") / F.col("__t"), F.lit(alpha - 1.0))
+    rates = counts.crossJoin(F.broadcast(total)) \
+        .withColumn("__w", w) \
+        .withColumn("__wmax", F.max("__w").over(
+            Window.partitionBy(F.lit(1)))) \
+        .select(stratum_col,
+                F.floor(F.round(F.lit(base_rate) * F.col("__w")
+                                / F.col("__wmax") * 65536 * 1e9) / 1e9)
+                .cast("long").alias("cut"))
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.col(id_col).cast("string"))), 1, 4),
+        16, 10).cast("long")
+    return df.join(F.broadcast(rates), stratum_col) \
+        .filter(bucket < F.col("cut")) \
+        .select(F.col(id_col), F.col(stratum_col), F.col("cut"))

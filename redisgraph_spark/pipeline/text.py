@@ -442,3 +442,93 @@ def duplicated_spans(docs: DataFrame, k: int = 30, stride: int = 10,
         .select(id_col, "n_grams",
                 F.coalesce("n_dup_grams", F.lit(0)).cast("long")
                 .alias("n_dup_grams"))
+
+
+def chunk_text(docs: DataFrame, size: int = 200, overlap: int = 50,
+               text_col: str = "text", id_col: str = "doc_id"
+               ) -> DataFrame:
+    """Overlapping fixed-size character chunks — the RAG/context-window
+    splitter that precedes embedding or packing. Chunk i starts at
+    1 + i*(size-overlap); every chunk is `size` chars except the last,
+    which carries the tail. A doc shorter than `size` yields one chunk.
+
+    Output: (id, chunk_idx, start, chunk).
+
+    Scale shape: pure per-row explode — len/(size-overlap) chunks per
+    doc, no shuffle, fused into the scan. The explode factor is the
+    only cost, and it is the output size.
+
+    SQL equivalent: unnest(generate_series(1, greatest(len-overlap,1),
+    size-overlap)) + substr.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    t = F.col(text_col)
+    # last window start: the largest s with s <= len - overlap keeps
+    # every char covered and never emits a fully-redundant tail chunk
+    return spread(docs).select(
+        F.col(id_col),
+        F.explode(F.sequence(
+            F.lit(1),
+            F.greatest(F.length(t) - F.lit(overlap), F.lit(1)),
+            F.lit(step))).alias("start"),
+        t.alias("__t")) \
+        .select(id_col,
+                ((F.col("start") - 1) / step).cast("long")
+                .alias("chunk_idx"),
+                F.col("start").cast("long").alias("start"),
+                F.substring(F.col("__t"), F.col("start"), size)
+                .alias("chunk"))
+
+
+def dsir_logratio(docs: DataFrame, target: DataFrame,
+                  n_buckets: int = 1024, text_col: str = "text",
+                  id_col: str = "doc_id", grid: float = 1e6
+                  ) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    how target-like its hashed-unigram distribution is. Feature = md5
+    bucket of the token (n_buckets); weight = mean over the doc's
+    tokens of ln(p_target(bucket) / p_source(bucket)) with add-1
+    smoothing. High scores = looks like the target corpus; downstream,
+    `hash_sample`/`per_key_quota` resample on the score.
+
+    Both unigram tables collapse to <= n_buckets rows, so the per-token
+    join is a broadcast and the corpus shuffles only on (doc, bucket)
+    partial aggregates. The md5 bucket (not xxhash) keeps the formula
+    engine-portable for the oracle.
+
+    Output: (id, n_tokens, logratio) with logratio rounded to 1/grid.
+    """
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != "")).alias("__tok")) \
+            .withColumn("__b", F.conv(F.substring(F.md5(F.col("__tok")),
+                                                  1, 8), 16, 10)
+                        .cast("long") % n_buckets)
+
+    src_toks = toks(spread(docs))
+    tgt = toks(target).groupBy("__b").agg(F.count(F.lit(1)).alias("tc"))
+    src = src_toks.groupBy("__b").agg(F.count(F.lit(1)).alias("sc"))
+    tgt_tot = tgt.agg(F.sum("tc").alias("tt"))
+    src_tot = src.agg(F.sum("sc").alias("st"))
+    # dense bucket table: every bucket 0..n-1 with smoothed counts, so
+    # tokens hashing to a bucket unseen in either corpus still score
+    buckets = docs.sparkSession.range(n_buckets) \
+        .select(F.col("id").alias("__b")) \
+        .join(F.broadcast(tgt), "__b", "left") \
+        .join(F.broadcast(src), "__b", "left") \
+        .crossJoin(F.broadcast(tgt_tot)).crossJoin(F.broadcast(src_tot)) \
+        .select("__b", (
+            F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1) /
+                  (F.col("tt") + n_buckets)) -
+            F.log((F.coalesce(F.col("sc"), F.lit(0)) + 1) /
+                  (F.col("st") + n_buckets))).alias("__lr"))
+    return src_toks.join(F.broadcast(buckets), "__b") \
+        .groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.avg("__lr") * grid) / grid).alias("logratio"))

@@ -785,3 +785,94 @@ def test_semdedup_drops_higher_id_near_duplicates(spark):
     # dup pairs co-clustered
     assert got[1]["list_id"] == got[2]["list_id"]
     assert got[3]["list_id"] == got[4]["list_id"]
+
+
+def test_chunk_text_windows_and_tail(spark):
+    from redisgraph_spark.pipeline.text import chunk_text
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 3), (2, "short")], ["doc_id", "text"])
+    got = chunk_text(docs, size=10, overlap=4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # len 30, step 6, starts 1,7,13,19,25 (<= 30-4=26)
+    assert [r["start"] for r in c1] == [1, 7, 13, 19, 25]
+    assert c1[0]["chunk"] == "abcdefghij"
+    assert c1[-1]["chunk"] == "efghij"          # tail carries the rest
+    # consecutive chunks share the 4-char overlap
+    assert c1[0]["chunk"][-4:] == c1[1]["chunk"][:4]
+    assert [r["chunk"] for r in by_doc[2]] == ["short"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_text(docs, size=4, overlap=4)
+
+
+def test_dsir_logratio_prefers_target_like_docs(spark):
+    from redisgraph_spark.pipeline.text import dsir_logratio
+    # target distribution: "alpha beta"; doc 1 matches it, doc 2 is
+    # all out-of-target tokens -> strictly lower log-ratio
+    docs = spark.createDataFrame([
+        (1, "alpha beta alpha"),
+        (2, "zulu yankee xray"),
+    ], ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(9, "alpha beta alpha beta")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dsir_logratio(docs, target).collect()}
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 3
+    assert got[1]["logratio"] > got[2]["logratio"]
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    from redisgraph_spark.pipeline.sampling import temperature_sample
+    rows = [(i, "en" if i % 10 else "fr") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])  # 90% en
+    kept = temperature_sample(df, "doc_id", "lang", alpha=0.5,
+                              base_rate=0.5).collect()
+    en = sum(1 for r in kept if r["lang"] == "en")
+    fr = len(kept) - en
+    # alpha=0.5 halves the head/tail ratio: en/fr 9:1 -> 3:1
+    assert 2.0 < en / fr < 4.5
+    # the dominant stratum gets the smaller per-row rate
+    cuts = {r["lang"]: r["cut"] for r in kept}
+    assert cuts["en"] < cuts["fr"] == 32768   # base_rate on the max-w
+    # deterministic
+    again = temperature_sample(df, "doc_id", "lang", alpha=0.5,
+                               base_rate=0.5).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
+
+
+def test_keep_best_keeps_highest_quality(spark):
+    from redisgraph_spark.pipeline.dedup import keep_best
+    docs = spark.createDataFrame([
+        (1, 10), (2, 99), (3, 50),    # cluster {1,2,3}: 2 is best
+        (4, 7),                       # singleton
+    ], ["doc_id", "quality"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r for r in
+           keep_best(docs, pairs, "quality").collect()}
+    assert not got[1]["is_kept"] and got[2]["is_kept"] \
+        and not got[3]["is_kept"]
+    assert got[4]["is_kept"]
+    assert got[1]["cluster"] == got[2]["cluster"] == got[3]["cluster"]
+
+
+def test_write_shards_global_range_order(spark, tmp_path):
+    from redisgraph_spark.sources.shards import write_shards
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("payload"))
+    n = write_shards(df, str(tmp_path / "shards"), 300, "doc_id")
+    assert n == 4
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == 1000
+    # shard boundaries respect the global order: per-file min/max
+    # ranges never overlap
+    import pyspark.sql.functions as _F
+    ranges = back.groupBy(_F.input_file_name().alias("f")) \
+        .agg(_F.min("doc_id").alias("lo"), _F.max("doc_id").alias("hi")) \
+        .orderBy("lo").collect()
+    assert len(ranges) == 4
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] < cur["lo"]
