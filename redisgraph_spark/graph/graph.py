@@ -428,6 +428,34 @@ class Graph:
                              self._scan_cache, key)
         return self
 
+    def warm_statistics(self) -> "Graph":
+        """Populate the per-label/per-type count caches in ONE Spark
+        job — the analog of the reference maintaining running entity
+        counters from load time (``src/graph/graph_statistics.h:14-37``)
+        instead of counting on first use. The var-len frontier cost
+        model reads every edge-type count on its first query; without
+        this, that first query pays one count job per table."""
+        from functools import reduce
+        parts = []
+        for kind, tables in (("n", self.node_tables),
+                             ("e", self.edge_tables)):
+            for nm, df in tables.items():
+                if (kind, nm, self._version) in self._count_cache:
+                    continue
+                parts.append(df.groupBy().agg(
+                    F.count(F.lit(1)).alias("__c")).select(
+                        F.lit(kind).alias("__k"), F.lit(nm).alias("__n"),
+                        "__c"))
+        if parts:
+            for row in reduce(lambda a, b: a.unionByName(b),
+                              parts).collect():
+                self._count_cache[(row["__k"], row["__n"],
+                                   self._version)] = row["__c"]
+        for kind, tables in (("n", self.node_tables),
+                             ("e", self.edge_tables)):
+            self._counted(kind, None, tables)
+        return self
+
     # ---------------------------------------------------------------- stats
     def node_count(self, label: str | None = None) -> int:
         """Metadata-answerable count — the ``reduceCount`` optimization

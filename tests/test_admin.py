@@ -515,3 +515,25 @@ def test_fulltext_parser_fuzz():
         parse_query(q)
 
     check()
+
+
+def test_warm_statistics_seeds_all_counts(spark):
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, "/root/testdata/sf0.001")
+    direct = {("n", nm): df.count() for nm, df in g.node_tables.items()}
+    direct.update(
+        {("e", nm): df.count() for nm, df in g.edge_tables.items()})
+    g2 = Graph.from_tpch(spark, "/root/testdata/sf0.001")
+    g2.warm_statistics()
+    # every per-table count and both rollups are cache hits now
+    for (kind, nm), want in direct.items():
+        key = (kind, nm, g2._version)
+        assert g2._count_cache.get(key) == want
+    assert ("n", None, g2._version) in g2._count_cache
+    assert ("e", None, g2._version) in g2._count_cache
+    assert g2.node_count(None) == sum(
+        v for (k, _), v in direct.items() if k == "n")
+    # idempotent and version-aware: a second call is a no-op
+    g2.warm_statistics()
+    assert g2.edge_count(None) == sum(
+        v for (k, _), v in direct.items() if k == "e")

@@ -61,6 +61,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     em._graph(spark, sf_dir).node_count("Region")
     em._graph(spark, sf_dir).warm_traversal()
+    em._graph(spark, sf_dir).warm_statistics()
     # same load phase as bench.py: bucketed layout + signature index
     # are build-once artifacts, not per-query work
     em._bucketed_graph(spark, sf_dir)
