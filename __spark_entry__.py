@@ -2195,8 +2195,46 @@ def _keep_best_oracle() -> str:
         """
 
 
+def _p_minhash_incremental(spark, sf_dir):
+    """Incremental dedup: docs with doc_id % 5 == 0 arrive as the new
+    batch; the rest are the existing corpus whose signature index is
+    already built. Candidates = new×corpus + new×new at est >= 0.5.
+    Oracle = the full-corpus md5 banding restricted to pairs touching
+    the new batch (banding is per-doc, so the restriction commutes)."""
+    from redisgraph_spark.pipeline.dedup import (minhash_lsh_incremental,
+                                                 minhash_signatures)
+    docs = _docs(spark, sf_dir)
+    corpus_sig = minhash_signatures(
+        docs.filter(F.col("doc_id") % 5 != 0), hash_fn="md5") \
+        .localCheckpoint(eager=True)
+    return minhash_lsh_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0), corpus_sig,
+        threshold=0.5, hash_fn="md5") \
+        .orderBy("doc_a", "doc_b")
+
+
+def _minhash_incremental_oracle() -> str:
+    bands = " OR ".join(
+        f"list_slice(sa, {b * 4 + 1}, {b * 4 + 4}) = "
+        f"list_slice(sb, {b * 4 + 1}, {b * 4 + 4})" for b in range(8))
+    return f"""
+        WITH {_minhash_md5_ctes()}
+        SELECT doc_a, doc_b,
+               len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
+                 / 32.0 AS est_jaccard
+        FROM pairs
+        WHERE ({bands})
+          AND len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
+              / 32.0 >= 0.5
+          AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+        ORDER BY doc_a, doc_b
+        """
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # round-6 training-pipeline additions
+    "p_minhash_incremental": (_p_minhash_incremental,
+                              _minhash_incremental_oracle()),
     "p_chunks": (_p_chunks, _CHUNKS_ORACLE),
     "p_dsir_weights": (_p_dsir_weights, _DSIR_WEIGHTS_ORACLE),
     "p_temperature_sample": (_p_temperature_sample,

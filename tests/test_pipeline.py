@@ -876,3 +876,24 @@ def test_write_shards_global_range_order(spark, tmp_path):
     assert len(ranges) == 4
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev["hi"] < cur["lo"]
+
+
+def test_minhash_incremental_matches_full_restriction(spark):
+    from redisgraph_spark.pipeline.dedup import (
+        minhash_lsh_incremental, minhash_lsh_pairs, minhash_signatures)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, base + (" extra" if i % 3 == 0 else "")) for i in range(12)],
+        ["doc_id", "text"])
+    new = docs.filter("doc_id >= 8")
+    corpus = docs.filter("doc_id < 8")
+    corpus_sig = minhash_signatures(corpus)
+    inc = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in minhash_lsh_incremental(new, corpus_sig,
+                                            threshold=0.5).collect()}
+    full = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    want = {k: v for k, v in full.items() if k[0] >= 8 or k[1] >= 8}
+    assert inc == want and len(inc) > 0
+    # corpus-internal pairs are never re-reported
+    assert all(a >= 8 or b >= 8 for a, b in inc)
