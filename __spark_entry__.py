@@ -2201,12 +2201,14 @@ def _p_minhash_incremental(spark, sf_dir):
     already built. Candidates = new×corpus + new×new at est >= 0.5.
     Oracle = the full-corpus md5 banding restricted to pairs touching
     the new batch (banding is per-doc, so the restriction commutes)."""
-    from redisgraph_spark.pipeline.dedup import (minhash_lsh_incremental,
-                                                 minhash_signatures)
+    from redisgraph_spark.pipeline.dedup import minhash_lsh_incremental
     docs = _docs(spark, sf_dir)
-    corpus_sig = minhash_signatures(
-        docs.filter(F.col("doc_id") % 5 != 0), hash_fn="md5") \
-        .localCheckpoint(eager=True)
+    # the corpus index is a persisted build-once artifact (that is the
+    # operator's premise) — slice it out of the cached full-corpus
+    # signature index instead of re-shingling the corpus per run; only
+    # the new batch pays signature computation inside the operator
+    corpus_sig = _minhash_sig(spark, sf_dir, "md5") \
+        .filter(F.col("doc_id") % 5 != 0)
     return minhash_lsh_incremental(
         docs.filter(F.col("doc_id") % 5 == 0), corpus_sig,
         threshold=0.5, hash_fn="md5") \
