@@ -2195,6 +2195,33 @@ def _keep_best_oracle() -> str:
         """
 
 
+def _p_stream_neardup(spark, sf_dir):
+    """Streaming near-dup gate: the documents table drained through the
+    foreachBatch MinHash gate (md5 hash for the oracle); kept = every
+    doc that near-dups no lower id. Batch-boundary invariance is
+    differential-tested in pytest; here the table arrives as one
+    availableNow batch."""
+    import tempfile
+    from redisgraph_spark.streaming.stream import streaming_neardup_dedup
+    docs_schema = _docs(spark, sf_dir).schema
+    stream = spark.readStream.schema(docs_schema) \
+        .option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    out = tempfile.mkdtemp(prefix="rgsnd_out")
+    ck = tempfile.mkdtemp(prefix="rgsnd_ck")
+    streaming_neardup_dedup(stream, out, ck, hash_fn="md5")
+    return spark.read.parquet(out) \
+        .select("doc_id", "source").orderBy("doc_id")
+
+
+def _stream_neardup_oracle() -> str:
+    return f"""
+        WITH {_minhash_md5_ctes()}
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_b FROM cand)
+        ORDER BY doc_id
+        """
+
+
 def _p_minhash_incremental(spark, sf_dir):
     """Incremental dedup: docs with doc_id % 5 == 0 arrive as the new
     batch; the rest are the existing corpus whose signature index is
@@ -2237,6 +2264,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # round-6 training-pipeline additions
     "p_minhash_incremental": (_p_minhash_incremental,
                               _minhash_incremental_oracle()),
+    "p_stream_neardup": (_p_stream_neardup, _stream_neardup_oracle()),
     "p_chunks": (_p_chunks, _CHUNKS_ORACLE),
     "p_dsir_weights": (_p_dsir_weights, _DSIR_WEIGHTS_ORACLE),
     "p_temperature_sample": (_p_temperature_sample,

@@ -174,3 +174,72 @@ def stream_into_graph(stream: DataFrame, graph, rel: str,
     return stream.writeStream.foreachBatch(upsert) \
         .option("checkpointLocation", checkpoint) \
         .trigger(availableNow=True).start()
+
+
+def streaming_neardup_dedup(doc_stream: DataFrame, out_path: str,
+                            checkpoint: str,
+                            corpus_sig: DataFrame | None = None,
+                            threshold: float = 0.5,
+                            num_hashes: int = 32, bands: int = 8,
+                            n: int = 3, hash_fn: str = "xxhash64",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> None:
+    """Streaming NEAR-duplicate gate — the incremental-corpus pattern
+    (`pipeline.dedup.minhash_lsh_incremental`) run continuously: each
+    micro-batch is MinHash-banded and probed against the accumulated
+    signature index (the seed corpus plus every previously seen batch);
+    survivors are appended to `out_path`, and ALL new signatures —
+    kept or dropped — extend the index so later repeats of a dropped
+    doc still match.
+
+    Drop rule per batch doc d: d pairs (est >= threshold) with any
+    already-indexed doc, or with a lower-id doc in its own batch. With
+    batches arriving in id order this equals the batch rule "drop
+    every doc that near-dups a lower id" exactly, independent of batch
+    boundaries (differential-tested).
+
+    Scale shape: per micro-batch cost ∝ batch size (shingle+minhash of
+    the batch, band probe into the index) — the index is probed via the
+    band equi-join, never rescanned; signatures are ids + 32 longs, so
+    a trillion-doc index is a few TB of bucketed parquet in production
+    (here: a localCheckpoint chain, flattened every batch).
+    """
+    from redisgraph_spark.pipeline.dedup import (minhash_lsh_incremental,
+                                                 minhash_signatures)
+
+    state: dict[str, DataFrame | None] = {"sig": corpus_sig}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_sig = minhash_signatures(
+            batch_df, num_hashes, n, text_col, id_col,
+            shingle="word", hash_fn=hash_fn).localCheckpoint(eager=True)
+        index = state["sig"]
+        if index is None:
+            index = new_sig.limit(0)
+        pairs = minhash_lsh_incremental(
+            batch_df, index, num_hashes, bands, n,
+            threshold=threshold, text_col=text_col, id_col=id_col,
+            hash_fn=hash_fn, new_sig=new_sig)
+        b_ids = new_sig.select(F.col(id_col).alias("__bid"))
+        # orient each pair: which endpoint is the batch newcomer?
+        fa = pairs.join(b_ids, pairs["doc_a"] == b_ids["__bid"],
+                        "left").withColumnRenamed("__bid", "__ina")
+        fb = fa.join(b_ids, fa["doc_b"] == b_ids["__bid"], "left") \
+            .withColumnRenamed("__bid", "__inb")
+        dropped = fb.select(
+            F.when(F.col("__ina").isNotNull() &
+                   F.col("__inb").isNotNull(),
+                   F.greatest("doc_a", "doc_b"))
+            .when(F.col("__inb").isNotNull(), F.col("doc_b"))
+            .otherwise(F.col("doc_a")).alias(id_col)).distinct()
+        batch_df.join(dropped, id_col, "left_anti") \
+            .write.mode("append").parquet(out_path)
+        state["sig"] = index.unionByName(new_sig) \
+            .localCheckpoint(eager=True)
+
+    q = doc_stream.writeStream.foreachBatch(handle) \
+        .option("checkpointLocation", checkpoint) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination()

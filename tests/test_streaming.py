@@ -127,3 +127,42 @@ def test_custom_stateful_operator(spark, event_dir):
     assert abs(got[1]["total_value"] - 7.0) < 1e-9
     assert got[1]["max_value"] == 3.0
     assert got[2]["n_events"] == 1
+
+
+def test_streaming_neardup_batch_split_invariant(spark, tmp_path):
+    import os
+    import time as _time
+    from pyspark.sql import functions as F
+    from redisgraph_spark.streaming.stream import streaming_neardup_dedup
+    from redisgraph_spark.pipeline.dedup import minhash_lsh_pairs
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows = [(i, base + ("" if i % 4 else " extra tail words here"))
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # ground truth: drop every doc that near-dups a lower id
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    dropped = {max(r["doc_a"], r["doc_b"]) for r in pairs}
+    want = {i for i, _ in rows} - dropped
+    assert 0 < len(want) < 12          # fixture has dups AND survivors
+
+    def run(split: list[range], tag: str) -> set[int]:
+        src = tmp_path / f"src_{tag}"
+        os.makedirs(src)
+        for k, rng in enumerate(split):
+            docs.filter(F.col("doc_id").isin(list(rng))) \
+                .coalesce(1).write.parquet(str(src / f"b{k}.parquet"))
+            _time.sleep(1.1)   # file-source ordering is by mtime
+        stream = spark.readStream.schema(docs.schema) \
+            .option("maxFilesPerTrigger", 1) \
+            .option("recursiveFileLookup", "true").parquet(str(src))
+        out = tmp_path / f"out_{tag}"
+        streaming_neardup_dedup(stream, str(out),
+                                str(tmp_path / f"ck_{tag}"))
+        return {r["doc_id"]
+                for r in spark.read.parquet(str(out)).collect()}
+
+    one = run([range(0, 12)], "one")
+    three = run([range(0, 4), range(4, 8), range(8, 12)], "three")
+    assert one == want
+    assert three == want               # batch boundaries don't matter
