@@ -626,6 +626,51 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
     # CONTAINS / SUPPLIED_BY, both lineitem-derived) — so the count IS
     # SQL-expressible; exact per-node semantics pinned by
     # tests/test_e2e_queries.py::test_algo_wcc
+    # deterministic synchronous LPA on the IN_REGION subgraph; the
+    # oracle unrolls the same 3 synchronous rounds (most-frequent
+    # neighbor label, min tie-break) over the id-formula edge list
+    # (tpch.py OFF: Nation = 2e12 + key, Region = 1e12 + key)
+    "q_label_prop": (
+        "CALL algo.labelPropagation('IN_REGION', 3) YIELD node, label "
+        "RETURN label AS community, count(*) AS n ORDER BY community",
+        """
+        WITH e AS (
+          SELECT 2000000000000 + n_nationkey AS a,
+                 1000000000000 + n_regionkey AS b FROM nation
+          UNION ALL
+          SELECT 1000000000000 + n_regionkey,
+                 2000000000000 + n_nationkey FROM nation
+        ), l0 AS (
+          SELECT DISTINCT a AS node, a AS label FROM e
+        ), l1 AS (
+          SELECT n.node, coalesce(s.lbl, n.label) AS label FROM l0 n
+          LEFT JOIN (SELECT node, lbl FROM (
+            SELECT e.a AS node, l.label AS lbl,
+                   row_number() OVER (PARTITION BY e.a
+                     ORDER BY count(*) DESC, l.label ASC) AS rn
+            FROM e JOIN l0 l ON l.node = e.b GROUP BY e.a, l.label)
+            WHERE rn = 1) s ON s.node = n.node
+        ), l2 AS (
+          SELECT n.node, coalesce(s.lbl, n.label) AS label FROM l1 n
+          LEFT JOIN (SELECT node, lbl FROM (
+            SELECT e.a AS node, l.label AS lbl,
+                   row_number() OVER (PARTITION BY e.a
+                     ORDER BY count(*) DESC, l.label ASC) AS rn
+            FROM e JOIN l1 l ON l.node = e.b GROUP BY e.a, l.label)
+            WHERE rn = 1) s ON s.node = n.node
+        ), l3 AS (
+          SELECT n.node, coalesce(s.lbl, n.label) AS label FROM l2 n
+          LEFT JOIN (SELECT node, lbl FROM (
+            SELECT e.a AS node, l.label AS lbl,
+                   row_number() OVER (PARTITION BY e.a
+                     ORDER BY count(*) DESC, l.label ASC) AS rn
+            FROM e JOIN l2 l ON l.node = e.b GROUP BY e.a, l.label)
+            WHERE rn = 1) s ON s.node = n.node
+        )
+        SELECT label AS community, count(*) AS n FROM l3
+        GROUP BY label ORDER BY community
+        """),
+
     "q_wcc": (
         "CALL algo.wcc() YIELD node, component "
         "RETURN count(*) AS n_nodes, "

@@ -148,3 +148,42 @@ def weakly_connected_components_star(node_ids: DataFrame,
         .join(parent, "node", "left_anti") \
         .select("node", F.col("node").alias("component"))
     return parent.unionByName(roots)
+
+
+def label_propagation(node_ids: DataFrame, edges: DataFrame,
+                      iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), made
+    engine-deterministic: every node starts labeled with its own id;
+    each iteration every node SIMULTANEOUSLY adopts the most frequent
+    label among its (undirected) neighbors, ties broken by the minimum
+    label; isolated nodes keep their label. Fixed `iters` synchronous
+    rounds — no RNG, no update-order dependence — so any engine
+    replaying the same arithmetic (e.g. a DuckDB unrolled-CTE oracle)
+    lands on identical labels.
+
+    Scale shape per round: one groupBy on (node, label) + one window
+    argmax partitioned by node — two key shuffles over the edge list,
+    same partitioning every round so AQE reuses exchanges. State is one
+    (node, label) row per node; rounds are fixed, not data-dependent.
+
+    Returns (node, label).
+    """
+    from pyspark.sql import Window
+    ue = edges.select(F.col("_src").alias("a"), F.col("_dst").alias("b")) \
+        .unionByName(edges.select(F.col("_dst").alias("a"),
+                                  F.col("_src").alias("b")))
+    labels = node_ids.select(F.col("_id").alias("node"),
+                             F.col("_id").alias("label"))
+    w = Window.partitionBy("a").orderBy(F.col("__c").desc(),
+                                        F.col("label").asc())
+    for _ in range(iters):
+        best = ue.join(labels, ue["b"] == labels["node"]) \
+            .groupBy("a", "label").agg(F.count(F.lit(1)).alias("__c")) \
+            .withColumn("__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") == 1) \
+            .select(F.col("a").alias("node"),
+                    F.col("label").alias("__new"))
+        labels = labels.join(best, "node", "left") \
+            .select("node", F.coalesce("__new", "label").alias("label")) \
+            .localCheckpoint(eager=True)
+    return labels

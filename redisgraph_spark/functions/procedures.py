@@ -26,6 +26,7 @@ PROCS = {
     "algo.bfs": ("nodes", "edges"),
     "algo.wcc": ("node", "component"),
     "algo.trianglecount": ("triangles",),
+    "algo.labelpropagation": ("node", "label"),
     "db.idx.fulltext.querynodes": ("node", "score"),
     "db.idx.fulltext.createnodeindex": ("ok",),
     "db.idx.fulltext.drop": ("ok",),
@@ -115,6 +116,39 @@ def run_procedure(planner, clause: A.CallClause
         from redisgraph_spark.algorithms.components import triangle_count
         return triangle_count(g.edges().select("_src", "_dst")), \
             ["triangles"]
+    if name == "algo.labelpropagation":
+        # additive (like algo.wcc): deterministic synchronous LPA.
+        # args: optional relation type (induces the subgraph of that
+        # relation's endpoints; default all edges), optional iteration
+        # count (default 3, fixed synchronous rounds)
+        from redisgraph_spark.algorithms.components import \
+            label_propagation
+        rel = None
+        iters = 3
+        for a in clause.args:
+            val = a.value if isinstance(a, A.Literal) else a
+            if isinstance(val, str):
+                rel = val
+            elif isinstance(val, int):
+                iters = val
+            else:
+                raise ValueError(
+                    "algo.labelPropagation: args are an optional "
+                    "relation-type string and an optional int "
+                    "iteration count")
+        edges = g.edges([rel] if rel else None).select("_src", "_dst")
+        if rel:
+            ids = edges.select(F.col("_src").alias("_id")).unionByName(
+                edges.select(F.col("_dst").alias("_id"))).distinct()
+        else:
+            ids = g.nodes().select("_id")
+        lab = label_propagation(ids, edges, iters=iters)
+        nodes = g.nodes()
+        node_struct = F.struct(*[F.col(c) for c in nodes.columns])
+        out = lab.withColumnRenamed("node", "__lpa_id") \
+            .join(nodes, F.col("__lpa_id") == nodes["_id"]) \
+            .select(node_struct.alias("node"), "label")
+        return out, ["node", "label"]
     if name == "algo.bfs":
         # handled as a correlated call in CypherPlanner._clause_call
         # (needs the bound source variable); reaching here means no ctx

@@ -897,3 +897,32 @@ def test_minhash_incremental_matches_full_restriction(spark):
     assert inc == want and len(inc) > 0
     # corpus-internal pairs are never re-reported
     assert all(a >= 8 or b >= 8 for a, b in inc)
+
+
+def test_label_propagation_star_rounds(spark):
+    from redisgraph_spark.algorithms.components import label_propagation
+    # two stars: hub 100 with leaves 1,2,3; hub 200 with leaves 7,8
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 200), (8, 200)],
+        ["_src", "_dst"])
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 100, 200, 999)], ["_id"])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(ids, edges, iters=3).collect()}
+    # synchronous rounds on a star: after odd round counts, leaves hold
+    # the hub id and the hub holds the min leaf id (bipartite swap)
+    assert got[1] == got[2] == got[3] == 100 and got[100] == 1
+    assert got[7] == got[8] == 200 and got[200] == 7
+    assert got[999] == 999     # isolated node keeps its own label
+
+
+def test_label_propagation_procedure(social):
+    rows = social.query(
+        "CALL algo.labelPropagation(2) YIELD node, label "
+        "RETURN count(*) AS n, count(DISTINCT label) AS k").collect()[0]
+    assert rows["n"] > 0 and 0 < rows["k"] <= rows["n"]
+    # bad arg type is rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        social.query("CALL algo.labelPropagation(1.5) YIELD node, label "
+                     "RETURN count(*) AS n").collect()
