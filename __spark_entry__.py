@@ -2240,6 +2240,81 @@ def _keep_best_oracle() -> str:
         """
 
 
+def _p_dedupe_lines(spark, sf_dir):
+    """Intra-doc line dedup over deterministically line-ified text
+    (every 5th space becomes a newline in BOTH engines, since the
+    synthetic corpus is single-line); repeated lines keep their first
+    occurrence and order is preserved — the reassembled text is
+    value-checked by fingerprint."""
+    from redisgraph_spark.pipeline.text import dedupe_lines
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"),
+                         r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n")
+        .alias("text"))
+    return dedupe_lines(aug) \
+        .select("doc_id", F.md5(F.col("text")).alias("text_fp"),
+                "n_lines", "n_dropped") \
+        .orderBy("doc_id")
+
+
+_DEDUPE_LINES_ORACLE = r"""
+    WITH aug AS (
+      SELECT doc_id, regexp_replace(text,
+        '(\S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, ls[CAST(g.i AS INTEGER)] AS line,
+             CAST(g.i AS BIGINT) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+           unnest(generate_series(1, len(ls))) AS g(i)
+    ), firsts AS (
+      SELECT doc_id, line, min(pos) AS pos
+      FROM l GROUP BY doc_id, line
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS kept
+      FROM firsts GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id
+    )
+    SELECT r.doc_id, md5(r.text) AS text_fp, t.n_lines,
+           t.n_lines - r.kept AS n_dropped
+    FROM rebuilt r JOIN totals t ON t.doc_id = r.doc_id
+    ORDER BY r.doc_id
+    """
+
+
+def _p_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary report: tokens, types, type/token ratio,
+    modal token (count desc, token asc tiebreak)."""
+    from redisgraph_spark.pipeline.text import vocab_stats
+    return vocab_stats(_docs(spark, sf_dir)).orderBy("source")
+
+
+_VOCAB_STATS_ORACLE = r"""
+    WITH toks AS (
+      SELECT source, u.t AS token
+      FROM documents, unnest(list_filter(
+        string_split_regex(lower(trim(text)), '\s+'),
+        x -> x <> '')) AS u(t)
+    ), c AS (
+      SELECT source, token, count(*) AS c
+      FROM toks GROUP BY source, token
+    ), r AS (
+      SELECT source, token, c,
+             row_number() OVER (PARTITION BY source
+               ORDER BY c DESC, token ASC) AS rn
+      FROM c
+    )
+    SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+           round(1e6 * count(*) / sum(c)) / 1e6 AS ttr,
+           max(CASE WHEN rn = 1 THEN token END) AS top_token
+    FROM r GROUP BY source ORDER BY source
+    """
+
+
 def _p_stream_neardup(spark, sf_dir):
     """Streaming near-dup gate: the documents table drained through the
     foreachBatch MinHash gate (md5 hash for the oracle); kept = every
@@ -2310,6 +2385,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_minhash_incremental": (_p_minhash_incremental,
                               _minhash_incremental_oracle()),
     "p_stream_neardup": (_p_stream_neardup, _stream_neardup_oracle()),
+    "p_dedupe_lines": (_p_dedupe_lines, _DEDUPE_LINES_ORACLE),
+    "p_vocab_stats": (_p_vocab_stats, _VOCAB_STATS_ORACLE),
     "p_chunks": (_p_chunks, _CHUNKS_ORACLE),
     "p_dsir_weights": (_p_dsir_weights, _DSIR_WEIGHTS_ORACLE),
     "p_temperature_sample": (_p_temperature_sample,

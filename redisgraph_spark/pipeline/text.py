@@ -532,3 +532,72 @@ def dsir_logratio(docs: DataFrame, target: DataFrame,
         .groupBy(id_col).agg(
             F.count(F.lit(1)).alias("n_tokens"),
             (F.round(F.avg("__lr") * grid) / grid).alias("logratio"))
+
+
+def dedupe_lines(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """INTRA-document line dedup — the boilerplate cleanup that
+    precedes cross-doc dedup (nav menus, repeated headers, chat-log
+    echo): within each doc, repeated lines keep only their first
+    occurrence; line order is otherwise preserved.
+
+    Output: (id, text, n_lines, n_dropped).
+
+    Scale shape: explode + one window keyed (doc, line) + one ordered
+    re-assembly groupBy — all partitioned by doc id, so the shuffle key
+    is the document and no cross-doc state exists. Docs are bounded
+    (~MBs), so per-key work is bounded.
+
+    SQL equivalent: unnest(string_split) with ordinality → min(pos) per
+    (doc, line) → string_agg(line ORDER BY pos).
+    """
+    from pyspark.sql import Window
+    lines = spread(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("__pos", "__line"))
+    w = Window.partitionBy(id_col, "__line").orderBy("__pos")
+    kept = lines.withColumn("__rn", F.row_number().over(w))
+    total = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    out = kept.filter(F.col("__rn") == 1) \
+        .groupBy(id_col).agg(
+            F.array_join(F.array_sort(F.collect_list(
+                F.struct("__pos", "__line"))).getField("__line"), sep)
+            .alias(text_col),
+            F.count(F.lit(1)).alias("__kept"))
+    return out.join(total, id_col).select(
+        id_col, text_col, "n_lines",
+        (F.col("n_lines") - F.col("__kept")).cast("long")
+        .alias("n_dropped"))
+
+
+def vocab_stats(docs: DataFrame, group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Per-group vocabulary report: token count, distinct-type count,
+    type/token ratio, and the modal token (count desc, token asc) — the
+    corpus-health dashboard row that catches collapsed scrapes (TTR
+    near 0) and tokenizer blowups (TTR near 1).
+
+    Scale shape: one (group, token) groupBy; the per-group rollup and
+    modal-token window both run over vocabulary-sized data.
+
+    SQL equivalent documented in the contract oracle.
+    """
+    from pyspark.sql import Window
+    toks = spread(docs).select(
+        F.col(group_col),
+        F.explode(F.filter(F.split(F.lower(F.trim(F.col(text_col))),
+                                   r"\s+"),
+                           lambda t: t != "")).alias("__tok"))
+    per_tok = toks.groupBy(group_col, "__tok") \
+        .agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__c").desc(), F.col("__tok").asc())
+    return per_tok.withColumn("__rn", F.row_number().over(w)) \
+        .groupBy(group_col).agg(
+            F.sum("__c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            (F.round(F.count(F.lit(1)) / F.sum("__c") * 1e6) / 1e6)
+            .alias("ttr"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__tok")))
+            .alias("top_token"))

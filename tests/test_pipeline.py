@@ -926,3 +926,80 @@ def test_label_propagation_procedure(social):
     with _pytest.raises(Exception):
         social.query("CALL algo.labelPropagation(1.5) YIELD node, label "
                      "RETURN count(*) AS n").collect()
+
+
+def test_chunk_text_reconstruction_property(spark):
+    """Property: the non-overlapped prefixes of all chunks plus the
+    final chunk reassemble the exact document, for arbitrary text and
+    any legal (size, overlap)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from redisgraph_spark.pipeline.text import chunk_text
+
+    @given(st.text(alphabet="abcXYZ 1.\n", min_size=0, max_size=400),
+           st.integers(5, 60), st.integers(0, 4))
+    @settings(max_examples=12, deadline=None)
+    def check(text, size, overlap):
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = sorted(chunk_text(docs, size=size, overlap=overlap)
+                      .collect(), key=lambda r: r["chunk_idx"])
+        step = size - overlap
+        assert [r["start"] for r in rows] == \
+            [1 + i * step for i in range(len(rows))]
+        rebuilt = "".join(r["chunk"][:step] for r in rows[:-1])
+        rebuilt += rows[-1]["chunk"]
+        assert rebuilt == text or (text == "" and rebuilt == "")
+
+    check()
+
+
+def test_pack_sequences_cumsum_property(spark):
+    """Property: chunk * window + offset equals the exact count of
+    tokens preceding the doc within its shard, for random shardings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from redisgraph_spark.pipeline.sampling import pack_sequences
+
+    @given(st.lists(st.tuples(st.sampled_from("ab"),
+                              st.integers(0, 300)),
+                    min_size=1, max_size=30),
+           st.integers(8, 128))
+    @settings(max_examples=10, deadline=None)
+    def check(rows, window):
+        data = [(i, s, n) for i, (s, n) in enumerate(rows)]
+        df = spark.createDataFrame(data, ["doc_id", "source", "n_tokens"])
+        got = {r["doc_id"]: r for r in
+               pack_sequences(df, window, "n_tokens", "source").collect()}
+        run: dict[str, int] = {}
+        for i, s, n in data:
+            prev = run.get(s, 0)
+            assert got[i]["chunk"] * window + got[i]["chunk_offset"] == prev
+            run[s] = prev + n
+
+    check()
+
+
+def test_dedupe_lines_first_occurrence_order(spark):
+    from redisgraph_spark.pipeline.text import dedupe_lines
+    docs = spark.createDataFrame([
+        (1, "menu\nintro text\nmenu\nbody text\nmenu\nfooter"),
+        (2, "only\none\nof\neach"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dedupe_lines(docs).collect()}
+    assert got[1]["text"] == "menu\nintro text\nbody text\nfooter"
+    assert (got[1]["n_lines"], got[1]["n_dropped"]) == (6, 2)
+    assert got[2]["text"] == "only\none\nof\neach"
+    assert got[2]["n_dropped"] == 0
+
+
+def test_vocab_stats_modal_token_and_ttr(spark):
+    from redisgraph_spark.pipeline.text import vocab_stats
+    docs = spark.createDataFrame([
+        (1, "a", "x b b c"), (2, "a", "b d"),   # group a: b modal (3)
+        (3, "z", "q q r r"),                    # group z: q vs r tie -> q
+    ], ["doc_id", "source", "text"])
+    got = {r["source"]: r for r in vocab_stats(docs).collect()}
+    assert got["a"]["top_token"] == "b"
+    assert (got["a"]["n_tokens"], got["a"]["n_types"]) == (6, 4)
+    assert abs(got["a"]["ttr"] - round(4 / 6, 6)) < 1e-9
+    assert got["z"]["top_token"] == "q"         # count tie, min token
