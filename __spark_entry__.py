@@ -2240,6 +2240,59 @@ def _keep_best_oracle() -> str:
         """
 
 
+def _p_bigram_logprob(spark, sf_dir):
+    """Bigram-LM fluency score: per-doc mean ln p(w2|w1) with add-1
+    smoothing under the corpus's own bigram counts."""
+    from redisgraph_spark.pipeline.text import bigram_logprob
+    return bigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_BIGRAM_LOGPROB_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        '\s+'), x -> x <> '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, ts[CAST(g.i AS INTEGER)] AS w1,
+             ts[CAST(g.i AS INTEGER) + 1] AS w2
+      FROM t, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+      WHERE len(ts) >= 2
+    ), bc AS (
+      SELECT w1, w2, count(*) AS bc FROM bg GROUP BY w1, w2
+    ), cc AS (
+      SELECT w1, count(*) AS cc FROM bg GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS v FROM (
+        SELECT w1 AS tok FROM bg UNION ALL SELECT w2 FROM bg)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(1e6 * avg(ln((bc + 1.0) / (cc + v)))) / 1e6 AS mean_lp
+    FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _p_value_anomalies(spark, sf_dir):
+    """Per-user z-score outliers over the event stream (z > 2.5 against
+    the user's own mean/stddev_pop)."""
+    from redisgraph_spark.pipeline.events import value_anomalies
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return value_anomalies(ev, z=2.5).orderBy("event_id")
+
+
+_VALUE_ANOMALIES_ORACLE = """
+    WITH s AS (
+      SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sd
+      FROM events GROUP BY user_id
+    )
+    SELECT event_id, user_id, value,
+           round(1e6 * (value - mu) / sd) / 1e6 AS zscore
+    FROM events JOIN s USING (user_id)
+    WHERE sd > 0 AND abs(value - mu) > 2.5 * sd
+    ORDER BY event_id
+    """
+
+
 def _p_dedupe_lines(spark, sf_dir):
     """Intra-doc line dedup over deterministically line-ified text
     (every 5th space becomes a newline in BOTH engines, since the
@@ -2387,6 +2440,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_stream_neardup": (_p_stream_neardup, _stream_neardup_oracle()),
     "p_dedupe_lines": (_p_dedupe_lines, _DEDUPE_LINES_ORACLE),
     "p_vocab_stats": (_p_vocab_stats, _VOCAB_STATS_ORACLE),
+    "p_bigram_logprob": (_p_bigram_logprob, _BIGRAM_LOGPROB_ORACLE),
+    "p_value_anomalies": (_p_value_anomalies, _VALUE_ANOMALIES_ORACLE),
     "p_chunks": (_p_chunks, _CHUNKS_ORACLE),
     "p_dsir_weights": (_p_dsir_weights, _DSIR_WEIGHTS_ORACLE),
     "p_temperature_sample": (_p_temperature_sample,

@@ -66,3 +66,29 @@ def top_users_by_type(events: DataFrame, event_type: str, k: int = 10
         .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")) \
         .orderBy(F.col("n").desc(), F.col("user_id").asc()) \
         .limit(k)
+
+
+def value_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-user value-anomaly flags: an event is anomalous when its
+    value deviates from the user's own mean by more than `z` population
+    standard deviations (users with one event or zero variance flag
+    nothing). The per-entity outlier sweep a pipeline runs before
+    aggregating noisy telemetry.
+
+    Output: (event_id, user_id, value, zscore) for flagged events only,
+    zscore rounded to 1e-6 for engine-exact comparison.
+
+    Scale shape: one groupBy per user for (mean, stddev_pop) + a
+    broadcast-or-shuffle join back — two passes, no window over the
+    full table needed.
+    """
+    stats = events.groupBy("user_id").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_pop("value").alias("__sd"))
+    return events.join(stats, "user_id") \
+        .filter((F.col("__sd") > 0) &
+                (F.abs(F.col("value") - F.col("__mu"))
+                 > z * F.col("__sd"))) \
+        .select("event_id", "user_id", "value",
+                (F.round((F.col("value") - F.col("__mu"))
+                         / F.col("__sd") * 1e6) / 1e6).alias("zscore"))

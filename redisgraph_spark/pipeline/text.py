@@ -601,3 +601,50 @@ def vocab_stats(docs: DataFrame, group_col: str = "source",
             .alias("ttr"),
             F.max(F.when(F.col("__rn") == 1, F.col("__tok")))
             .alias("top_token"))
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", grid: float = 1e6
+                   ) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram LM with add-1 smoothing over the observed vocabulary —
+    one rung up from `unigram_logprob` toward the KenLM-style fluency
+    filter: p(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V). Docs with <2
+    tokens are absent (they have no bigrams).
+
+    Scale shape: bigram counts are one (w1, w2) groupBy; the per-doc
+    pass joins doc bigrams against the bigram table on (w1, w2) and the
+    unigram-context table on w1. At web scale the bigram table is the
+    big side — the join is a plain equi-join that AQE handles; nothing
+    is driver-side.
+
+    SQL equivalent mirrored in the contract oracle (list zips over the
+    token array).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                 lambda t: t != "").alias("__ts"))
+    big = spread(toks).select(
+        F.col(id_col),
+        F.explode(F.when(
+            F.size("__ts") >= 2,
+            F.zip_with(F.slice("__ts", 1, F.size("__ts") - 1),
+                       F.slice("__ts", 2, F.size("__ts") - 1),
+                       lambda a, b: F.struct(a.alias("w1"),
+                                             b.alias("w2"))))
+          .otherwise(F.array())).alias("__bg")) \
+        .select(id_col, F.col("__bg.w1").alias("__w1"),
+                F.col("__bg.w2").alias("__w2"))
+    bc = big.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__bc"))
+    cc = big.groupBy("__w1").agg(F.count(F.lit(1)).alias("__cc"))
+    vocab = big.select(F.col("__w2").alias("__t")) \
+        .union(big.select("__w1")).distinct() \
+        .agg(F.count(F.lit(1)).alias("__v"))
+    return big.join(bc, ["__w1", "__w2"]).join(cc, "__w1") \
+        .crossJoin(F.broadcast(vocab)) \
+        .groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.round(F.avg(F.log((F.col("__bc") + 1) /
+                                 (F.col("__cc") + F.col("__v"))))
+                     * grid) / grid).alias("mean_lp"))

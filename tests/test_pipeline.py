@@ -1003,3 +1003,31 @@ def test_vocab_stats_modal_token_and_ttr(spark):
     assert (got["a"]["n_tokens"], got["a"]["n_types"]) == (6, 4)
     assert abs(got["a"]["ttr"] - round(4 / 6, 6)) < 1e-9
     assert got["z"]["top_token"] == "q"         # count tie, min token
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+    from redisgraph_spark.pipeline.text import bigram_logprob
+    # corpus bigrams: (a,b) x2 from doc1, (b,a) x1 from doc1,
+    # (a,c) x1 from doc2; contexts: a->3, b->1; vocab {a,b,c} = 3
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert 3 not in got                     # <2 tokens: no bigrams
+    assert got[1]["n_bigrams"] == 3
+    lp1 = (2 * math.log((2 + 1) / (3 + 3))       # a->b twice
+           + math.log((1 + 1) / (1 + 3))) / 3    # b->a once
+    assert abs(got[1]["mean_lp"] - round(lp1, 6)) < 1e-9
+    lp2 = math.log((1 + 1) / (3 + 3))            # a->c
+    assert abs(got[2]["mean_lp"] - round(lp2, 6)) < 1e-9
+
+
+def test_value_anomalies_flags_outliers(spark):
+    from redisgraph_spark.pipeline.events import value_anomalies
+    rows = [(i, 1, 10.0) for i in range(20)] + [(99, 1, 1000.0)] \
+        + [(200, 2, 5.0)]                   # single-event user: never
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    got = value_anomalies(ev, z=3.0).collect()
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["zscore"] > 3.0
