@@ -461,8 +461,8 @@ def chunk_text(docs: DataFrame, size: int = 200, overlap: int = 50,
     SQL equivalent: unnest(generate_series(1, greatest(len-overlap,1),
     size-overlap)) + substr.
     """
-    if overlap >= size:
-        raise ValueError("overlap must be < size")
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError("need size > 0 and 0 <= overlap < size")
     step = size - overlap
     t = F.col(text_col)
     # last window start: the largest s with s <= len - overlap keeps
@@ -514,8 +514,11 @@ def dsir_logratio(docs: DataFrame, target: DataFrame,
     src_toks = toks(spread(docs))
     tgt = toks(target).groupBy("__b").agg(F.count(F.lit(1)).alias("tc"))
     src = src_toks.groupBy("__b").agg(F.count(F.lit(1)).alias("sc"))
-    tgt_tot = tgt.agg(F.sum("tc").alias("tt"))
-    src_tot = src.agg(F.sum("sc").alias("st"))
+    # coalesce(.., 0): an EMPTY target/source corpus sums to NULL,
+    # which would null every log-ratio instead of degrading to the
+    # uniform smoothed distribution
+    tgt_tot = tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tt"))
+    src_tot = src.agg(F.coalesce(F.sum("sc"), F.lit(0)).alias("st"))
     # dense bucket table: every bucket 0..n-1 with smoothed counts, so
     # tokens hashing to a bucket unseen in either corpus still score
     buckets = docs.sparkSession.range(n_buckets) \

@@ -1031,3 +1031,18 @@ def test_value_anomalies_flags_outliers(spark):
     got = value_anomalies(ev, z=3.0).collect()
     assert [r["event_id"] for r in got] == [99]
     assert got[0]["zscore"] > 3.0
+
+
+def test_new_op_edge_cases(spark):
+    import pytest as _pytest
+    from redisgraph_spark.pipeline.text import (chunk_text,
+                                                dsir_logratio)
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for size, overlap in ((0, 0), (5, -1), (3, 3)):
+        with _pytest.raises(ValueError):
+            chunk_text(docs, size=size, overlap=overlap)
+    # empty target corpus: scores degrade to the uniform-smoothed
+    # log-ratio (finite), never NULL
+    empty = docs.filter("doc_id < 0")
+    got = dsir_logratio(docs, empty).collect()
+    assert len(got) == 1 and got[0]["logratio"] is not None
