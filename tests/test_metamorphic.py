@@ -185,3 +185,61 @@ def test_cascade_equals_prefix_union_random_graphs(spark):
             finally:
                 TRAV._stop_augmented = orig
             assert got == exp, (trial, mn, mx)
+
+
+def test_minhash_pairs_invariant_to_row_order(spark):
+    """Metamorphic: LSH candidate pairs are a set property of the
+    corpus — shuffling row order and repartitioning must not change
+    them."""
+    from pyspark.sql import functions as F
+    from redisgraph_spark.pipeline.dedup import minhash_lsh_pairs
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    docs = spark.createDataFrame(
+        [(i, base + ("" if i % 3 else " tail")) for i in range(15)],
+        ["doc_id", "text"])
+    a = {(r["doc_a"], r["doc_b"])
+         for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    shuffled = docs.orderBy(F.rand(seed=7)).repartition(13)
+    b = {(r["doc_a"], r["doc_b"])
+         for r in minhash_lsh_pairs(shuffled, threshold=0.5).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_dedup_clusters_invariant_to_pair_orientation(spark):
+    """Metamorphic: connected components must not depend on the
+    orientation or order of the candidate pairs."""
+    from pyspark.sql import functions as F
+    from redisgraph_spark.pipeline.dedup import dedup_clusters
+    docs = spark.createDataFrame([(i, 0) for i in range(10)],
+                                 ["doc_id", "x"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (6, 7)], ["doc_a", "doc_b"])
+    flipped = pairs.select(F.col("doc_b").alias("doc_a"),
+                           F.col("doc_a").alias("doc_b")) \
+        .orderBy(F.rand(seed=3))
+    a = sorted(map(tuple, dedup_clusters(docs, pairs).collect()))
+    b = sorted(map(tuple, dedup_clusters(docs, flipped).collect()))
+    assert a == b
+    # star solver agrees with propagation on the same input
+    c = sorted(map(tuple,
+                   dedup_clusters(docs, pairs, star_threshold=0)
+                   .collect()))
+    assert a == c
+
+
+def test_temperature_alpha_one_equals_flat_sample(spark):
+    """Metamorphic: alpha=1 removes the re-weighting — every stratum
+    gets the identical cut, equal to base_rate exactly."""
+    from redisgraph_spark.pipeline.sampling import (hash_sample,
+                                                    temperature_sample)
+    rows = [(i, "en" if i % 10 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    t = temperature_sample(df, "doc_id", "lang", alpha=1.0,
+                           base_rate=0.25, seed="s0")
+    cuts = {r["cut"] for r in t.collect()}
+    assert cuts == {int(0.25 * 65536)}
+    flat = hash_sample(df, "doc_id", {}, "lang", default_rate=0.25,
+                       seed="s0")
+    assert {r["doc_id"] for r in t.collect()} == \
+        {r["doc_id"] for r in flat.collect()}
