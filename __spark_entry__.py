@@ -2240,6 +2240,26 @@ def _keep_best_oracle() -> str:
         """
 
 
+def _q_unwind_param_batch(spark, sf_dir):
+    """Client bulk-batch idiom at >1024 rows: UNWIND $rows plans as a
+    local relation (constant plan depth), aggregates value-checked
+    against the same formula over range()."""
+    from redisgraph_spark import Graph
+    g = _graph(spark, sf_dir)
+    rows = [{"id": i, "v": (i * i) % 97} for i in range(2000)]
+    return g.query(
+        "UNWIND $rows AS r "
+        "RETURN count(*) AS n, sum(r.v) AS sv, min(r.id) AS lo, "
+        "max(r.id) AS hi", {"rows": rows})
+
+
+_UNWIND_PARAM_BATCH_ORACLE = """
+    SELECT count(*) AS n, sum((i * i) % 97) AS sv,
+           min(i) AS lo, max(i) AS hi
+    FROM (SELECT unnest(range(0, 2000)) AS i)
+    """
+
+
 def _p_bigram_logprob(spark, sf_dir):
     """Bigram-LM fluency score: per-doc mean ln p(w2|w1) with add-1
     smoothing under the corpus's own bigram counts."""
@@ -2442,6 +2462,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_vocab_stats": (_p_vocab_stats, _VOCAB_STATS_ORACLE),
     "p_bigram_logprob": (_p_bigram_logprob, _BIGRAM_LOGPROB_ORACLE),
     "p_value_anomalies": (_p_value_anomalies, _VALUE_ANOMALIES_ORACLE),
+    "q_unwind_param_batch": (_q_unwind_param_batch,
+                             _UNWIND_PARAM_BATCH_ORACLE),
     "p_chunks": (_p_chunks, _CHUNKS_ORACLE),
     "p_dsir_weights": (_p_dsir_weights, _DSIR_WEIGHTS_ORACLE),
     "p_temperature_sample": (_p_temperature_sample,

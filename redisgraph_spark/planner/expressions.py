@@ -61,6 +61,47 @@ def _could_be_variant(e: A.Expr) -> bool:
                           A.CaseExpr, A.FuncCall, A.ListLiteral))
 
 
+_PY_SQL_TYPES = {bool: "boolean", int: "bigint", float: "double",
+                 str: "string"}
+
+
+def param_literal(v) -> Column:
+    """A parameter value as a literal Column. Beyond the scalar/flat
+    cases F.lit handles, supports the bulk-insert idiom every client
+    library uses — ``UNWIND $rows`` with a list of MAPS — by building
+    struct literals: dict → struct (fields sorted, missing keys across
+    a list of dicts null-filled with the type of the first non-null
+    occurrence so the array elements share one schema); lists recurse.
+    """
+    if isinstance(v, dict):
+        return F.struct(*[param_literal(v[k]).alias(k)
+                          for k in sorted(v)])
+    if isinstance(v, (list, tuple)):
+        if any(isinstance(x, dict) for x in v):
+            if not all(isinstance(x, dict) for x in v):
+                raise CompileError(
+                    "parameter lists may not mix maps and scalars")
+            keys = sorted({k for d in v for k in d})
+            types = {}
+            for k in keys:
+                for d in v:
+                    if d.get(k) is not None:
+                        types[k] = _PY_SQL_TYPES.get(type(d[k]))
+                        break
+            elems = []
+            for d in v:
+                fields = []
+                for k in keys:
+                    lit = param_literal(d.get(k))
+                    if d.get(k) is None and types.get(k):
+                        lit = lit.cast(types[k])
+                    fields.append(lit.alias(k))
+                elems.append(F.struct(*fields))
+            return F.array(*elems)
+        return F.array(*[param_literal(x) for x in v])
+    return F.lit(v)
+
+
 class ExprCompiler:
     def __init__(self, df: DataFrame | None,
                  variables: dict[str, VarInfo],
@@ -131,10 +172,7 @@ class ExprCompiler:
     def _c_Parameter(self, e: A.Parameter) -> Column:
         if e.name not in self.params:
             raise CompileError(f"Missing parameter ${e.name}")
-        v = self.params[e.name]
-        if isinstance(v, (list, tuple)):
-            return F.array(*[F.lit(x) for x in v])
-        return F.lit(v)
+        return param_literal(self.params[e.name])
 
     def _c_Variable(self, e: A.Variable) -> Column:
         if e.name not in self.vars:

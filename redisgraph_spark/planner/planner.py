@@ -1251,6 +1251,31 @@ class CypherPlanner:
     def _clause_unwind(self, ctx: Ctx, clause: A.UnwindClause) -> None:
         if ctx.df is None:
             ctx.df = self._unit_df()
+        # bulk-insert idiom (UNWIND $rows AS r CREATE ...): a LARGE
+        # parameter batch becomes a real local relation instead of a
+        # plan-inflating array literal — the parameter is query-constant
+        # so the cross join is exact
+        if isinstance(clause.expr, A.Parameter):
+            val = self.params.get(clause.expr.name)
+            if isinstance(val, (list, tuple)) and len(val) > 1024:
+                from pyspark.sql import Row
+                spark = self.graph.spark
+                if all(isinstance(x, dict) for x in val):
+                    keys = sorted({k for d in val for k in d})
+                    rel = spark.createDataFrame(
+                        [Row(**{k: d.get(k) for k in keys})
+                         for d in val])
+                    rel = rel.select(F.struct(*[
+                        F.col(k) for k in rel.columns])
+                        .alias(clause.alias))
+                else:
+                    rel = spark.createDataFrame(
+                        [(x,) for x in val], [clause.alias])
+                ctx.df = ctx.df.crossJoin(rel)
+                if "__unit" in ctx.df.columns:
+                    ctx.df = ctx.df.drop("__unit")
+                ctx.vars[clause.alias] = VarInfo("scalar")
+                return
         comp = self.compiler(ctx)
         col = comp.compile(clause.expr)
         from .expressions import _could_be_variant

@@ -353,3 +353,39 @@ def test_merge_probe_disjoint_type_is_no_match(spark):
     n = g.query("MATCH (t:T) WHERE t.nm = 5 RETURN count(*) AS n") \
         .collect()[0]["n"]
     assert n == 0
+
+
+def test_unwind_map_batch_create(spark):
+    """The client bulk-insert idiom: UNWIND a parameter list of maps,
+    CREATE per row; missing keys are NULL properties."""
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, "/root/testdata/sf0.001")
+    g.query("UNWIND $rows AS r "
+            "CREATE (:Widget {w_id: r.id, w_name: r.name})",
+            {"rows": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"},
+                      {"id": 3}]})
+    got = g.query("MATCH (w:Widget) RETURN count(*) AS n, "
+                  "count(w.w_name) AS named").collect()[0]
+    assert (got["n"], got["named"]) == (3, 2)
+    # map parameter field access
+    row = g.query("RETURN $m.x AS x, $m.y AS y",
+                  {"m": {"x": 5, "y": "z"}}).collect()[0]
+    assert (row["x"], row["y"]) == (5, "z")
+
+
+def test_unwind_large_param_batch_relation_path(spark):
+    """>1024-row parameter batches plan as a local relation (constant
+    plan depth), not a literal array — results identical."""
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, "/root/testdata/sf0.001")
+    rows = [{"id": i, "name": f"n{i}"} for i in range(1500)]
+    g.query("UNWIND $rows AS r "
+            "CREATE (:Bulk {b_id: r.id, b_name: r.name})",
+            {"rows": rows})
+    got = g.query("MATCH (b:Bulk) RETURN count(*) AS n, "
+                  "min(b.b_id) AS lo, max(b.b_id) AS hi").collect()[0]
+    assert (got["n"], got["lo"], got["hi"]) == (1500, 0, 1499)
+    # scalar large batch too
+    tot = g.query("UNWIND $xs AS x RETURN sum(x) AS s",
+                  {"xs": list(range(2000))}).collect()[0]["s"]
+    assert tot == sum(range(2000))
