@@ -2240,6 +2240,24 @@ def _keep_best_oracle() -> str:
         """
 
 
+def _p_quality_bins(spark, sf_dir):
+    """Per-source decile binning of a quality score (here n_chars as
+    the stand-in score; ties broken by doc_id — a total order, so both
+    engines deal identical bins)."""
+    from redisgraph_spark.pipeline.sampling import quality_bins
+    return quality_bins(_docs(spark, sf_dir), "n_chars", n_bins=10,
+                        group_col="source") \
+        .orderBy("doc_id")
+
+
+_QUALITY_BINS_ORACLE = """
+    SELECT doc_id, source, n_chars AS score,
+           ntile(10) OVER (PARTITION BY source
+             ORDER BY n_chars ASC, doc_id ASC) AS bin
+    FROM documents ORDER BY doc_id
+    """
+
+
 def _q_unwind_param_batch(spark, sf_dir):
     """Client bulk-batch idiom at >1024 rows: UNWIND $rows plans as a
     local relation (constant plan depth), aggregates value-checked
@@ -2464,6 +2482,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_value_anomalies": (_p_value_anomalies, _VALUE_ANOMALIES_ORACLE),
     "q_unwind_param_batch": (_q_unwind_param_batch,
                              _UNWIND_PARAM_BATCH_ORACLE),
+    "p_quality_bins": (_p_quality_bins, _QUALITY_BINS_ORACLE),
     "p_chunks": (_p_chunks, _CHUNKS_ORACLE),
     "p_dsir_weights": (_p_dsir_weights, _DSIR_WEIGHTS_ORACLE),
     "p_temperature_sample": (_p_temperature_sample,

@@ -144,3 +144,29 @@ def temperature_sample(df: DataFrame, id_col: str, stratum_col: str,
     return df.join(F.broadcast(rates), stratum_col) \
         .filter(bucket < F.col("cut")) \
         .select(F.col(id_col), F.col(stratum_col), F.col("cut"))
+
+
+def quality_bins(df: DataFrame, score_col: str, n_bins: int = 10,
+                 group_col: str | None = None,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Percentile quality binning — the step before curriculum or
+    rejection sampling: rank rows by `score_col` (ties broken by id so
+    the binning is total and engine-deterministic) and deal them into
+    `n_bins` equal-depth bins, per `group_col` when given (each source
+    gets its own decile boundaries, the usual way quality cutoffs are
+    applied so one clean source doesn't absorb the whole top bin).
+
+    Output: input id/group columns + (score, bin) with bin in 1..n_bins.
+
+    Scale shape: one window (ntile) partitioned by group — per-group
+    sort, no global single-task order when grouped; pass
+    group_col=None only for corpus sizes where one sorted partition is
+    acceptable or let the caller pre-bucket.
+    """
+    from pyspark.sql import Window
+    part = Window.partitionBy(group_col) if group_col else \
+        Window.partitionBy(F.lit(1))
+    w = part.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    cols = [id_col] + ([group_col] if group_col else [])
+    return df.withColumn("bin", F.ntile(n_bins).over(w)) \
+        .select(*cols, F.col(score_col).alias("score"), "bin")

@@ -1046,3 +1046,25 @@ def test_new_op_edge_cases(spark):
     empty = docs.filter("doc_id < 0")
     got = dsir_logratio(docs, empty).collect()
     assert len(got) == 1 and got[0]["logratio"] is not None
+
+
+def test_quality_bins_equal_depth_and_deterministic(spark):
+    from redisgraph_spark.pipeline.sampling import quality_bins
+    rows = [(i, "s", float(i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "q"])
+    got = quality_bins(df, "q", n_bins=4, group_col="source").collect()
+    by_bin = {}
+    for r in got:
+        by_bin.setdefault(r["bin"], []).append(r)
+    assert sorted(by_bin) == [1, 2, 3, 4]
+    assert all(len(v) == 10 for v in by_bin.values())   # equal depth
+    # ordering respected: every score in bin k <= every score in k+1
+    for k in (1, 2, 3):
+        assert max(r["score"] for r in by_bin[k]) <= \
+            min(r["score"] for r in by_bin[k + 1])
+    # deterministic under reshuffle
+    import pyspark.sql.functions as _F
+    again = quality_bins(df.orderBy(_F.rand(5)).repartition(7), "q",
+                         n_bins=4, group_col="source").collect()
+    assert {(r["doc_id"], r["bin"]) for r in again} == \
+        {(r["doc_id"], r["bin"]) for r in got}
