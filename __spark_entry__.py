@@ -1466,7 +1466,7 @@ _GOPHER_QUALITY_ORACLE = r"""
       SELECT doc_id, l, count(*) AS c
       FROM (SELECT doc_id, unnest(ls) AS l FROM base) GROUP BY 1, 2
     ), lstat AS (
-      SELECT doc_id, sum(c) AS n_lines,
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
         (sum(c) - count(*)) * 1.0 / sum(c) AS frac_dup_lines,
         coalesce(sum(CASE WHEN c >= 2 THEN c * length(l) END), 0) * 1.0
           / greatest(sum(c * length(l)), 1) AS frac_dup_line_chars
@@ -2272,7 +2272,7 @@ def _q_unwind_param_batch(spark, sf_dir):
 
 
 _UNWIND_PARAM_BATCH_ORACLE = """
-    SELECT count(*) AS n, sum((i * i) % 97) AS sv,
+    SELECT count(*) AS n, CAST(sum((i * i) % 97) AS BIGINT) AS sv,
            min(i) AS lo, max(i) AS hi
     FROM (SELECT unnest(range(0, 2000)) AS i)
     """
@@ -2399,7 +2399,7 @@ _VOCAB_STATS_ORACLE = r"""
                ORDER BY c DESC, token ASC) AS rn
       FROM c
     )
-    SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
            round(1e6 * count(*) / sum(c)) / 1e6 AS ttr,
            max(CASE WHEN rn = 1 THEN token END) AS top_token
     FROM r GROUP BY source ORDER BY source
@@ -2857,20 +2857,18 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 # maintained by hand each round so behavior changes are re-verified
 # before already-green unaffected entries are refreshed.
 _FORCE_FRONT = [
-    # round 5 (kept: no CORRECTNESS_r05 was recorded, so these still
-    # await a driver row): streaming edge-id fix; var-len
-    # single-cascade plan + frontier-broadcast + count pushdown;
-    # paragraph-dedup skew grouping; value-bearing pagerank oracle;
-    # minhash signature index; spread() of compute-dense scans.
-    # round 6: warm_statistics seeds the var-len cost-model counts at
-    # load (q_var_len re-verifies below); the 10 new round-6 entries
-    # are never-sampled and sort to the front automatically.
-    "p_stream_rollup", "p_stream_sessions", "p_stream_user_stats",
-    "q_var_len", "p_paragraph_dedup", "q_pagerank",
-    "p_minhash_lsh", "p_minhash_verified", "p_minhash_lsh_md5",
-    "p_dedup_clusters", "p_winnow", "p_simhash", "p_tfidf",
-    "p_cosine_topk", "p_cosine_topk_ivf", "p_cosine_topk_lsh",
-    "p_embedding_dups", "p_multimodal",
+    # round 7: entries whose code paths changed THIS round only — the
+    # r5/r6 pins all carry green r6 driver rows now, so they rotate on
+    # staleness like everything else.  Changed in r7: the three oracle
+    # BIGINT casts; the mutation commit fast path; the vectorized
+    # winnowing route; the var-len hop-1 frontier cache; the durable
+    # streaming near-dup signature index; the anomaly z-grid rounding;
+    # the >1024-row UNWIND struct-classification parity; the simhash/
+    # minhash recall-superset assertions.
+    "q_unwind_param_batch", "p_vocab_stats", "p_gopher_quality",
+    "q_mutation_roundtrip", "p_winnow", "q_var_len",
+    "p_stream_neardup", "p_value_anomalies",
+    "p_simhash", "p_minhash_verified",
 ]
 
 
