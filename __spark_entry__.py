@@ -984,33 +984,60 @@ def _simhash_md5_oracle() -> str:
 
 def _p_winnow(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (MOSS): substring-level
-    near-dup pairs sharing ≥32 window-min fingerprints (portable md5
-    hash so DuckDB replicates value-for-value)."""
+    near-dup pairs sharing ≥32 window-min fingerprints.  Uses the
+    vectorized numpy path (Arrow mapInPandas, mod-2^64 polynomial
+    rolling hash); the oracle replicates the identical arithmetic with
+    a stepwise hugeint fold, so values match bit-for-bit."""
     from redisgraph_spark.pipeline.text import winnow_pairs
     return winnow_pairs(_docs(spark, sf_dir), min_shared=32,
-                        k=8, w=4, hash_fn="md5") \
+                        k=8, w=4, hash_fn="np", max_fp_freq=150) \
         .orderBy("doc_a", "doc_b")
 
 
 def _winnow_oracle() -> str:
-    h = ("CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), "
-         "1, 15)) AS BIGINT)")
+    # h(i) = fold of (a*B + cp) mod 2^64 over the k-gram's code points
+    # — the exact arithmetic of winnow_fingerprints_np; window minima
+    # are taken on the unsigned values, THEN reinterpreted as int64,
+    # matching numpy's uint64-min-then-view-int64 order.
+    fold = "(a, c) -> (a * 1000003 + c) % 18446744073709551616"
     return f"""
-        WITH h AS (
+        WITH base AS (
+          SELECT doc_id, text, length(text) AS n FROM documents
+        ), cp AS (
+          SELECT doc_id, n,
+                 list_transform(range(1, n + 1), i ->
+                   CAST(ord(substr(text, CAST(i AS INTEGER), 1))
+                        AS HUGEINT)) AS cps
+          FROM base
+        ), h AS (
           SELECT doc_id,
-                 list_transform(
-                   range(1, greatest(length(text) - 7, 1) + 1),
-                   i -> {h}) AS wh
-          FROM documents
+                 CASE WHEN n = 0 THEN [CAST(0 AS HUGEINT)]
+                      WHEN n <= 8 THEN [list_reduce(cps, {fold})]
+                      ELSE list_transform(range(1, n - 8 + 2), i ->
+                        list_reduce(list_slice(cps, CAST(i AS INTEGER),
+                                               CAST(i + 7 AS INTEGER)),
+                                    {fold}))
+                 END AS wh
+          FROM cp
         ), m AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   range(1, greatest(len(wh) - 3, 1) + 1),
-                   j -> list_min(list_slice(wh, CAST(j AS INTEGER),
-                                            CAST(j + 3 AS INTEGER)))))
-                 AS fps
+          SELECT doc_id, list_distinct(
+                   CASE WHEN len(wh) <= 4 THEN [list_min(wh)]
+                        ELSE list_transform(range(1, len(wh) - 4 + 2),
+                          j -> list_min(list_slice(wh, CAST(j AS INTEGER),
+                                                   CAST(j + 3 AS INTEGER))))
+                   END) AS fps
           FROM h
-        ), f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+        ), f0 AS (
+          SELECT doc_id,
+                 CAST(fp - CASE WHEN fp >= 9223372036854775808
+                           THEN 18446744073709551616 ELSE 0 END
+                      AS BIGINT) AS fp
+          FROM (SELECT doc_id, unnest(fps) AS fp FROM m)
+        ), hot AS (
+          SELECT fp FROM f0 GROUP BY fp HAVING count(*) > 150
+        ), f AS (
+          SELECT * FROM f0 WHERE fp NOT IN (SELECT fp FROM hot)
+        )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS shared_fps
         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id

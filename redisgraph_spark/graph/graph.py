@@ -43,6 +43,11 @@ REL_COL = "_rel"
 _INTERNAL_NODE = {NODE_ID}
 _INTERNAL_EDGE = {EDGE_ID, EDGE_SRC, EDGE_DST}
 
+# Process-unique plan-cache epochs (see Graph._invalidate_plans); starts
+# at 1 so a fresh instance's epoch 0 is never produced by a bump.
+import itertools as _itertools
+_EPOCH_COUNTER = _itertools.count(1)
+
 
 class QueryTimeoutError(RuntimeError):
     """Raised when a query exceeds the TIMEOUT config (reference
@@ -162,7 +167,8 @@ class Graph:
                  edge_tables: Mapping[str, DataFrame],
                  name: str = "g",
                  rel_endpoints: Mapping[str, tuple] | None = None,
-                 count_hints: Mapping[tuple[str, str], int] | None = None
+                 count_hints: Mapping[tuple[str, str], int] | None = None,
+                 plan_cache: "OrderedDict[tuple, DataFrame] | None" = None
                  ) -> None:
         from collections import OrderedDict
         self.spark = spark
@@ -181,7 +187,19 @@ class Graph:
                 r: (set([s] if isinstance(s, str) else s),
                     set([d] if isinstance(d, str) else d))
                 for r, (s, d) in rel_endpoints.items()}
-        self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        # The plan cache may be SHARED across Graph instances built
+        # from the same immutable base tables (the reference caches
+        # compiled plans per graph keyed by query text,
+        # execution_ctx.c:79-88 — tpch_graph passes one cache for all
+        # instances it hands out, so a fresh Graph still hits warm
+        # plans).  Isolation across instances after divergence is by
+        # key: every key carries (version, epoch) and any local
+        # invalidation bumps this instance's epoch to a process-unique
+        # nonce instead of clearing the dict, so one instance's
+        # mutation never evicts another's still-valid version-0 plans.
+        self._plan_cache: "OrderedDict[tuple, DataFrame]" = (
+            plan_cache if plan_cache is not None else OrderedDict())
+        self._epoch = 0
         self._version = 0
         self._count_cache: dict[tuple, int] = {}
         # Metadata-known row counts ((kind, name) -> rows, kind in "n"/"e")
@@ -195,6 +213,10 @@ class Graph:
         self._slow_log: list[dict] = []
         self._fulltext = None
         self._scan_cache: dict[tuple, DataFrame] = {}
+        # chained-rewrite depth per (kind, name) — mutations swap in
+        # un-checkpointed lazy rewrites and pin every 4th to bound
+        # lineage growth (planner/mutations.py:_defer_pin)
+        self._rewrite_depth: dict[tuple[str, str], int] = {}
         # flips on the first SET n:Label — a node id may then live in
         # several label tables, so unified scans dedup by id and carry a
         # `_labels` array (reference multi-label nodes,
@@ -234,7 +256,7 @@ class Graph:
                 self.node_tables[label] = df.repartitionByRange(
                     *[F.col(k) for k in keys]).sortWithinPartitions(*keys)
             self._version += 1
-            self._plan_cache.clear()
+            self._invalidate_plans()
         return added
 
     def drop_index(self, label: str, props: list[str]) -> int:
@@ -249,7 +271,7 @@ class Graph:
             dropped += 1
         if dropped:
             self._version += 1
-            self._plan_cache.clear()
+            self._invalidate_plans()
         return dropped
 
     @property
@@ -505,7 +527,8 @@ class Graph:
         cypher, inline = _parse_cypher_prefix(cypher)
         if inline:
             params = {**inline, **(params or {})}
-        key = (cypher, repr(sorted((params or {}).items())), self._version)
+        key = (cypher, repr(sorted((params or {}).items())),
+               self._version, self._epoch)
         cached = self._plan_cache.get(key)
         if cached is not None:
             self._plan_cache.move_to_end(key)
@@ -538,7 +561,7 @@ class Graph:
         is_write = is_write_ast(ast)
         if is_write:
             self._version += 1
-            self._plan_cache.clear()
+            self._invalidate_plans()
         else:
             self._plan_cache[key] = df
             if len(self._plan_cache) > self.PLAN_CACHE_SIZE:
@@ -596,6 +619,14 @@ class Graph:
             timer.cancel()
             sc.setJobGroup("", "")
 
+    def _invalidate_plans(self) -> None:
+        """Invalidate this instance's cached plans without touching the
+        (possibly shared) dict: bump the epoch to a process-unique
+        nonce — old keys become unreachable for this instance and age
+        out of the LRU, while other instances sharing the dict keep
+        their still-valid entries."""
+        self._epoch = next(_EPOCH_COUNTER)
+
     def _state_snapshot(self) -> tuple:
         """Shallow-copy every mutable piece of graph state (mutations
         replace dict ENTRIES, so dict copies are a complete undo log)."""
@@ -606,15 +637,15 @@ class Graph:
                 else dict(self.rel_endpoints),
                 self._multilabel, self._version,
                 (dict(ft.fields), dict(ft._index)) if ft else None,
-                dict(self._count_cache))
+                dict(self._count_cache), self._epoch)
 
     def _state_restore(self, snap: tuple) -> None:
         (self.node_tables, self.edge_tables, self._indexes,
          self.rel_endpoints, self._multilabel, self._version,
-         ft_snap, counts) = \
+         ft_snap, counts, self._epoch) = \
             (dict(snap[0]), dict(snap[1]), dict(snap[2]),
              None if snap[3] is None else dict(snap[3]),
-             snap[4], snap[5], snap[6], snap[7])
+             snap[4], snap[5], snap[6], snap[7], snap[8])
         if ft_snap is None:
             # the aborted query may have created the FIRST fulltext
             # index — drop the whole catalog back to its absent state
@@ -671,7 +702,7 @@ class Graph:
             self.PLAN_CACHE_SIZE = int(value)
         # cached plans bake in config-dependent operators (row limit,
         # hop cap) — drop them so the new value takes effect
-        self._plan_cache.clear()
+        self._invalidate_plans()
 
     def explain(self, cypher: str,
                 params: Mapping[str, object] | None = None) -> str:
@@ -687,7 +718,6 @@ class Graph:
         stripped, _ = _parse_cypher_prefix(cypher)
         is_write = is_write_ast(parse(stripped))
         snap = self._state_snapshot() if is_write else None
-        cache = dict(self._plan_cache) if is_write else None
         try:
             df = self.query(cypher, params)
             buf = io.StringIO()
@@ -696,9 +726,9 @@ class Graph:
             return buf.getvalue()
         finally:
             if snap is not None:
+                # restores (version, epoch) too — write queries never
+                # insert plan-cache entries, so reachability rolls back
                 self._state_restore(snap)
-                self._plan_cache.clear()
-                self._plan_cache.update(cache)
 
     def profile(self, cypher: str,
                 params: Mapping[str, object] | None = None) -> dict:

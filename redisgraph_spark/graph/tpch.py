@@ -73,9 +73,15 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BUILD_CACHE.get(key)
     if cached is not None:
-        nodes, edges, count_hints = cached
+        nodes, edges, count_hints, plans = cached
+        # every instance starts from the SAME immutable base tables, so
+        # version-0 plans are valid across instances — share one plan
+        # cache (the reference's per-graph compiled-plan cache,
+        # execution_ctx.c:79-88); post-mutation plans are isolated by
+        # the per-instance epoch in the cache key
         return Graph(spark, nodes, edges, name="tpch",
-                     rel_endpoints=_REL_ENDPOINTS, count_hints=count_hints)
+                     rel_endpoints=_REL_ENDPOINTS, count_hints=count_hints,
+                     plan_cache=plans)
 
     def rd(name: str) -> DataFrame:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -186,9 +192,12 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
         }
     except Exception:
         pass
-    _BUILD_CACHE[key] = (nodes, edges, count_hints)
+    from collections import OrderedDict
+    plans: OrderedDict = OrderedDict()
+    _BUILD_CACHE[key] = (nodes, edges, count_hints, plans)
     return Graph(spark, nodes, edges, name="tpch",
-                 rel_endpoints=_REL_ENDPOINTS, count_hints=count_hints)
+                 rel_endpoints=_REL_ENDPOINTS, count_hints=count_hints,
+                 plan_cache=plans)
 
 
 _REL_ENDPOINTS = {

@@ -313,6 +313,43 @@ def test_winnowing_guarantee(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
 
 
+def test_winnowing_np_guarantee_and_edges(spark):
+    """The vectorized path honors the same winnowing guarantee and
+    handles the edge shapes the batch concatenation must not break:
+    empty text, sub-k text, exactly-k text, and doc boundaries (a
+    k-gram spanning two adjacent docs in the concatenated batch must
+    NOT produce a fingerprint)."""
+    from redisgraph_spark.pipeline.text import (winnow_fingerprints_np,
+                                                winnow_pairs)
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "AAA " + shared + " BBB"),
+         (2, "CCCC " + shared + " DDDD"),
+         (3, "zw mq xv kj yp qn rt ul os ei"),
+         (4, ""), (5, "abc"), (6, "exactly8")],
+        ["doc_id", "text"])
+    fps = winnow_fingerprints_np(docs, k=8, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    # empty / short docs produce exactly one whole-doc fingerprint
+    assert len(by_doc[4]) == 1 and len(by_doc[5]) == 1 \
+        and len(by_doc[6]) == 1
+    got = winnow_pairs(docs, min_shared=1, k=8, w=4,
+                       hash_fn="np").collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+    # boundary isolation: two docs whose CONCATENATION contains a
+    # shared 11-gram split across the boundary must not pair up
+    half = spark.createDataFrame(
+        [(10, "xxxx abcde"), (11, "fghij yyyy"),
+         (12, "qq abcdefghij rr")], ["doc_id", "text"])
+    pairs = winnow_pairs(half.coalesce(1), min_shared=1, k=8, w=4,
+                         hash_fn="np").collect()
+    assert (10, 11) not in [(r["doc_a"], r["doc_b"]) for r in pairs]
+
+
 def test_bpe_token_count(spark):
     from pyspark.sql import functions as F
 
