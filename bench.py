@@ -17,6 +17,19 @@ JIT warm — `value` is the comparable number, `cold_value` bounds the
 one-time compile overhead, which on a real cluster amortizes across a
 session (and is irrelevant at the 100 TB design point where data time
 dominates).
+
+The timed action is `.toPandas()` — FULL result materialization in
+the driver process via Arrow, the same work DuckDB's `fetchall()`
+does in the side-by-side harness.  (`.count()` would both skip
+result transfer AND force a fresh Catalyst re-optimization of a
+wrapper plan on every run, measuring neither engine's steady state.)
+Repeated identical queries ride the engine's plan cache exactly like
+the reference's per-graph compiled-plan cache (execution_ctx.c:79-88).
+
+`floor_probe` records the best warm wall of a trivial 1-partition
+1-row job; it bounds the box's per-job scheduling floor at measurement
+time so a loaded container is detectable in the artifact itself (the
+r6 bench read 1.5-2x slow purely from contention).
 """
 
 from __future__ import annotations
@@ -93,21 +106,53 @@ def main() -> None:
     # not the one-time signature materialization
     entrymod._minhash_sig(spark, sf_dir)
 
+    from pyspark.sql import functions as F
+
+    def run_once(fn) -> float:
+        """One full run under reference plan-cache semantics: the
+        engine's query() call (a compiled-plan-cache hit when warm,
+        exactly like execution_ctx.c:79-88) plus COMPLETE data-path
+        execution and full Arrow result materialization.
+
+        A repeated `.toPandas()` on the SAME DataFrame handle would
+        silently reuse the plan instance's memoized broadcast and
+        shuffle outputs and skip most of the data work — so each run
+        wraps the handle in a no-op filter to force a fresh physical
+        plan, and the wrapper's Catalyst re-optimization (an artifact
+        of the measurement, not of either engine's steady state) is
+        forced OUTSIDE the timed window via executedPlan()."""
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        planned = time.time() - t0
+        fresh = df.filter(F.lit(True))
+        fresh._jdf.queryExecution().executedPlan()  # untimed prep
+        t0 = time.time()
+        fresh.toPandas()
+        return planned + (time.time() - t0)
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    steady: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         try:
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            cold[name] = round(time.time() - t0, 3)
+            cold[name] = round(run_once(fn), 3)
             best = cold[name]
             for _ in range(WARM_RUNS):
-                t0 = time.time()
-                fn(spark, sf_dir).count()
-                best = min(best, time.time() - t0)
+                best = min(best, run_once(fn))
             warm[name] = round(best, 3)
+            # steady-state service latency: repeated toPandas on the
+            # SAME cached handle — plan-cache hit plus Spark's
+            # broadcast/shuffle-output reuse on the live plan object.
+            # Reported separately because it reuses prior data-path
+            # work; `queries` above is full re-execution per run.
+            sbest = 9e9
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).toPandas()
+                sbest = min(sbest, time.time() - t0)
+            steady[name] = round(sbest, 3)
         except Exception as exc:  # one broken entry must not lose the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     # a broken entry must NOT make the total look faster — null the
@@ -120,6 +165,12 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = None
+    probe = 9e9
+    probe_df = spark.range(1).coalesce(1)
+    for _ in range(3):
+        t0 = time.time()
+        probe_df.toPandas()
+        probe = min(probe, time.time() - t0)
     out = {
         "metric": "headline_total_wall",
         "value": total,
@@ -128,6 +179,9 @@ def main() -> None:
         "sf": sf_num,
         "cold_value": cold_total,
         "cold_queries": cold,
+        "steady_queries": steady,
+        "steady_value": None if errors else round(sum(steady.values()), 3),
+        "floor_probe": round(probe, 4),
     }
     if errors:
         out["errors"] = errors

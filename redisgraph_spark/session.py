@@ -117,7 +117,18 @@ def get_spark(app_name: str = "redisgraph-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64MB static: any side whose FOOTER-KNOWN size is <64MB is
+        # safe to broadcast at any scale (it fits in executor memory);
+        # TB-scale tables never pass the footer check, so this does
+        # not invert at 100TB. Statically-broadcast plans also run as
+        # ONE job locally where the AQE shuffle-then-upgrade path runs
+        # 6 stage-jobs (measured: 1.6s vs 0.6s on the two-hop at
+        # sf0.1). The adaptive threshold additionally upgrades
+        # shuffle joins to broadcast at runtime from REAL sizes when
+        # the static estimate was unavailable.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long
         # and convert (Spark has no native nanos timestamp)
