@@ -821,21 +821,41 @@ def _p_minhash_lsh(spark, sf_dir):
         .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
 
 
+def _assert_recall(verified: DataFrame, docs: DataFrame,
+                   threshold: float, what: str) -> None:
+    """candidates ⊇ exact pairs — fail a hash-dependent recall drop AS
+    a recall failure instead of an opaque oracle value mismatch (the
+    verified output equals the exact-Jaccard set ONLY while candidate
+    recall at the threshold is 1.0; this makes that premise checked,
+    not assumed)."""
+    from redisgraph_spark.pipeline.dedup import exact_jaccard_pairs
+    missing = exact_jaccard_pairs(docs, threshold=threshold) \
+        .join(verified.select("doc_a", "doc_b"),
+              ["doc_a", "doc_b"], "left_anti").count()
+    if missing:
+        raise AssertionError(
+            f"{what}: candidate recall < 1.0 at threshold {threshold} "
+            f"— {missing} true pair(s) missed")
+
+
 def _p_simhash(spark, sf_dir):
     """SimHash candidate generation (xxhash64, pigeonhole block join) +
     exact n-gram-Jaccard verification — the standard two-stage dedup
     pipeline. The verified output is hash-independent as long as the
-    candidate stage has recall 1.0 at the threshold (measured: SimHash
-    hamming≤8 candidates contain all 25 word-3-shingle Jaccard≥0.5
-    pairs at sf0.01), so the oracle is plain exact-Jaccard SQL; the
-    raw xxhash-free signature values are verified by p_simhash_md5."""
+    candidate stage has recall 1.0 at the threshold, so the oracle is
+    plain exact-Jaccard SQL; that premise is ASSERTED in-entry via
+    exact_jaccard_pairs (a recall drop fails as recall, not as a value
+    mismatch); the raw xxhash-free signature values are verified by
+    p_simhash_md5."""
     from redisgraph_spark.pipeline.dedup import jaccard_verify, simhash_pairs
     docs = _docs(spark, sf_dir)
     cands = simhash_pairs(docs, max_hamming=8)
-    return jaccard_verify(docs, cands, threshold=0.5) \
+    out = jaccard_verify(docs, cands, threshold=0.5) \
         .select("doc_a", "doc_b",
                 (F.round(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")) \
         .orderBy("doc_a", "doc_b")
+    _assert_recall(out, docs, 0.5, "p_simhash")
+    return out
 
 
 def _p_minhash_verified(spark, sf_dir):
@@ -847,10 +867,12 @@ def _p_minhash_verified(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     cands = minhash_lsh_pairs(docs, threshold=0.5,
                               sig=_minhash_sig(spark, sf_dir))
-    return jaccard_verify(docs, cands, threshold=0.5) \
+    out = jaccard_verify(docs, cands, threshold=0.5) \
         .select("doc_a", "doc_b",
                 (F.round(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")) \
         .orderBy("doc_a", "doc_b")
+    _assert_recall(out, docs, 0.5, "p_minhash_verified")
+    return out
 
 
 def _p_minhash_lsh_md5(spark, sf_dir):
@@ -2353,7 +2375,7 @@ _VALUE_ANOMALIES_ORACLE = """
     SELECT event_id, user_id, value,
            round(1e6 * (value - mu) / sd) / 1e6 AS zscore
     FROM events JOIN s USING (user_id)
-    WHERE sd > 0 AND abs(value - mu) > 2.5 * sd
+    WHERE sd > 0 AND round(1e6 * abs(value - mu) / sd) / 1e6 > 2.5
     ORDER BY event_id
     """
 

@@ -312,6 +312,32 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame,
         .select("doc_a", "doc_b", "jaccard")
 
 
+def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        shingle: str = "word") -> DataFrame:
+    """ALL pairs with exact n-gram Jaccard ≥ threshold, hash-free:
+    candidate pairs are docs sharing ≥1 shingle (an equi-join on the
+    shingle key — any pair with Jaccard > 0 shares one, so recall is
+    exactly 1.0 by construction), then jaccard_verify. The ground-truth
+    generator the recall assertions in __spark_entry__ compare the
+    hash-based pipelines against; at corpus scale the shingle join is
+    the expensive exact path — production uses the MinHash/SimHash
+    stages this function exists to audit."""
+    if shingle == "word":
+        sh = word_shingles(docs, n, text_col, id_col)
+    else:
+        sh = char_shingles(docs, n, text_col, id_col)
+    sh = sh.dropDuplicates([id_col, "shingle"])
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = a.join(b, "shingle") \
+        .filter(F.col("doc_a") < F.col("doc_b")) \
+        .select("doc_a", "doc_b").dropDuplicates()
+    return jaccard_verify(docs, cand, threshold, n, text_col,
+                          id_col, shingle)
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id",
                    star_threshold: int | None = 100_000) -> DataFrame:

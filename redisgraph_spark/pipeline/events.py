@@ -85,10 +85,15 @@ def value_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
     stats = events.groupBy("user_id").agg(
         F.avg("value").alias("__mu"),
         F.stddev_pop("value").alias("__sd"))
+    # the threshold compares the SAME 1e-6-rounded statistic both
+    # engines emit — comparing the raw value instead would let a row
+    # within float summation-order noise of the boundary flag on one
+    # engine and not the other (grid-before-compare, like
+    # temperature_sample/semdedup)
+    zabs = F.round(F.abs(F.col("value") - F.col("__mu"))
+                   / F.col("__sd") * 1e6) / 1e6
     return events.join(stats, "user_id") \
-        .filter((F.col("__sd") > 0) &
-                (F.abs(F.col("value") - F.col("__mu"))
-                 > z * F.col("__sd"))) \
+        .filter((F.col("__sd") > 0) & (zabs > z)) \
         .select("event_id", "user_id", "value",
                 (F.round((F.col("value") - F.col("__mu"))
                          / F.col("__sd") * 1e6) / 1e6).alias("zscore"))

@@ -1262,9 +1262,32 @@ class CypherPlanner:
                 spark = self.graph.spark
                 if all(isinstance(x, dict) for x in val):
                     keys = sorted({k for d in val for k in d})
-                    rel = spark.createDataFrame(
-                        [Row(**{k: d.get(k) for k in keys})
-                         for d in val])
+                    # explicit per-key types from the first non-null
+                    # occurrence (the literal path's rule) — inference
+                    # alone raises on a key that is None in EVERY row,
+                    # so behavior would differ across the 1024 cutover
+                    from redisgraph_spark.session import _lit_sql_type
+                    types = {}
+                    for k in keys:
+                        for d in val:
+                            if d.get(k) is not None:
+                                types[k] = _lit_sql_type(d[k])
+                                break
+                    if all(types.get(k) for k in keys):
+                        schema = ", ".join(
+                            f"`{k}` {types[k]}" for k in keys)
+                        rel = spark.createDataFrame(
+                            [tuple(d.get(k) for k in keys)
+                             for d in val], schema)
+                    else:
+                        # all-None or non-scalar key: null-fill as
+                        # string where unknown, infer the rest
+                        rel = spark.createDataFrame(
+                            [Row(**{k: d.get(k) for k in keys})
+                             for d in val],
+                            ", ".join(
+                                f"`{k}` {types.get(k) or 'string'}"
+                                for k in keys))
                     rel = rel.select(F.struct(*[
                         F.col(k) for k in rel.columns])
                         .alias(clause.alias))
@@ -1274,7 +1297,11 @@ class CypherPlanner:
                 ctx.df = ctx.df.crossJoin(rel)
                 if "__unit" in ctx.df.columns:
                     ctx.df = ctx.df.drop("__unit")
-                ctx.vars[clause.alias] = VarInfo("scalar")
+                # same node/edge struct classification as the literal
+                # path below — an UNWIND $rows batch of node-shaped
+                # maps must stay usable as graph entities either side
+                # of the 1024 cutover
+                self._classify_unwound(ctx, clause.alias)
                 return
         comp = self.compiler(ctx)
         col = comp.compile(clause.expr)
@@ -1301,24 +1328,28 @@ class CypherPlanner:
             ctx.df = ctx.df.select("*", F.explode(col).alias(clause.alias))
         if "__unit" in ctx.df.columns:
             ctx.df = ctx.df.drop("__unit")
-        # an exploded node/edge struct stays usable as a graph entity in
-        # later patterns (UNWIND collect(n) AS m MATCH (m)-[:R]->() …)
+        self._classify_unwound(ctx, clause.alias)
+
+    def _classify_unwound(self, ctx: Ctx, alias: str) -> None:
+        """An exploded node/edge struct stays usable as a graph entity
+        in later patterns (UNWIND collect(n) AS m MATCH (m)-[:R]->() …);
+        shared by the literal and >1024-row bulk UNWIND paths."""
         from pyspark.sql import types as T
-        dt = ctx.df.schema[clause.alias].dataType
+        dt = ctx.df.schema[alias].dataType
         if isinstance(dt, T.StructType):
             names = set(dt.fieldNames())
             props = tuple(f for f in dt.fieldNames()
                           if f not in ("_id", "_label", "_labels",
                                        "_src", "_dst", "_rel"))
             if "_id" in names and ("_src" in names and "_dst" in names):
-                ctx.vars[clause.alias] = VarInfo("edge", props)
+                ctx.vars[alias] = VarInfo("edge", props)
             elif "_id" in names and ("_label" in names
                                      or "_labels" in names):
-                ctx.vars[clause.alias] = VarInfo("node", props)
+                ctx.vars[alias] = VarInfo("node", props)
             else:
-                ctx.vars[clause.alias] = VarInfo("scalar")
+                ctx.vars[alias] = VarInfo("scalar")
         else:
-            ctx.vars[clause.alias] = VarInfo("scalar")
+            ctx.vars[alias] = VarInfo("scalar")
 
     # ------------------------------------------------------------------ CALL
     def _clause_call(self, ctx: Ctx, clause: A.CallClause) -> None:

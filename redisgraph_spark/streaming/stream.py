@@ -183,7 +183,8 @@ def streaming_neardup_dedup(doc_stream: DataFrame, out_path: str,
                             num_hashes: int = 32, bands: int = 8,
                             n: int = 3, hash_fn: str = "xxhash64",
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> None:
+                            text_col: str = "text",
+                            sig_path: str | None = None) -> None:
     """Streaming NEAR-duplicate gate — the incremental-corpus pattern
     (`pipeline.dedup.minhash_lsh_incremental`) run continuously: each
     micro-batch is MinHash-banded and probed against the accumulated
@@ -201,13 +202,32 @@ def streaming_neardup_dedup(doc_stream: DataFrame, out_path: str,
     Scale shape: per micro-batch cost ∝ batch size (shingle+minhash of
     the batch, band probe into the index) — the index is probed via the
     band equi-join, never rescanned; signatures are ids + 32 longs, so
-    a trillion-doc index is a few TB of bucketed parquet in production
-    (here: a localCheckpoint chain, flattened every batch).
+    a trillion-doc index is a few TB of bucketed parquet in production.
+
+    Durability: every batch's signatures append to `sig_path` (default
+    `<out_path>.sig`) BEFORE the batch commits, and on start the index
+    reloads from that path — so after a failure-restart the stream
+    keeps deduping against every previously indexed doc instead of
+    silently forgetting them (the in-memory chain alone loses batches
+    the stream checkpoint already marked committed). A replayed batch
+    re-appends its signatures; duplicates are harmless for the drop
+    rule (identical pairs, distinct-ed) and are dropped on reload.
     """
     from redisgraph_spark.pipeline.dedup import (minhash_lsh_incremental,
                                                  minhash_signatures)
 
-    state: dict[str, DataFrame | None] = {"sig": corpus_sig}
+    if sig_path is None:
+        sig_path = out_path.rstrip("/") + ".sig"
+    spark = doc_stream.sparkSession
+    boot = corpus_sig
+    try:
+        prior = spark.read.parquet(sig_path).dropDuplicates([id_col])
+        boot = prior if boot is None else \
+            boot.unionByName(prior).dropDuplicates([id_col])
+        boot = boot.localCheckpoint(eager=True)
+    except Exception:
+        pass  # no prior index — fresh start
+    state: dict[str, DataFrame | None] = {"sig": boot}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -215,6 +235,10 @@ def streaming_neardup_dedup(doc_stream: DataFrame, out_path: str,
         new_sig = minhash_signatures(
             batch_df, num_hashes, n, text_col, id_col,
             shingle="word", hash_fn=hash_fn).localCheckpoint(eager=True)
+        # durable FIRST: if the process dies between this append and
+        # the stream-checkpoint commit, the worst case is a duplicate
+        # signature on replay, never a lost one
+        new_sig.write.mode("append").parquet(sig_path)
         index = state["sig"]
         if index is None:
             index = new_sig.limit(0)

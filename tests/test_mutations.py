@@ -389,3 +389,27 @@ def test_unwind_large_param_batch_relation_path(spark):
     tot = g.query("UNWIND $xs AS x RETURN sum(x) AS s",
                   {"xs": list(range(2000))}).collect()[0]["s"]
     assert tot == sum(range(2000))
+
+
+def test_unwind_param_batch_cutover_parity(spark):
+    """Behavior must be identical either side of the 1024-row cutover
+    between the literal-array and local-relation UNWIND plans: a key
+    that is None in EVERY row null-fills instead of raising, and
+    node-shaped maps classify as entities (labels() works) in both."""
+    from redisgraph_spark import Graph
+    g = Graph.from_tpch(spark, "/root/testdata/sf0.001")
+    for n in (5, 1500):
+        rows = [{"id": i, "ghost": None} for i in range(n)]
+        got = g.query(
+            "UNWIND $rows AS r "
+            "RETURN count(*) AS n, count(r.ghost) AS ghosts, "
+            "sum(r.id) AS s", {"rows": rows}).collect()[0]
+        assert (got["n"], got["ghosts"], got["s"]) == \
+            (n, 0, n * (n - 1) // 2), n
+        nodes = [{"_id": i, "_label": "X", "p": i * 2} for i in range(n)]
+        got = g.query(
+            "UNWIND $rows AS m RETURN count(*) AS n, "
+            "max(labels(m)[0]) AS lbl, sum(m.p) AS sp",
+            {"rows": nodes}).collect()[0]
+        assert (got["n"], got["lbl"], got["sp"]) == \
+            (n, "X", n * (n - 1)), n

@@ -166,3 +166,37 @@ def test_streaming_neardup_batch_split_invariant(spark, tmp_path):
     three = run([range(0, 4), range(4, 8), range(8, 12)], "three")
     assert one == want
     assert three == want               # batch boundaries don't matter
+
+
+def test_streaming_neardup_survives_restart(spark, tmp_path):
+    """The signature index is durable: a SECOND stream invocation (a
+    fresh process in production — here a fresh call with no in-memory
+    state, same sink) must still dedup new docs against docs indexed
+    by the FIRST invocation, not just against its own batches."""
+    import os
+    from redisgraph_spark.streaming.stream import streaming_neardup_dedup
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    out, sig = str(tmp_path / "out"), str(tmp_path / "out.sig")
+
+    def feed(rows, tag):
+        src = tmp_path / f"src_{tag}"
+        os.makedirs(src)
+        spark.createDataFrame(rows, ["doc_id", "text"]) \
+            .coalesce(1).write.parquet(str(src / "b.parquet"))
+        stream = spark.readStream \
+            .schema("doc_id long, text string") \
+            .option("recursiveFileLookup", "true").parquet(str(src))
+        # fresh checkpoint per invocation = a restart that lost its
+        # stream state; only the parquet signature index carries over
+        streaming_neardup_dedup(stream, out, str(tmp_path / f"ck_{tag}"))
+
+    feed([(1, base)], "first")
+    feed([(2, base), (3, "completely different words entirely here "
+                         "nothing shared with anything else at all")],
+         "second")
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # doc 2 duplicates doc 1 (seen only by the FIRST invocation) and
+    # must be dropped; doc 3 is novel and survives
+    assert kept == {1, 3}
+    assert spark.read.parquet(sig).count() >= 2
