@@ -821,6 +821,18 @@ def _p_minhash_lsh(spark, sf_dir):
         .select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
 
 
+def _p_exact_jaccard(spark, sf_dir):
+    """Hash-free exact-Jaccard near-dup pairs: docs sharing >=1 word
+    3-shingle (recall 1.0 by construction), exact Jaccard >= 0.5. The
+    ground truth the hash pipelines' recall assertions audit against —
+    and the exact (expensive) path a small corpus can just run."""
+    from redisgraph_spark.pipeline.dedup import exact_jaccard_pairs
+    return exact_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5) \
+        .select("doc_a", "doc_b",
+                (F.round(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")) \
+        .orderBy("doc_a", "doc_b")
+
+
 def _assert_recall(verified: DataFrame, docs: DataFrame,
                    threshold: float, what: str) -> None:
     """candidates ⊇ exact pairs — fail a hash-dependent recall drop AS
@@ -2735,6 +2747,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # verified pipelines: candidates ∘ exact-Jaccard verify ⇒ output is
     # hash-independent (recall 1.0 measured) and fully oracle-checkable
     "p_simhash": (_p_simhash, _word_jaccard_oracle()),
+    "p_exact_jaccard": (_p_exact_jaccard, _word_jaccard_oracle()),
     "p_minhash_verified": (_p_minhash_verified, _word_jaccard_oracle()),
     "p_minhash_lsh_md5": (_p_minhash_lsh_md5, _minhash_md5_oracle()),
     "p_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),

@@ -854,13 +854,10 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
             except Exception:
                 pass
             raise ValueError("DELETE expects a node, relationship or path")
-        ids = ctx.df.select(
+        ids_plan = ctx.df.select(
             F.col(f"{var}._id").alias("__did")).dropDuplicates()
-        # materialize once: the count, every anti-join rewrite, and the
-        # cascade probes all reuse the tiny id set instead of re-running
-        # the match pipeline per consumer
-        ids, idc = _materialize_small(g.spark, ids)
         if info.kind == "edge":
+            ids, idc = _materialize_small(g.spark, ids_plan)
             for name, tbl in list(g.edge_tables.items()):
                 # deterministic anti-join rewrites: lazy swap-in fuses
                 # the materialization into the next action that reads
@@ -872,28 +869,74 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
                         "left_anti"))
             edges_deleted += idc
         else:
-            for name, tbl in _candidate_tables(g, info, g.node_tables):
-                g.node_tables[name] = _defer_pin(
-                    g, "node", name, tbl.join(
-                        F.broadcast(ids), tbl["_id"] == ids["__did"],
-                        "left_anti"))
-            # cascade: remove incident edges — probe each relation with
-            # a cheap semi-join count first so untouched edge tables are
-            # neither rewritten nor re-materialized; rel-endpoint hints
-            # prove most relations can't touch a label-bound variable at
-            # all (no probe, no scan)
+            # cascade candidates: rel-endpoint hints prove most
+            # relations can't touch a label-bound variable at all
             cand_labels = set(getattr(info, "labels", None) or ())
             hints = g.rel_endpoints
+            cands = []
             for name, tbl in list(g.edge_tables.items()):
                 if cand_labels and hints and not g._multilabel:
                     h = hints.get(name)
                     if h is not None and not ((h[0] | h[1]) & cand_labels):
                         continue
-                doomed = tbl.join(
-                    F.broadcast(ids),
-                    (tbl["_src"] == ids["__did"])
-                    | (tbl["_dst"] == ids["__did"]),
-                    "left_semi").count()
+                cands.append((name, tbl))
+            # ONE job returns both the matched ids (capped) and every
+            # candidate table's incident-edge count: the id rows carry
+            # __t NULL, each probe count carries its table name. The
+            # probe branches recompute the match subtree inside the
+            # job (bounded by len(cands), usually 0-1 — a constant
+            # factor on data the probe join must scan anyway), which
+            # replaces the collect-then-probe TWO-job sequence.
+            ids = idc = None
+            from pyspark.sql import types as T
+            if cands and isinstance(ids_plan.schema["__did"].dataType,
+                                    (T.LongType, T.IntegerType)):
+                cap = 1024
+                parts = [ids_plan.limit(cap + 1).select(
+                    F.lit(None).cast("string").alias("__t"),
+                    F.col("__did").cast("long").alias("__v"))]
+                for name, tbl in cands:
+                    parts.append(
+                        tbl.join(ids_plan,
+                                 (tbl["_src"] == ids_plan["__did"])
+                                 | (tbl["_dst"] == ids_plan["__did"]),
+                                 "left_semi")
+                        .agg(F.count(F.lit(1)).alias("__v"))
+                        .select(F.lit(name).alias("__t"), F.col("__v")))
+                fused = parts[0]
+                for pdf in parts[1:]:
+                    fused = fused.unionByName(pdf)
+                rows = fused.collect()
+                id_vals = [r["__v"] for r in rows if r["__t"] is None]
+                doomed_by = {r["__t"]: r["__v"] for r in rows
+                             if r["__t"] is not None}
+                if len(id_vals) <= cap:
+                    from redisgraph_spark.session import inline_df
+                    ids = inline_df(g.spark, [(v,) for v in id_vals],
+                                    [("__did", "bigint")])
+                    idc = len(id_vals)
+            else:
+                doomed_by = None
+            if ids is None:
+                # non-integral ids or cap overflow: pin the id set the
+                # scale-safe way (the exact probe counts, if computed,
+                # are still valid)
+                ids, idc = _materialize_small(g.spark, ids_plan)
+                if doomed_by is None:
+                    doomed_by = {}
+                    for name, tbl in cands:
+                        doomed_by[name] = tbl.join(
+                            F.broadcast(ids),
+                            (tbl["_src"] == ids["__did"])
+                            | (tbl["_dst"] == ids["__did"]),
+                            "left_semi").count()
+            for name, tbl in _candidate_tables(g, info, g.node_tables):
+                g.node_tables[name] = _defer_pin(
+                    g, "node", name, tbl.join(
+                        F.broadcast(ids), tbl["_id"] == ids["__did"],
+                        "left_anti"))
+            for name, tbl in cands:
+                doomed = doomed_by.get(name, 0)
                 if not doomed:
                     continue
                 kept = tbl.join(F.broadcast(ids),
