@@ -16,7 +16,7 @@ _STRS = ["'abc'", "'Hello World'", "''", "'xyz'"]
 def _num(rng: random.Random, depth: int = 0) -> str:
     if depth > 2 or rng.random() < 0.35:
         return rng.choice(_NUMS)
-    k = rng.randrange(6)
+    k = rng.randrange(9)
     if k == 0:
         op = rng.choice(["+", "-", "*"])
         return f"({_num(rng, depth + 1)} {op} {_num(rng, depth + 1)})"
@@ -28,6 +28,13 @@ def _num(rng: random.Random, depth: int = 0) -> str:
         return f"coalesce(null, {_num(rng, depth + 1)})"
     if k == 4:
         return f"size({_str(rng, depth + 1)})"
+    if k == 5:
+        return f"sign({_num(rng, depth + 1)})"
+    if k == 6:
+        return rng.choice(["ceil", "floor"]) \
+            + f"({_num(rng, depth + 1)})"
+    if k == 7:
+        return f"sqrt(abs({_num(rng, depth + 1)}))"
     return (f"(CASE WHEN {_bool(rng, depth + 1)} THEN "
             f"{_num(rng, depth + 1)} ELSE {_num(rng, depth + 1)} END)")
 
@@ -35,7 +42,7 @@ def _num(rng: random.Random, depth: int = 0) -> str:
 def _str(rng: random.Random, depth: int = 0) -> str:
     if depth > 2 or rng.random() < 0.4:
         return rng.choice(_STRS)
-    k = rng.randrange(6)
+    k = rng.randrange(9)
     inner = _str(rng, depth + 1)
     if k == 0:
         return f"toupper({inner})"
@@ -47,6 +54,12 @@ def _str(rng: random.Random, depth: int = 0) -> str:
         return f"trim({inner})"
     if k == 4:
         return f"left({inner}, 2)"
+    if k == 5:
+        return f"right({inner}, 2)"
+    if k == 6:
+        return rng.choice(["ltrim", "rtrim"]) + f"({inner})"
+    if k == 7:
+        return f"replace({inner}, 'l', 'x')"
     return (f"(CASE WHEN {_bool(rng, depth + 1)} THEN {inner} "
             f"ELSE {_str(rng, depth + 1)} END)")
 
@@ -82,7 +95,7 @@ def _to_duck(e: str) -> str:
     return e
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6])
 def test_random_expressions_match_duckdb(spark, seed):
     from redisgraph_spark import Graph
     rng = random.Random(seed)
