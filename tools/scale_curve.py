@@ -100,8 +100,16 @@ def main() -> None:
     out = {}
     for name in names:
         fn = qs[name]
-        _, w_small = timed(lambda: fn(spark, SRC).count())
-        _, w_big = timed(lambda: fn(spark, DST).count())
+        try:
+            _, w_small = timed(lambda: fn(spark, SRC).count())
+            _, w_big = timed(lambda: fn(spark, DST).count())
+        except AssertionError as exc:
+            # in-entry invariant assertions (e.g. the minhash recall
+            # check) may legitimately fire on the synthetic 10× corpus
+            # — record the finding instead of aborting the curve
+            out[name] = {"error": str(exc)[:200]}
+            print(f"{name:22s} ASSERT: {exc}")
+            continue
         ratio = round(w_big / w_small, 2) if w_small else None
         out[name] = {"sf0.1_warm": w_small, "sf1_warm": w_big,
                      "ratio_at_10x_rows": ratio}
