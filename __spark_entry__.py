@@ -2998,7 +2998,7 @@ _FORCE_FRONT = [
     "q_unwind_param_batch", "p_vocab_stats", "p_gopher_quality",
     "q_mutation_roundtrip", "p_winnow", "q_var_len",
     "p_stream_neardup", "p_value_anomalies",
-    "p_simhash", "p_minhash_verified",
+    "p_simhash", "p_minhash_verified", "p_cosine_topk_pq",
 ]
 
 
