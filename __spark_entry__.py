@@ -774,6 +774,82 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         SELECT p_partkey AS k, to_json(str_split(p_name, ' ')[2:3]) AS mid
         FROM part WHERE p_partkey <= 10 ORDER BY k
         """),
+
+    # additive algo.kCore (components.py::k_core): synchronous peeling
+    # on the Order↔Part CONTAINS subgraph, k=5, FIXED 4 rounds — the
+    # oracle unrolls the identical 4 rounds, so parity holds by
+    # construction; fixpoint is reached in ≤3 rounds at sf0.01 AND
+    # sf0.1 (measured), so this IS the true 5-core. Ids by the tpch.py
+    # OFF formulas (Order = 6e12+key, Part = 5e12+key).
+    "q_kcore": (
+        "CALL algo.kCore(5, 'CONTAINS', 4) YIELD node "
+        "RETURN node._id AS id ORDER BY id",
+        """
+        WITH e0 AS (
+          SELECT 6000000000000 + l_orderkey AS a,
+                 5000000000000 + l_partkey AS b FROM lineitem
+          UNION
+          SELECT 5000000000000 + l_partkey,
+                 6000000000000 + l_orderkey FROM lineitem
+        ), k1 AS (SELECT a FROM e0 GROUP BY a HAVING count(*) >= 5),
+        e1 AS (SELECT e.a, e.b FROM e0 e
+               JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+        k2 AS (SELECT a FROM e1 GROUP BY a HAVING count(*) >= 5),
+        e2 AS (SELECT e.a, e.b FROM e1 e
+               JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a),
+        k3 AS (SELECT a FROM e2 GROUP BY a HAVING count(*) >= 5),
+        e3 AS (SELECT e.a, e.b FROM e2 e
+               JOIN k3 x ON e.a = x.a JOIN k3 y ON e.b = y.a),
+        k4 AS (SELECT a FROM e3 GROUP BY a HAVING count(*) >= 5),
+        e4 AS (SELECT e.a, e.b FROM e3 e
+               JOIN k4 x ON e.a = x.a JOIN k4 y ON e.b = y.a)
+        SELECT DISTINCT a AS id FROM e4 ORDER BY id
+        """),
+
+    # additive algo.SSSP (sssp.py): bounded-hop weighted Bellman-Ford
+    # from Customer 1 over ALL relations, weight = l_quantity where
+    # present else 1.0, ≤3 hops. The oracle enumerates every ≤3-hop
+    # path over the id-formula edge list and takes min(distance, hops)
+    # per node — identical float arithmetic (each distance is an exact
+    # hop-ordered path sum on both engines).
+    "q_sssp": (
+        "CALL algo.SSSP(3000000000001, null, 'l_quantity', 3) "
+        "YIELD node, distance, hops "
+        "RETURN node._id AS id, distance, hops ORDER BY id",
+        """
+        WITH e AS (
+          SELECT 2000000000000 + n_nationkey AS u,
+                 1000000000000 + n_regionkey AS v, 1.0 AS w FROM nation
+          UNION ALL
+          SELECT 3000000000000 + c_custkey, 2000000000000 + c_nationkey,
+                 1.0 FROM customer
+          UNION ALL
+          SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey,
+                 1.0 FROM supplier
+          UNION ALL
+          SELECT 3000000000000 + o_custkey, 6000000000000 + o_orderkey,
+                 1.0 FROM orders
+          UNION ALL
+          SELECT 6000000000000 + l_orderkey, 5000000000000 + l_partkey,
+                 CAST(l_quantity AS DOUBLE) FROM lineitem
+          UNION ALL
+          SELECT DISTINCT 5000000000000 + l_partkey,
+                 4000000000000 + l_suppkey, 1.0 FROM lineitem
+        ), p0 AS (SELECT CAST(3000000000001 AS BIGINT) AS node,
+                         CAST(0.0 AS DOUBLE) AS d, 0 AS h),
+        p1 AS (SELECT e.v AS node, p0.d + e.w AS d, 1 AS h
+               FROM p0 JOIN e ON e.u = p0.node),
+        p2 AS (SELECT e.v AS node, p1.d + e.w AS d, 2 AS h
+               FROM p1 JOIN e ON e.u = p1.node),
+        p3 AS (SELECT e.v AS node, p2.d + e.w AS d, 3 AS h
+               FROM p2 JOIN e ON e.u = p2.node),
+        allp AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+                 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3),
+        best AS (SELECT node, d, h, row_number() OVER
+                   (PARTITION BY node ORDER BY d, h) AS rn FROM allp)
+        SELECT node AS id, d AS distance, CAST(h AS INTEGER) AS hops
+        FROM best WHERE rn = 1 ORDER BY id
+        """),
 }
 
 
@@ -2600,7 +2676,105 @@ def _minhash_incremental_oracle() -> str:
         """
 
 
+def _p_bm25(spark, sf_dir):
+    """Okapi BM25 retrieval scoring (text.py::bm25_scores) — the
+    relational re-expression of RediSearch's hit scoring
+    (proc_fulltext_query.c:124 yields `score`); one corpus scan, query
+    terms pruned before the tf shuffle, df/avgdl broadcast-sized."""
+    from redisgraph_spark.pipeline.text import bm25_scores
+    return bm25_scores(_docs(spark, sf_dir),
+                       ["the", "data", "model"]).orderBy("doc_id")
+
+
+_BM25_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tk AS (SELECT * FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+           WHERE term IN ('the', 'data', 'model') GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+            GROUP BY term),
+    idf AS (SELECT term,
+                   ln(1.0 + ((SELECT n FROM stats) - df + 0.5)
+                      / (df + 0.5)) AS idf FROM dfq)
+    SELECT tf.doc_id,
+           round(sum(idf.idf * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                        / (SELECT avgdl FROM stats)))) * 1e6) / 1e6
+             AS score
+    FROM tf JOIN idf ON idf.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """
+
+
+def _p_char_entropy(spark, sf_dir):
+    """Character-distribution quality signals (text.py::char_entropy):
+    Shannon entropy / distinct chars / modal-char fraction from one
+    (doc, char) keyed count — binary-junk and spam detectors."""
+    from redisgraph_spark.pipeline.text import char_entropy
+    return char_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_CHAR_ENTROPY_ORACLE = """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), cc AS (
+      SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> ''
+      GROUP BY doc_id, c
+    ), pd AS (
+      SELECT doc_id, sum(n) AS tot, count(*) AS nd, max(n) AS mx,
+             sum(n * log2(n)) AS clogc
+      FROM cc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(tot, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_distinct,
+           round(coalesce(log2(tot) - clogc / tot, 0.0) * 1e6) / 1e6
+             AS entropy,
+           round(coalesce(CAST(mx AS DOUBLE) / tot, 0.0) * 1e6) / 1e6
+             AS top_char_frac
+    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+def _p_train_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment
+    (sampling.py::train_split) — split is a pure function of
+    (seed, doc_id), so appends never reshuffle earlier assignments;
+    map-only, fused into the scan."""
+    from redisgraph_spark.pipeline.sampling import train_split
+    return train_split(_docs(spark, sf_dir), "doc_id") \
+        .select("doc_id", "source", "split").orderBy("doc_id")
+
+
+# same md5 arithmetic as the hash_sample / stratified-sample oracles:
+# first 4 hex chars of md5('s0:'||id) as an int vs cumulative 90/5/5
+# cuts (0.90*65536 = 58982, 0.95*65536 = 62259)
+_TRAIN_SPLIT_ORACLE = """
+    SELECT doc_id, source,
+           CASE WHEN CAST(('0x' || substr(
+                    md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) < 58982 THEN 'train'
+                WHEN CAST(('0x' || substr(
+                    md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) < 62259 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """
+
+
 PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    # round-7 training-pipeline additions
+    "p_bm25": (_p_bm25, _BM25_ORACLE),
+    "p_char_entropy": (_p_char_entropy, _CHAR_ENTROPY_ORACLE),
+    "p_train_split": (_p_train_split, _TRAIN_SPLIT_ORACLE),
     # round-6 training-pipeline additions
     "p_minhash_incremental": (_p_minhash_incremental,
                               _minhash_incremental_oracle()),
@@ -2999,6 +3173,9 @@ _FORCE_FRONT = [
     "q_mutation_roundtrip", "p_winnow", "q_var_len",
     "p_stream_neardup", "p_value_anomalies",
     "p_simhash", "p_minhash_verified", "p_cosine_topk_pq",
+    # new in r7: BM25 scoring, char-entropy signals, hash train-split,
+    # algo.kCore, algo.SSSP
+    "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
 ]
 
 

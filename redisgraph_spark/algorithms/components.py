@@ -187,3 +187,53 @@ def label_propagation(node_ids: DataFrame, edges: DataFrame,
             .select("node", F.coalesce("__new", "label").alias("label")) \
             .localCheckpoint(eager=True)
     return labels
+
+
+def k_core(edges: DataFrame, k: int,
+           iters: int | None = None,
+           max_iter: int = _MAX_ITER) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node has undirected degree ≥ k, computed by synchronous
+    iterative peeling — each round simultaneously removes every node
+    whose degree within the surviving subgraph is < k. Additive scope
+    like algo.wcc (the reference registry has no analytics beyond
+    BFS/pageRank, procedure.c:27-42); k-core is the standard dense-
+    community / spam-ring primitive.
+
+    Two modes:
+    - ``iters=None`` (default): peel to fixpoint, detected by a 1-row
+      surviving-count aggregate (monotone decreasing ⇒ equality is a
+      fixpoint). Exact k-core.
+    - fixed ``iters``: exactly that many synchronous peel rounds —
+      rounds past the fixpoint are no-ops (peeling is idempotent once
+      converged), so a fixed-round unrolled SQL oracle matches the
+      exact result whenever it converges within ``iters``.
+
+    Scale shape per round: one degree aggregation over the surviving
+    edge list (keyed shuffle) + one semi-join to shrink edges. Peeling
+    rounds are bounded by max_iter; edge list shrinks monotonically.
+    Self-loops are ignored (they contribute no peer support);
+    parallel edges collapse via distinct.
+
+    Returns (node,) — the members of the k-core.
+    """
+    sym = edges.select(F.col("_src").alias("a"), F.col("_dst").alias("b")) \
+        .union(edges.select(F.col("_dst").alias("a"),
+                            F.col("_src").alias("b"))) \
+        .filter(F.col("a") != F.col("b")).distinct() \
+        .localCheckpoint(eager=True)
+    rounds = iters if iters is not None else max_iter
+    prev_n = None
+    for _ in range(rounds):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("a") \
+            .localCheckpoint(eager=True)
+        sym = sym.join(keep, "a", "left_semi") \
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi") \
+            .localCheckpoint(eager=True)
+        if iters is None:
+            n = keep.count()
+            if n == prev_n:
+                break
+            prev_n = n
+    return sym.select(F.col("a").alias("node")).distinct()

@@ -27,6 +27,8 @@ PROCS = {
     "algo.wcc": ("node", "component"),
     "algo.trianglecount": ("triangles",),
     "algo.labelpropagation": ("node", "label"),
+    "algo.kcore": ("node",),
+    "algo.sssp": ("node", "distance", "hops"),
     "db.idx.fulltext.querynodes": ("node", "score"),
     "db.idx.fulltext.createnodeindex": ("ok",),
     "db.idx.fulltext.drop": ("ok",),
@@ -149,6 +151,82 @@ def run_procedure(planner, clause: A.CallClause
             .join(nodes, F.col("__lpa_id") == nodes["_id"]) \
             .select(node_struct.alias("node"), "label")
         return out, ["node", "label"]
+    if name == "algo.kcore":
+        # additive (like algo.wcc): k-core membership by synchronous
+        # peeling. args: required int k, optional relation-type string
+        # (induces that relation's subgraph; default all edges),
+        # optional int round count (default: peel to fixpoint).
+        from redisgraph_spark.algorithms.components import k_core
+        k = None
+        rel = None
+        iters = None
+        for a in clause.args:
+            val = a.value if isinstance(a, A.Literal) else a
+            if isinstance(val, bool):
+                raise ValueError("algo.kCore: unexpected boolean arg")
+            if isinstance(val, str):
+                rel = val
+            elif isinstance(val, int):
+                if k is None:
+                    k = val
+                else:
+                    iters = val
+            else:
+                raise ValueError(
+                    "algo.kCore: args are an int k, an optional "
+                    "relation-type string and an optional int round count")
+        if k is None or k < 1:
+            raise ValueError("algo.kCore requires an integer k >= 1")
+        edges = g.edges([rel] if rel else None).select("_src", "_dst")
+        core = k_core(edges, k, iters=iters)
+        nodes = g.nodes()
+        node_struct = F.struct(*[F.col(c) for c in nodes.columns])
+        out = core.withColumnRenamed("node", "__kc_id") \
+            .join(nodes, F.col("__kc_id") == nodes["_id"]) \
+            .select(node_struct.alias("node"))
+        return out, ["node"]
+    if name == "algo.sssp":
+        # additive: bounded-hop weighted single-source shortest paths
+        # (Bellman-Ford frontier relaxation). args: source node id,
+        # optional relation-type string or NULL (default all edges),
+        # optional weight-property string or NULL (default weight 1.0),
+        # optional int max hop count.
+        from redisgraph_spark.algorithms.sssp import MAX_HOPS, sssp
+        args = []
+        for a in clause.args:
+            if isinstance(a, A.Literal):
+                args.append(a.value)
+            elif isinstance(a, A.Parameter):
+                args.append(planner.params[a.name])
+            else:
+                raise ValueError(
+                    "algo.sssp arguments must be literals or parameters "
+                    "(a bound source goes through id(n) per-record CALL)")
+        if not args or not isinstance(args[0], int):
+            raise ValueError("algo.sssp requires an integer source id")
+        source = args[0]
+        rel = args[1] if len(args) > 1 else None
+        weight = args[2] if len(args) > 2 else None
+        hops = args[3] if len(args) > 3 else MAX_HOPS
+        if rel is not None and not isinstance(rel, str):
+            raise ValueError("algo.sssp reltype must be a string or NULL")
+        if weight is not None and not isinstance(weight, str):
+            raise ValueError(
+                "algo.sssp weight property must be a string or NULL")
+        if not isinstance(hops, int) or hops < 1:
+            raise ValueError("algo.sssp max hops must be a positive int")
+        edges = g.edges([rel] if rel else None)
+        if weight is not None and weight not in edges.columns:
+            raise ValueError(
+                f"algo.sssp: no edge property {weight!r} on the "
+                "selected relation(s)")
+        dist = sssp(edges, source, weight, max_hops=hops)
+        nodes = g.nodes()
+        node_struct = F.struct(*[F.col(c) for c in nodes.columns])
+        out = dist.withColumnRenamed("node", "__ss_id") \
+            .join(nodes, F.col("__ss_id") == nodes["_id"]) \
+            .select(node_struct.alias("node"), "distance", "hops")
+        return out, ["node", "distance", "hops"]
     if name == "algo.bfs":
         # handled as a correlated call in CypherPlanner._clause_call
         # (needs the bound source variable); reaching here means no ctx

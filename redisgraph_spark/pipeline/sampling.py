@@ -170,3 +170,47 @@ def quality_bins(df: DataFrame, score_col: str, n_bins: int = 10,
     cols = [id_col] + ([group_col] if group_col else [])
     return df.withColumn("bin", F.ntile(n_bins).over(w)) \
         .select(*cols, F.col(score_col).alias("score"), "bin")
+
+
+def train_split(df: DataFrame, id_col: str,
+                fractions: dict[str, float] | None = None,
+                seed: str = "s0") -> DataFrame:
+    """Deterministic train/validation/test assignment by hash — the
+    split every training pipeline needs before anything touches the
+    data. A row's split is a pure function of (seed, id): the first 4
+    hex chars of md5('<seed>:' || id) read as an int in [0, 65536)
+    land in consecutive cumulative-fraction intervals (same 1/65536
+    quantization as `hash_sample`, so the DuckDB oracle replays the
+    identical arithmetic). Hash-based, not RNG-based, so the split is
+    reproducible across runs, engines and partitionings, documents
+    appended later never reshuffle earlier assignments, and the same
+    doc always lands in the same split — the property that prevents
+    train/test leakage across pipeline re-runs.
+
+    `fractions` maps split name → fraction; they must sum to ≤ 1.0
+    (any remainder falls into the LAST split in insertion order, which
+    also absorbs quantization residue). Default 90/5/5.
+
+    Scale shape: per-row map fused into the scan — no shuffle, no
+    state, no collect. Returns the input + a `split` column.
+    """
+    fractions = fractions or {"train": 0.90, "val": 0.05, "test": 0.05}
+    if not fractions or any(v < 0 for v in fractions.values()):
+        raise ValueError("train_split: fractions must be non-negative")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("train_split: fractions sum above 1.0")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.col(id_col).cast("string"))), 1, 4),
+        16, 10).cast("long")
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < F.lit(int(round(cum * 65536)))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -766,3 +766,98 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
             (F.round(F.avg(F.log((F.col("__bc") + 1) /
                                  (F.col("__cc") + F.col("__v"))))
                      * grid) / grid).alias("mean_lp"))
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75,
+                grid: float = 1e6) -> DataFrame:
+    """Okapi BM25 scoring of every document against a bag of query
+    terms — the ranking function behind the reference's full-text
+    search results (RediSearch scores hits; proc_fulltext_query.c:124
+    yields a `score` column) re-expressed as pure relational algebra,
+    and the standard retrieval primitive for building RAG / dedup
+    training corpora.
+
+    score(d) = Σ_{t∈q} idf(t) · tf(t,d)·(k1+1) /
+                        (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    with the Lucene-style non-negative idf(t) = ln(1 + (N − df + 0.5)
+    / (df + 0.5)). Tokenization is the same lower+whitespace split as
+    `tf_idf`, so the DuckDB oracle replays the identical arithmetic.
+
+    Scale shape: one explode + (doc,term) count for tf, filtered to the
+    query's terms BEFORE the aggregation (the term filter prunes the
+    shuffle to |q| terms); df and avgdl are broadcast-sized scalars.
+    The corpus is scanned once; no all-pairs, no UDF. Scores round to
+    a 1e-6 grid so float summation order can't flip the comparison.
+
+    Returns (id_col, score) for docs matching ≥1 term.
+    """
+    q = [t.lower() for t in query_terms]
+    toks = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("term")) \
+        .filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("__dl")).collect()[0][0] or 0.0
+    qtoks = toks.filter(F.col("term").isin(q))
+    tf = qtoks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("__tf"))
+    df_tbl = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("__df"))
+    idf = df_tbl.withColumn(
+        "__idf",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df")
+                            + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))))
+    contrib = tf.join(F.broadcast(idf), "term").join(dl, id_col) \
+        .select(
+            F.col(id_col),
+            (F.col("__idf") * F.col("__tf") * F.lit(k1 + 1.0)
+             / (F.col("__tf") + F.lit(k1)
+                * (F.lit(1.0 - b)
+                   + F.lit(b) * F.col("__dl") / F.lit(float(avgdl)))))
+            .alias("__s"))
+    return contrib.groupBy(id_col).agg(
+        (F.round(F.sum("__s") * grid) / grid).alias("score"))
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", grid: float = 1e6) -> DataFrame:
+    """Character-distribution quality signals per document: Shannon
+    entropy (bits/char), distinct-character count, and the modal-char
+    fraction — cheap detectors for binary junk, boilerplate padding and
+    single-char spam that survive word-level filters (low entropy /
+    high modal fraction ⇒ repetitive garbage; implausibly high entropy
+    ⇒ random bytes). Complements `gopher_quality`'s word-level rules.
+
+    entropy = −Σ_c p_c·log2(p_c) over the doc's characters. All three
+    stats derive from one (doc, char) count — a single keyed shuffle,
+    then a per-doc aggregation; exact same arithmetic in the DuckDB
+    oracle (string_split(text,'')). Stats round to a 1e-6 grid.
+
+    Returns (id_col, n_chars, n_distinct, entropy, top_char_frac).
+    Empty docs report entropy 0 with n_chars 0.
+    """
+    chars = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch")) \
+        .filter(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("__c").alias("__mx"),
+        F.sum(F.col("__c") * F.log2(F.col("__c"))).alias("__clogc"))
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long")
+        .alias("n_distinct"),
+        (F.round(F.coalesce(
+            F.log2(F.col("__n")) - F.col("__clogc") / F.col("__n"),
+            F.lit(0.0)) * grid) / grid).alias("entropy"),
+        (F.round(F.coalesce(F.col("__mx") / F.col("__n"), F.lit(0.0))
+                 * grid) / grid).alias("top_char_frac"))

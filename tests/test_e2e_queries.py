@@ -464,3 +464,70 @@ class TestShortestPathExpr:
             "MATCH p = shortestPath((a)-[:friend*0..0]->(b)) "
             "RETURN b.name AS n"))
         assert got == [("Roi",)]
+
+
+def test_algo_kcore(spark):
+    """Hand-built graph where peeling cascades: triangle {1,2,3} plus a
+    pendant chain 3-4-5 — the 2-core is exactly the triangle (4 drops
+    only AFTER 5, so ≥2 synchronous rounds are exercised), and fixed
+    extra rounds are no-ops past the fixpoint."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5)], ["_id"])}
+    edges = {"R": spark.createDataFrame(
+        [(100, 1, 2), (101, 2, 3), (102, 3, 1), (103, 3, 4),
+         (104, 4, 5)],
+        ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges)
+    got = sorted(r["nid"] for r in g.query(
+        "CALL algo.kCore(2) YIELD node RETURN node._id AS nid").collect())
+    assert got == [1, 2, 3]
+    # fixed-round mode: idempotent past the fixpoint (4 rounds == 8)
+    for iters in (4, 8):
+        got_i = sorted(r["nid"] for r in g.query(
+            f"CALL algo.kCore(2, {iters}) YIELD node "
+            "RETURN node._id AS nid").collect())
+        assert got_i == [1, 2, 3]
+    # 3-core is empty (triangle degrees are 2)
+    assert g.query("CALL algo.kCore(3) YIELD node "
+                   "RETURN count(*) AS n").collect()[0]["n"] == 0
+    with pytest.raises(Exception):
+        g.query("CALL algo.kCore(0) YIELD node RETURN node")
+
+
+def test_algo_sssp(spark):
+    """Weighted vs hop-count shortest paths differ: 1→2→3 costs 1+1=2
+    while the direct 1→3 edge costs 5 — SSSP must take the 2-hop path;
+    nulls in the weight property default to 1.0; max_hops bounds
+    reach; hops tie-break picks the fewest-edge minimal path."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4)], ["_id"])}
+    edges = {"R": spark.createDataFrame(
+        [(100, 1, 2, 1.0), (101, 2, 3, 1.0), (102, 1, 3, 5.0),
+         (103, 3, 4, None)],
+        ["_id", "_src", "_dst", "cost"])}
+    g = Graph(spark, nodes, edges)
+    got = {r["nid"]: (r["distance"], r["hops"]) for r in g.query(
+        "CALL algo.SSSP(1, null, 'cost', 10) YIELD node, distance, hops "
+        "RETURN node._id AS nid, distance, hops").collect()}
+    assert got == {1: (0.0, 0), 2: (1.0, 1), 3: (2.0, 2), 4: (3.0, 3)}
+    # unweighted: direct edge wins on hops at equal... distance 1.0<2.0
+    got_u = {r["nid"]: (r["distance"], r["hops"]) for r in g.query(
+        "CALL algo.SSSP(1, null, null, 10) YIELD node, distance, hops "
+        "RETURN node._id AS nid, distance, hops").collect()}
+    assert got_u[3] == (1.0, 1)
+    # hop bound cuts the frontier
+    got_h = {r["nid"] for r in g.query(
+        "CALL algo.SSSP(1, null, 'cost', 1) YIELD node "
+        "RETURN node._id AS nid").collect()}
+    assert got_h == {1, 2, 3}
+    # per-record correlated CALL via id(n)
+    got_c = {(r["src"], r["nid"]) for r in g.query(
+        "MATCH (n:N) WHERE id(n) <= 2 "
+        "CALL algo.SSSP(id(n), null, null, 1) YIELD node "
+        "RETURN id(n) AS src, node._id AS nid").collect()}
+    assert (1, 2) in got_c and (2, 3) in got_c
+    with pytest.raises(Exception):
+        g.query("CALL algo.SSSP(1, null, 'nope', 2) YIELD node "
+                "RETURN node").collect()

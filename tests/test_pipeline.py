@@ -1105,3 +1105,69 @@ def test_quality_bins_equal_depth_and_deterministic(spark):
                          n_bins=4, group_col="source").collect()
     assert {(r["doc_id"], r["bin"]) for r in again} == \
         {(r["doc_id"], r["bin"]) for r in got}
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc corpus, scores checked against the closed form:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); the rarer term dominates
+    and longer docs are penalized through the length normalization."""
+    import math
+    from redisgraph_spark.pipeline.text import bm25_scores
+    docs = spark.createDataFrame(
+        [(1, "data data systems"), (2, "data model"),
+         (3, "cooking recipes and more words here")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(docs, ["data", "model"]).collect()}
+    assert set(got) == {1, 2}
+    n, avgdl = 3, (3 + 2 + 6) / 3
+    idf_data = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    idf_model = math.log(1 + (n - 1 + 0.5) / (1 + 0.5))
+
+    def s(tf, dl, idf):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert got[1] == round(s(2, 3, idf_data) * 1e6) / 1e6
+    assert got[2] == round((s(1, 2, idf_data) + s(1, 2, idf_model))
+                           * 1e6) / 1e6
+    # doc 2 matches both terms incl. the rare one → outranks doc 1
+    assert got[2] > got[1]
+
+
+def test_char_entropy_closed_forms(spark):
+    """Uniform 4-symbol text → exactly 2 bits; single-char text → 0
+    bits with modal fraction 1; empty text → zeroed row, not a crash."""
+    from redisgraph_spark.pipeline.text import char_entropy
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "aaaa"), (3, "")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert got[1]["entropy"] == 2.0 and got[1]["n_distinct"] == 4
+    assert got[1]["top_char_frac"] == 0.25
+    assert got[2]["entropy"] == 0.0 and got[2]["top_char_frac"] == 1.0
+    assert got[3]["n_chars"] == 0 and got[3]["entropy"] == 0.0
+
+
+def test_train_split_deterministic_and_stable(spark):
+    """Same (seed, id) → same split on re-run and after appending new
+    rows (the no-reshuffle property); fractions route ~90/5/5; bad
+    fractions raise."""
+    import pytest as _pytest
+    from redisgraph_spark.pipeline.sampling import train_split
+    base = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in train_split(base, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in train_split(base, "doc_id").collect()}
+    assert a == b
+    bigger = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    c = {r["doc_id"]: r["split"]
+         for r in train_split(bigger, "doc_id").collect()}
+    assert all(c[k] == v for k, v in a.items())
+    from collections import Counter
+    counts = Counter(a.values())
+    assert counts["train"] > 850 and counts["val"] < 100 \
+        and counts["test"] < 100
+    assert counts["train"] + counts["val"] + counts["test"] == 1000
+    with _pytest.raises(ValueError):
+        train_split(base, "doc_id", {"a": 0.7, "b": 0.5})
+    with _pytest.raises(ValueError):
+        train_split(base, "doc_id", {"a": -0.1, "b": 0.5})
