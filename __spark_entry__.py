@@ -806,6 +806,49 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         SELECT DISTINCT a AS id FROM e4 ORDER BY id
         """),
 
+    # additive algo.HITS (hits.py): Kleinberg hubs/authorities, 2 fixed
+    # synchronous power-iteration rounds on the Order→Part CONTAINS
+    # link structure. Determinism via the semdedup pattern — every
+    # score is grid-rounded (1e-9) after each L2 normalization, so the
+    # oracle's unrolled CTE chain replays bit-identical doubles;
+    # parallel (order, part) edges count with multiplicity on both
+    # engines. Output rounded to 1e-6.
+    "q_hits": (
+        "CALL algo.HITS('CONTAINS', 2) YIELD node, hub, authority "
+        "RETURN node._id AS id, "
+        "round(hub * 1000000) / 1000000.0 AS hub, "
+        "round(authority * 1000000) / 1000000.0 AS authority "
+        "ORDER BY id",
+        """
+        WITH e AS (
+          SELECT 6000000000000 + l_orderkey AS u,
+                 5000000000000 + l_partkey AS v FROM lineitem
+        ), nodes AS (SELECT DISTINCT u AS node FROM e
+                     UNION SELECT DISTINCT v FROM e),
+        a1r AS (SELECT v, CAST(count(*) AS DOUBLE) AS a
+                FROM e GROUP BY v),
+        a1 AS (SELECT v, round(a / (SELECT sqrt(sum(a*a)) FROM a1r)
+                               * 1e9) / 1e9 AS a FROM a1r),
+        h1r AS (SELECT e.u, sum(a1.a) AS h FROM e
+                JOIN a1 ON a1.v = e.v GROUP BY e.u),
+        h1 AS (SELECT u, round(h / (SELECT sqrt(sum(h*h)) FROM h1r)
+                               * 1e9) / 1e9 AS h FROM h1r),
+        a2r AS (SELECT e.v, sum(h1.h) AS a FROM e
+                JOIN h1 ON h1.u = e.u GROUP BY e.v),
+        a2 AS (SELECT v, round(a / (SELECT sqrt(sum(a*a)) FROM a2r)
+                               * 1e9) / 1e9 AS a FROM a2r),
+        h2r AS (SELECT e.u, sum(a2.a) AS h FROM e
+                JOIN a2 ON a2.v = e.v GROUP BY e.u),
+        h2 AS (SELECT u, round(h / (SELECT sqrt(sum(h*h)) FROM h2r)
+                               * 1e9) / 1e9 AS h FROM h2r)
+        SELECT n.node AS id,
+               round(coalesce(h2.h, 0.0) * 1e6) / 1e6 AS hub,
+               round(coalesce(a2.a, 0.0) * 1e6) / 1e6 AS authority
+        FROM nodes n LEFT JOIN h2 ON h2.u = n.node
+        LEFT JOIN a2 ON a2.v = n.node
+        ORDER BY id
+        """),
+
     # additive algo.SSSP (sssp.py): bounded-hop weighted Bellman-Ford
     # from Customer 1 over ALL relations, weight = l_quantity where
     # present else 1.0, ≤3 hops. The oracle enumerates every ≤3-hop
@@ -3176,6 +3219,7 @@ _FORCE_FRONT = [
     # new in r7: BM25 scoring, char-entropy signals, hash train-split,
     # algo.kCore, algo.SSSP
     "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
+    "q_hits",
 ]
 
 

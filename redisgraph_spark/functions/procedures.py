@@ -29,6 +29,7 @@ PROCS = {
     "algo.labelpropagation": ("node", "label"),
     "algo.kcore": ("node",),
     "algo.sssp": ("node", "distance", "hops"),
+    "algo.hits": ("node", "hub", "authority"),
     "db.idx.fulltext.querynodes": ("node", "score"),
     "db.idx.fulltext.createnodeindex": ("ok",),
     "db.idx.fulltext.drop": ("ok",),
@@ -185,6 +186,34 @@ def run_procedure(planner, clause: A.CallClause
             .join(nodes, F.col("__kc_id") == nodes["_id"]) \
             .select(node_struct.alias("node"))
         return out, ["node"]
+    if name == "algo.hits":
+        # additive: Kleinberg hubs & authorities, fixed synchronous
+        # power-iteration rounds with grid-rounded normalization (the
+        # semdedup determinism pattern). args: optional relation-type
+        # string, optional int iteration count (default 3).
+        from redisgraph_spark.algorithms.hits import hits
+        rel = None
+        iters = 3
+        for a in clause.args:
+            val = a.value if isinstance(a, A.Literal) else a
+            if isinstance(val, str):
+                rel = val
+            elif isinstance(val, int) and not isinstance(val, bool):
+                iters = val
+            else:
+                raise ValueError(
+                    "algo.HITS: args are an optional relation-type "
+                    "string and an optional int iteration count")
+        if iters < 1:
+            raise ValueError("algo.HITS iteration count must be >= 1")
+        sc = hits(g.edges([rel] if rel else None).select("_src", "_dst"),
+                  iters=iters)
+        nodes = g.nodes()
+        node_struct = F.struct(*[F.col(c) for c in nodes.columns])
+        out = sc.withColumnRenamed("node", "__h_id") \
+            .join(nodes, F.col("__h_id") == nodes["_id"]) \
+            .select(node_struct.alias("node"), "hub", "authority")
+        return out, ["node", "hub", "authority"]
     if name == "algo.sssp":
         # additive: bounded-hop weighted single-source shortest paths
         # (Bellman-Ford frontier relaxation). args: source node id,

@@ -531,3 +531,33 @@ def test_algo_sssp(spark):
     with pytest.raises(Exception):
         g.query("CALL algo.SSSP(1, null, 'nope', 2) YIELD node "
                 "RETURN node").collect()
+
+
+def test_algo_hits(spark):
+    """Bipartite star: hub 1 points at {10, 11}, hub 2 at {10} — node
+    10 must out-rank 11 as an authority and 1 must out-rank 2 as a
+    hub; scores are L2-normalized so the closed forms are checkable;
+    pure authorities report hub 0 (no out-edges)."""
+    import math
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(i,) for i in (1, 2, 10, 11)], ["_id"])}
+    edges = {"R": spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 11), (102, 2, 10)],
+        ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges)
+    got = {r["nid"]: (r["hub"], r["authority"]) for r in g.query(
+        "CALL algo.HITS(1) YIELD node, hub, authority "
+        "RETURN node._id AS nid, hub, authority").collect()}
+    # one round: a ∝ in-degree → a(10)=2/√5, a(11)=1/√5;
+    # h(1) = a(10)+a(11) = 3/√5, h(2) = a(10) = 2/√5, normalized
+    s5 = math.sqrt(5.0)
+    a10, a11 = round(2 / s5 * 1e9) / 1e9, round(1 / s5 * 1e9) / 1e9
+    hn = math.sqrt((a10 + a11) ** 2 + a10 ** 2)
+    assert got[10][1] == a10 and got[11][1] == a11
+    assert got[1][0] == round((a10 + a11) / hn * 1e9) / 1e9
+    assert got[2][0] == round(a10 / hn * 1e9) / 1e9
+    assert got[10][0] == 0.0 and got[1][1] == 0.0
+    assert got[1][0] > got[2][0] and got[10][1] > got[11][1]
+    with pytest.raises(Exception):
+        g.query("CALL algo.HITS(0) YIELD node RETURN node")
