@@ -1886,6 +1886,21 @@ def _q_pagerank(spark, sf_dir):
         "ORDER BY lbl, nk, rk")
 
 
+def _q_ppr(spark, sf_dir):
+    """Personalized PageRank from Nation 3 over IN_REGION
+    (pagerank.py::_pagerank_personalized): restart distribution
+    uniform over the source set; verifies teleport localization,
+    dangling-mass personalization and the 20-iteration recurrence."""
+    g = _graph(spark, sf_dir)
+    return g.query(
+        "CALL algo.pageRank(['Nation', 'Region'], 'IN_REGION', "
+        "[2000000000003]) YIELD node, score "
+        "RETURN labels(node)[0] AS lbl, node.n_nationkey AS nk, "
+        "node.r_regionkey AS rk, "
+        "round(score * 1000000) / 1000000 AS score "
+        "ORDER BY lbl, nk, rk")
+
+
 def _q_mutation_roundtrip(spark, sf_dir):
     from redisgraph_spark import Graph
     g = Graph.from_tpch(spark, sf_dir)   # fresh graph: mutations isolated
@@ -2904,6 +2919,29 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
         ORDER BY lbl, nk, rk
         """),
 
+    # personalized PageRank (additive 3rd arg): teleport restricted to
+    # one Nation source — only the source and its region ever hold
+    # mass, and the fixed-20-iteration scores are the closed-form
+    # constants of the 2-state recurrence s_n ← 0.15 + 0.85·d_mass,
+    # s_r ← 0.85·s_n (dangling region mass teleports back to the
+    # source). Scale-invariant; the oracle reads the source's region
+    # from data rather than hardcoding it.
+    "q_ppr": (_q_ppr, """
+        SELECT 'Nation' AS lbl, n_nationkey AS nk,
+               CAST(NULL AS BIGINT) AS rk,
+               CAST(CASE WHEN n_nationkey = 3 THEN 0.558349
+                    ELSE 0.0 END AS DOUBLE) AS score
+        FROM nation
+        UNION ALL
+        SELECT 'Region', CAST(NULL AS BIGINT), r_regionkey,
+               CAST(CASE WHEN r_regionkey =
+                      (SELECT n_regionkey FROM nation
+                       WHERE n_nationkey = 3)
+                    THEN 0.441651 ELSE 0.0 END AS DOUBLE)
+        FROM region
+        ORDER BY lbl, nk, rk
+        """),
+
     "q_mutation_roundtrip": (_q_mutation_roundtrip,
         "SELECT count(*) + 1 AS n_regions, "
         "CAST(991 AS BIGINT) AS max_key FROM region"),
@@ -3219,7 +3257,7 @@ _FORCE_FRONT = [
     # new in r7: BM25 scoring, char-entropy signals, hash train-split,
     # algo.kCore, algo.SSSP
     "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
-    "q_hits",
+    "q_hits", "q_ppr",
 ]
 
 

@@ -561,3 +561,32 @@ def test_algo_hits(spark):
     assert got[1][0] > got[2][0] and got[10][1] > got[11][1]
     with pytest.raises(Exception):
         g.query("CALL algo.HITS(0) YIELD node RETURN node")
+
+
+def test_personalized_pagerank(spark):
+    """Chain 1→2→3: teleport mass concentrates on the source side —
+    source 1 outranks everything; node 3 (dangling) returns its mass
+    to the source, never to non-source nodes; a restart set outside
+    the graph raises."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(i,) for i in (1, 2, 3)], ["_id"])}
+    edges = {"R": spark.createDataFrame(
+        [(100, 1, 2), (101, 2, 3)], ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges)
+    got = {r["nid"]: r["score"] for r in g.query(
+        "CALL algo.pageRank(null, null, [1]) YIELD node, score "
+        "RETURN node._id AS nid, score").collect()}
+    assert got[1] > got[2] > got[3] > 0
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # uniform (no sources) differs: symmetric teleport lifts 2 and 3
+    uni = {r["nid"]: r["score"] for r in g.query(
+        "CALL algo.pageRank(null, null) YIELD node, score "
+        "RETURN node._id AS nid, score").collect()}
+    assert uni[3] > got[3]
+    with pytest.raises(Exception):
+        g.query("CALL algo.pageRank(null, null, [999]) YIELD node, score "
+                "RETURN score").collect()
+    with pytest.raises(Exception):
+        g.query("CALL algo.pageRank(null, null, []) YIELD node, score "
+                "RETURN score").collect()
