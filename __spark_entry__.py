@@ -2802,6 +2802,45 @@ _CHAR_ENTROPY_ORACLE = """
     """
 
 
+def _p_embedding_outliers(spark, sf_dir):
+    """Per-class embedding outlier screening
+    (similarity.py::embedding_outliers): distance to the class
+    centroid, z-scored within the class; grid-before-compare makes
+    the outlier boundary engine-exact."""
+    from redisgraph_spark.pipeline.similarity import embedding_outliers
+    return embedding_outliers(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+_EMBEDDING_OUTLIERS_ORACLE = """
+    WITH pe AS (
+      SELECT vec_id, label, i AS pos, embedding[i + 1] AS v
+      FROM embeddings CROSS JOIN unnest(range(0, len(embedding))) AS u(i)
+    ), cent AS (
+      SELECT label, pos, round(avg(v) * 1e9) / 1e9 AS c
+      FROM pe GROUP BY label, pos
+    ), dist AS (
+      SELECT pe.vec_id, pe.label,
+             round(sqrt(sum((pe.v - cent.c) * (pe.v - cent.c))) * 1e6)
+               / 1e6 AS dist
+      FROM pe JOIN cent ON cent.label = pe.label AND cent.pos = pe.pos
+      GROUP BY pe.vec_id, pe.label
+    ), stats AS (
+      SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sd
+      FROM dist GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.dist,
+           CASE WHEN s.sd > 0
+                THEN round((d.dist - s.mu) / s.sd * 1e6) / 1e6
+           END AS zscore,
+           coalesce(CASE WHEN s.sd > 0
+                         THEN round((d.dist - s.mu) / s.sd * 1e6) / 1e6
+                              > 2.0
+                    END, FALSE) AS outlier
+    FROM dist d JOIN stats s ON s.label = d.label
+    ORDER BY d.vec_id
+    """
+
+
 def _p_train_split(spark, sf_dir):
     """Deterministic hash-based train/val/test assignment
     (sampling.py::train_split) — split is a pure function of
@@ -2833,6 +2872,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_bm25": (_p_bm25, _BM25_ORACLE),
     "p_char_entropy": (_p_char_entropy, _CHAR_ENTROPY_ORACLE),
     "p_train_split": (_p_train_split, _TRAIN_SPLIT_ORACLE),
+    "p_embedding_outliers": (_p_embedding_outliers,
+                             _EMBEDDING_OUTLIERS_ORACLE),
     # round-6 training-pipeline additions
     "p_minhash_incremental": (_p_minhash_incremental,
                               _minhash_incremental_oracle()),
@@ -3257,7 +3298,7 @@ _FORCE_FRONT = [
     # new in r7: BM25 scoring, char-entropy signals, hash train-split,
     # algo.kCore, algo.SSSP
     "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
-    "q_hits", "q_ppr",
+    "q_hits", "q_ppr", "p_embedding_outliers",
 ]
 
 

@@ -504,3 +504,51 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k) \
         .select(F.col("q_id").alias("query_id"),
                 F.col("n_id").alias("neighbor_id"), "cosine", "rank")
+
+
+def embedding_outliers(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label",
+                       z: float = 2.0, grid: float = 1e6) -> DataFrame:
+    """Per-class embedding outlier screening — the standard
+    mislabeled/corrupt-vector detector in an embedding pipeline: each
+    vector's euclidean distance to its class centroid, z-scored
+    against the class's own distance distribution; rows whose z-score
+    exceeds ``z`` flag as outliers (candidate label errors or junk
+    embeddings worth auditing before training).
+
+    Determinism: centroids are grid-rounded (1e-9) before distances,
+    distances and z-scores to ``grid`` (1e-6) before the threshold
+    compare — the value_anomalies grid-before-compare pattern, so the
+    flag boundary is engine-exact.
+
+    Scale shape: one posexplode keyed (label, dim) aggregation for
+    centroids (output is classes × dims — broadcast-sized at any
+    corpus size), one keyed distance aggregation per vector, one
+    class-sized stats aggregation. No pairwise terms, no collect.
+
+    Returns (id_col, label_col, dist, zscore, outlier); zscore is null
+    (outlier false) for single-member / zero-variance classes.
+    """
+    pe = spread(emb).select(
+        F.col(id_col), F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__v"))
+    cent = pe.groupBy(label_col, "__pos").agg(
+        (F.round(F.avg("__v") * 1e9) / 1e9).alias("__c"))
+    dist = pe.join(F.broadcast(cent), [label_col, "__pos"]) \
+        .groupBy(id_col, label_col).agg(
+            (F.round(F.sqrt(F.sum((F.col("__v") - F.col("__c"))
+                                  * (F.col("__v") - F.col("__c"))))
+                     * grid) / grid).alias("dist"))
+    stats = dist.groupBy(label_col).agg(
+        F.avg("dist").alias("__mu"),
+        F.stddev_pop("dist").alias("__sd"))
+    # zero-variance classes get a NULL z (0/0 is NaN, which Spark
+    # comparisons rank ABOVE every double — it would flag everything)
+    zc = F.when(F.col("__sd") > 0,
+                (F.col("dist") - F.col("__mu")) / F.col("__sd"))
+    return dist.join(F.broadcast(stats), label_col).select(
+        F.col(id_col), F.col(label_col), F.col("dist"),
+        (F.round(zc * grid) / grid).alias("zscore"),
+        F.coalesce(F.round(zc * grid) / grid > F.lit(z), F.lit(False))
+        .alias("outlier"))

@@ -1171,3 +1171,26 @@ def test_train_split_deterministic_and_stable(spark):
         train_split(base, "doc_id", {"a": 0.7, "b": 0.5})
     with _pytest.raises(ValueError):
         train_split(base, "doc_id", {"a": -0.1, "b": 0.5})
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    """Two tight clusters plus one planted far-away vector per class:
+    only the planted vectors flag; a single-member class yields a null
+    z-score and must NOT flag (0/0 → NaN would out-rank every double
+    in Spark comparisons)."""
+    from redisgraph_spark.pipeline.similarity import embedding_outliers
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0 + 0.01 * i, 0.0], 0))
+        rows.append((100 + i, [0.0, 5.0 + 0.01 * i], 1))
+    rows.append((50, [30.0, 0.0], 0))       # planted outlier, class 0
+    rows.append((150, [0.0, -40.0], 1))     # planted outlier, class 1
+    rows.append((999, [7.0, 7.0], 2))       # singleton class
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = {r["vec_id"]: r for r in embedding_outliers(emb).collect()}
+    assert got[50]["outlier"] and got[150]["outlier"]
+    flagged = {k for k, r in got.items() if r["outlier"]}
+    assert flagged == {50, 150}
+    assert got[999]["zscore"] is None and not got[999]["outlier"]
+    assert got[999]["dist"] == 0.0
