@@ -41,9 +41,13 @@ def sssp(edges: DataFrame, source_id: int, weight_col: str | None,
     """
     w = (F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
          if weight_col else F.lit(1.0))
+    # materialize the slim (src, dst, w) projection once — every
+    # relaxation round joins it, and without the checkpoint each round
+    # would re-scan the source parquet + re-union the relation tables
     e = edges.select(F.col("_src").alias("__u"),
                      F.col("_dst").alias("__v"),
-                     w.alias("__w"))
+                     w.alias("__w")) \
+        .localCheckpoint(eager=True)
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(int(source_id), 0.0, 0)], "node long, distance double, hops int") \
