@@ -2841,6 +2841,74 @@ _EMBEDDING_OUTLIERS_ORACLE = """
     """
 
 
+def _p_zipf(spark, sf_dir):
+    """Per-source Zipf-law OLS fit over the top-200 term ranks
+    (text.py::zipf_fit) — corpus-health diagnostic; explicit-sum OLS
+    so the oracle replays identical arithmetic."""
+    from redisgraph_spark.pipeline.text import zipf_fit
+    return zipf_fit(_docs(spark, sf_dir)).orderBy("source")
+
+
+_ZIPF_ORACLE = r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tk AS (SELECT * FROM toks WHERE term <> ''),
+    tf AS (SELECT source, term, count(*) AS f FROM tk
+           GROUP BY source, term),
+    rk AS (SELECT source, term, f,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY f DESC, term ASC) AS r
+           FROM tf),
+    xy AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+                  ln(CAST(f AS DOUBLE)) AS y
+           FROM rk WHERE r <= 200),
+    a AS (SELECT source, count(*) AS n_terms, sum(x) AS sx,
+                 sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+          FROM xy GROUP BY source)
+    SELECT source, n_terms,
+           round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx)
+                 * 1e6) / 1e6 AS slope,
+           round((sy - ((n_terms*sxy - sx*sy)/(n_terms*sxx - sx*sx))
+                  * sx) / n_terms * 1e6) / 1e6 AS intercept
+    FROM a ORDER BY source
+    """
+
+
+def _p_pmi(spark, sf_dir):
+    """Top-100 PMI collocations over adjacent word pairs
+    (text.py::pmi_bigrams) — every PMI input is an exact integer, so
+    the doubles are bit-identical across engines."""
+    from redisgraph_spark.pipeline.text import pmi_bigrams
+    return pmi_bigrams(_docs(spark, sf_dir))
+
+
+_PMI_ORACLE = r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT ts[CAST(g.i AS INTEGER)] AS w1,
+             ts[CAST(g.i AS INTEGER) + 1] AS w2
+      FROM t, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+      WHERE len(ts) >= 2
+    ), bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    tot AS (SELECT CAST(sum(c12) AS DOUBLE) AS t FROM bc),
+    c1 AS (SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1 FROM bc
+           GROUP BY w1),
+    c2 AS (SELECT w2, CAST(sum(c12) AS DOUBLE) AS c2 FROM bc
+           GROUP BY w2)
+    SELECT bc.w1, bc.w2, bc.c12,
+           round(ln(CAST(bc.c12 AS DOUBLE) * tot.t / (c1.c1 * c2.c2))
+                 * 1e6) / 1e6 AS pmi
+    FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+    WHERE bc.c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """
+
+
 def _p_train_split(spark, sf_dir):
     """Deterministic hash-based train/val/test assignment
     (sampling.py::train_split) — split is a pure function of
@@ -2874,6 +2942,8 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "p_train_split": (_p_train_split, _TRAIN_SPLIT_ORACLE),
     "p_embedding_outliers": (_p_embedding_outliers,
                              _EMBEDDING_OUTLIERS_ORACLE),
+    "p_zipf": (_p_zipf, _ZIPF_ORACLE),
+    "p_pmi": (_p_pmi, _PMI_ORACLE),
     # round-6 training-pipeline additions
     "p_minhash_incremental": (_p_minhash_incremental,
                               _minhash_incremental_oracle()),
@@ -3298,7 +3368,7 @@ _FORCE_FRONT = [
     # new in r7: BM25 scoring, char-entropy signals, hash train-split,
     # algo.kCore, algo.SSSP
     "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
-    "q_hits", "q_ppr", "p_embedding_outliers",
+    "q_hits", "q_ppr", "p_embedding_outliers", "p_zipf", "p_pmi",
 ]
 
 

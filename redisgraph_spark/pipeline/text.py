@@ -861,3 +861,100 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
             F.lit(0.0)) * grid) / grid).alias("entropy"),
         (F.round(F.coalesce(F.col("__mx") / F.col("__n"), F.lit(0.0))
                  * grid) / grid).alias("top_char_frac"))
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text",
+             group_col: str = "source", top_n: int = 200,
+             grid: float = 1e6) -> DataFrame:
+    """Zipf's-law fit per group — the corpus-health diagnostic: natural
+    text has a log-log rank/frequency slope near −1; machine-generated
+    or templated text bends away from it. Ranks the group's terms by
+    frequency (ties broken by term so the ranking is total), keeps the
+    top ``top_n``, and fits ln(freq) on ln(rank) by ordinary least
+    squares: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+
+    The explicit-sum formula (not a regression builtin) is mirrored in
+    the oracle, so both engines run the identical arithmetic; slope and
+    intercept round to a 1e-6 grid.
+
+    Scale shape: one (group, term) count — vocabulary-sized — then a
+    per-group top-n window over that vocabulary table and a group-sized
+    OLS aggregation. The corpus is scanned once; nothing driver-side.
+
+    Returns (group_col, n_terms, slope, intercept).
+    """
+    from pyspark.sql import Window
+    toks = spread(docs).select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("term")) \
+        .filter(F.col("term") != "")
+    tf = toks.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("__f"))
+    w = Window.partitionBy(group_col).orderBy(F.col("__f").desc(),
+                                              F.col("term").asc())
+    ranked = tf.withColumn("__r", F.row_number().over(w)) \
+        .filter(F.col("__r") <= top_n) \
+        .select(group_col,
+                F.log(F.col("__r").cast("double")).alias("__x"),
+                F.log(F.col("__f").cast("double")).alias("__y"))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"))
+    n = F.col("n_terms").cast("double")
+    slope = ((n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+             / (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")))
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    return agg.select(
+        group_col, "n_terms",
+        (F.round(slope * grid) / grid).alias("slope"),
+        (F.round(intercept * grid) / grid).alias("intercept"))
+
+
+def pmi_bigrams(docs: DataFrame, text_col: str = "text",
+                min_count: int = 5, top_k: int = 100,
+                grid: float = 1e6) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the
+    classic collocation detector (multi-word expressions, named
+    entities, boilerplate phrases worth treating as units):
+    pmi(w1,w2) = ln(c12·T / (c1·c2)) where c12 is the bigram count, c1
+    / c2 the positional unigram counts and T the total bigram count.
+    All inputs are exact integers, so the doubles are bit-identical on
+    any engine — no summation-order exposure; pmi still rounds to a
+    grid for hash stability.
+
+    Scale shape: one bigram count (keyed shuffle), two positional
+    marginal counts derived FROM the bigram table (vocabulary-sized),
+    one broadcast 1-row total; min_count prunes before the join. Top-k
+    by (pmi desc, w1, w2) keeps the output bounded.
+
+    Returns (w1, w2, c12, pmi).
+    """
+    toks = docs.select(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                 lambda t: t != "").alias("__ts"))
+    big = spread(toks).select(
+        F.explode(F.when(
+            F.size("__ts") >= 2,
+            F.zip_with(F.slice("__ts", 1, F.size("__ts") - 1),
+                       F.slice("__ts", 2, F.size("__ts") - 1),
+                       lambda a, b: F.struct(a.alias("w1"),
+                                             b.alias("w2"))))
+          .otherwise(F.array())).alias("__bg")) \
+        .select(F.col("__bg.w1").alias("w1"),
+                F.col("__bg.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    total = bc.agg(F.sum("c12").alias("__t"))
+    c1 = bc.groupBy("w1").agg(F.sum("c12").alias("__c1"))
+    c2 = bc.groupBy("w2").agg(F.sum("c12").alias("__c2"))
+    scored = bc.filter(F.col("c12") >= min_count) \
+        .join(c1, "w1").join(c2, "w2").crossJoin(F.broadcast(total)) \
+        .select("w1", "w2", "c12",
+                (F.round(F.log(F.col("c12").cast("double")
+                               * F.col("__t").cast("double")
+                               / (F.col("__c1").cast("double")
+                                  * F.col("__c2").cast("double")))
+                         * grid) / grid).alias("pmi"))
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_k)

