@@ -2841,6 +2841,40 @@ _EMBEDDING_OUTLIERS_ORACLE = """
     """
 
 
+def _p_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (dedup.py::
+    containment_pairs): C(A→B) = |S(A)∩S(B)|/|S(A)| ≥ 0.8 over word
+    3-shingles — the quote/subsumption case Jaccard under-scores."""
+    from redisgraph_spark.pipeline.dedup import containment_pairs
+    return containment_pairs(_docs(spark, sf_dir)) \
+        .orderBy("doc_a", "doc_b")
+
+
+_CONTAINMENT_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', tk[i + 1], tk[i + 2], tk[i + 3]) AS shingle
+      FROM t CROSS JOIN
+           unnest(range(0, greatest(len(tk) - 3, 0) + 1)) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(1e6 * (i * 1.0 / sa.sz)) / 1e6 AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE round(1e6 * (i * 1.0 / sa.sz)) / 1e6 >= 0.8
+    ORDER BY doc_a, doc_b
+    """
+
+
 def _p_zipf(spark, sf_dir):
     """Per-source Zipf-law OLS fit over the top-200 term ranks
     (text.py::zipf_fit) — corpus-health diagnostic; explicit-sum OLS
@@ -2944,6 +2978,7 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                              _EMBEDDING_OUTLIERS_ORACLE),
     "p_zipf": (_p_zipf, _ZIPF_ORACLE),
     "p_pmi": (_p_pmi, _PMI_ORACLE),
+    "p_containment": (_p_containment, _CONTAINMENT_ORACLE),
     # round-6 training-pipeline additions
     "p_minhash_incremental": (_p_minhash_incremental,
                               _minhash_incremental_oracle()),
@@ -3369,6 +3404,7 @@ _FORCE_FRONT = [
     # algo.kCore, algo.SSSP
     "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
     "q_hits", "q_ppr", "p_embedding_outliers", "p_zipf", "p_pmi",
+    "p_containment",
 ]
 
 

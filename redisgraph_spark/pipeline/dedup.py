@@ -716,3 +716,40 @@ def keep_best(docs: DataFrame, pairs: DataFrame, quality_col: str,
     return clustered.withColumn("__rk", F.row_number().over(w)) \
         .select(F.col(id_col), F.col("cluster"),
                 (F.col("__rk") == 1).alias("is_kept"))
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                      n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      grid: float = 1e6) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    (Broder 1997's other resemblance measure): C(A→B) = |S(A)∩S(B)| /
+    |S(A)| — doc A is (near-)contained in doc B. Jaccard misses the
+    quote/subsumption case (a paragraph fully copied into a much
+    larger page scores low Jaccard but containment ≈ 1), which is why
+    dedup pipelines run both. Candidates are docs sharing ≥1 word
+    n-shingle (equi-join — any pair with containment > 0 shares one,
+    so recall is 1.0 by construction); ORDERED pairs, both directions
+    evaluated, kept where containment ≥ threshold.
+
+    Scale note: like `exact_jaccard_pairs` this is the exact path —
+    the shingle join is quadratic-ish against hot shingles; production
+    corpora route through MinHash candidates (`jaccard_verify`-style)
+    with this as the per-pair verifier. The containment value rounds
+    to a grid before the threshold compare (engine-exact boundary).
+
+    Returns (doc_a, doc_b, containment): doc_a contained in doc_b.
+    """
+    sh = word_shingles(docs, n, text_col, id_col) \
+        .dropDuplicates([id_col, "shingle"])
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = a.join(b, "shingle") \
+        .filter(F.col("doc_a") != F.col("doc_b")) \
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("__i"))
+    cont = (F.round(F.col("__i") / F.col("__sz") * grid) / grid)
+    return inter.join(sizes.withColumnRenamed(id_col, "doc_a"),
+                      "doc_a") \
+        .select("doc_a", "doc_b", cont.alias("containment")) \
+        .filter(F.col("containment") >= threshold)

@@ -1251,3 +1251,23 @@ def test_pmi_bigrams_collocation(spark):
     exp = round(math.log(6 * T / (c_new * c_york)) * 1e6) / 1e6
     assert pmi == exp
     assert ("cat", "new") not in got or got[("cat", "new")][0] >= 3
+
+
+def test_containment_asymmetric(spark):
+    """A short doc fully quoted inside a long doc: containment
+    short→long is 1.0 while long→short is far below threshold, and
+    the pair's Jaccard (what symmetric dedup sees) is low — the case
+    this operator exists for."""
+    from redisgraph_spark.pipeline.dedup import (containment_pairs,
+                                                 exact_jaccard_pairs)
+    quote = "the quick brown fox jumps over the lazy dog today"
+    filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert got.get((1, 2)) == 1.0          # quote fully contained
+    assert (2, 1) not in got               # container not contained
+    jac = exact_jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []                       # Jaccard misses the quote
