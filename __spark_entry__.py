@@ -849,6 +849,61 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY id
         """),
 
+    # additive algo.closeness (centrality.py): k-bounded closeness /
+    # harmonic centrality for an explicit source set via one
+    # multi-source BFS. Oracle enumerates every ≤3-hop path from the 3
+    # roots over the id-formula edge list; BFS distance = min hop
+    # count, root excluded; closeness = reached/Σd, harmonic = Σ 1/d.
+    "q_closeness": (
+        "CALL algo.closeness([3000000000001, 3000000000002, "
+        "3000000000003], null, 3) "
+        "YIELD node, reached, closeness, harmonic "
+        "RETURN node._id AS id, reached, closeness, harmonic "
+        "ORDER BY id",
+        """
+        WITH e AS (
+          SELECT 2000000000000 + n_nationkey AS u,
+                 1000000000000 + n_regionkey AS v FROM nation
+          UNION ALL
+          SELECT 3000000000000 + c_custkey, 2000000000000 + c_nationkey
+          FROM customer
+          UNION ALL
+          SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey
+          FROM supplier
+          UNION ALL
+          SELECT 3000000000000 + o_custkey, 6000000000000 + o_orderkey
+          FROM orders
+          UNION ALL
+          SELECT 6000000000000 + l_orderkey, 5000000000000 + l_partkey
+          FROM lineitem
+          UNION ALL
+          SELECT DISTINCT 5000000000000 + l_partkey,
+                 4000000000000 + l_suppkey FROM lineitem
+        ), roots AS (
+          SELECT CAST(3000000000000 + k AS BIGINT) AS root
+          FROM (VALUES (1), (2), (3)) t(k)
+        ), p1 AS (SELECT r.root, e.v AS node, 1 AS h
+                  FROM roots r JOIN e ON e.u = r.root),
+        p2 AS (SELECT p1.root, e.v AS node, 2 AS h
+               FROM p1 JOIN e ON e.u = p1.node),
+        p3 AS (SELECT p2.root, e.v AS node, 3 AS h
+               FROM p2 JOIN e ON e.u = p2.node),
+        allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                 UNION ALL SELECT * FROM p3),
+        dist AS (SELECT root, node, min(h) AS d FROM allp
+                 WHERE node <> root GROUP BY root, node),
+        stats AS (SELECT root, count(*) AS reached,
+                         sum(d) AS sumd, sum(1.0 / d) AS harm
+                  FROM dist GROUP BY root)
+        SELECT r.root AS id,
+               CAST(coalesce(s.reached, 0) AS BIGINT) AS reached,
+               coalesce(round(s.reached * 1.0 / s.sumd * 1e6) / 1e6,
+                        0.0) AS closeness,
+               coalesce(round(s.harm * 1e6) / 1e6, 0.0) AS harmonic
+        FROM roots r LEFT JOIN stats s ON s.root = r.root
+        ORDER BY id
+        """),
+
     # additive algo.SSSP (sssp.py): bounded-hop weighted Bellman-Ford
     # from Customer 1 over ALL relations, weight = l_quantity where
     # present else 1.0, ≤3 hops. The oracle enumerates every ≤3-hop
@@ -3404,7 +3459,7 @@ _FORCE_FRONT = [
     # algo.kCore, algo.SSSP
     "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
     "q_hits", "q_ppr", "p_embedding_outliers", "p_zipf", "p_pmi",
-    "p_containment",
+    "p_containment", "q_closeness",
 ]
 
 

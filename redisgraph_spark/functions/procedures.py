@@ -30,6 +30,7 @@ PROCS = {
     "algo.kcore": ("node",),
     "algo.sssp": ("node", "distance", "hops"),
     "algo.hits": ("node", "hub", "authority"),
+    "algo.closeness": ("node", "reached", "closeness", "harmonic"),
     "db.idx.fulltext.querynodes": ("node", "score"),
     "db.idx.fulltext.createnodeindex": ("ok",),
     "db.idx.fulltext.drop": ("ok",),
@@ -186,6 +187,54 @@ def run_procedure(planner, clause: A.CallClause
             .join(nodes, F.col("__kc_id") == nodes["_id"]) \
             .select(node_struct.alias("node"))
         return out, ["node"]
+    if name == "algo.closeness":
+        # additive: k-bounded closeness/harmonic centrality for an
+        # explicit source set (all-nodes closeness is O(V·E) — never
+        # the right cluster job; a bounded candidate set is). args:
+        # required source-id list, optional relation-type string,
+        # optional int max hop count.
+        from redisgraph_spark.algorithms.centrality import (MAX_HOPS,
+                                                            closeness)
+        srcs = None
+        rel = None
+        hops = MAX_HOPS
+        for a in clause.args:
+            if isinstance(a, A.Literal):
+                val = a.value
+            elif isinstance(a, A.Parameter):
+                val = planner.params[a.name]
+            elif isinstance(a, A.ListLiteral):
+                val = [x.value if isinstance(x, A.Literal) else x
+                       for x in a.items]
+            else:
+                val = a
+            if isinstance(val, list):
+                srcs = val
+            elif isinstance(val, str):
+                rel = val
+            elif isinstance(val, int) and not isinstance(val, bool):
+                hops = val
+            elif val is not None:
+                raise ValueError(
+                    "algo.closeness: args are a source-id list, an "
+                    "optional relation-type string and an optional "
+                    "int max hop count")
+        if (not srcs or not isinstance(srcs, list)
+                or not all(isinstance(s, int) for s in srcs)):
+            raise ValueError(
+                "algo.closeness requires a non-empty source-node id "
+                "list")
+        if hops < 1:
+            raise ValueError("algo.closeness max hops must be >= 1")
+        cl = closeness(g.edges([rel] if rel else None)
+                       .select("_src", "_dst"), srcs, max_hops=hops)
+        nodes = g.nodes()
+        node_struct = F.struct(*[F.col(c) for c in nodes.columns])
+        out = cl.withColumnRenamed("node", "__cl_id") \
+            .join(nodes, F.col("__cl_id") == nodes["_id"]) \
+            .select(node_struct.alias("node"), "reached", "closeness",
+                    "harmonic")
+        return out, ["node", "reached", "closeness", "harmonic"]
     if name == "algo.hits":
         # additive: Kleinberg hubs & authorities, fixed synchronous
         # power-iteration rounds with grid-rounded normalization (the

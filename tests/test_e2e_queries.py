@@ -590,3 +590,31 @@ def test_personalized_pagerank(spark):
     with pytest.raises(Exception):
         g.query("CALL algo.pageRank(null, null, []) YIELD node, score "
                 "RETURN score").collect()
+
+
+def test_algo_closeness(spark):
+    """Chain 1→2→3→4 plus isolated 9: from source 1, reached=3 with
+    distances 1,2,3 → closeness 3/6, harmonic 1+1/2+1/3; a 1-hop bound
+    sees only node 2; an unreachable source reports zeros."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 9)], ["_id"])}
+    edges = {"R": spark.createDataFrame(
+        [(100, 1, 2), (101, 2, 3), (102, 3, 4)],
+        ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges)
+    got = {r["nid"]: r for r in g.query(
+        "CALL algo.closeness([1, 9], null, 8) "
+        "YIELD node, reached, closeness, harmonic "
+        "RETURN node._id AS nid, reached, closeness, harmonic").collect()}
+    assert got[1]["reached"] == 3
+    assert got[1]["closeness"] == round(3 / 6 * 1e6) / 1e6
+    assert got[1]["harmonic"] == round((1 + 0.5 + 1 / 3) * 1e6) / 1e6
+    assert got[9]["reached"] == 0 and got[9]["closeness"] == 0.0
+    bounded = {r["nid"]: r["reached"] for r in g.query(
+        "CALL algo.closeness([1], null, 1) YIELD node, reached "
+        "RETURN node._id AS nid, reached").collect()}
+    assert bounded[1] == 1
+    with pytest.raises(Exception):
+        g.query("CALL algo.closeness([], null, 2) YIELD node "
+                "RETURN node").collect()
