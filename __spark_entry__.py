@@ -849,6 +849,37 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY id
         """),
 
+    # additive algo.nodeSimilarity (centrality.py::node_similarity):
+    # neighbor-set Jaccard — parts similar because the same orders
+    # contain them ('in' neighbors on CONTAINS). Candidates come only
+    # from the shared-neighbor self-join (never all-pairs); top-100 by
+    # (jaccard desc, id, id) is a total order, so the cut is
+    # deterministic on both engines.
+    "q_node_sim": (
+        "CALL algo.nodeSimilarity('CONTAINS', 'in', 0.02, 100) "
+        "YIELD node1, node2, intersection, jaccard "
+        "RETURN node1._id AS id_a, node2._id AS id_b, intersection, "
+        "jaccard ORDER BY jaccard DESC, id_a, id_b",
+        """
+        WITH adj AS (
+          SELECT DISTINCT 5000000000000 + l_partkey AS n,
+                          6000000000000 + l_orderkey AS nb
+          FROM lineitem
+        ), sizes AS (SELECT n, count(*) AS sz FROM adj GROUP BY n),
+        inter AS (
+          SELECT a.n AS na, b.n AS nb2, count(*) AS i
+          FROM adj a JOIN adj b ON a.nb = b.nb AND a.n < b.n
+          GROUP BY a.n, b.n
+        )
+        SELECT na AS id_a, nb2 AS id_b, CAST(i AS BIGINT) AS intersection,
+               round(i * 1.0 / (sa.sz + sb.sz - i) * 1e6) / 1e6
+                 AS jaccard
+        FROM inter JOIN sizes sa ON sa.n = na
+        JOIN sizes sb ON sb.n = nb2
+        WHERE round(i * 1.0 / (sa.sz + sb.sz - i) * 1e6) / 1e6 >= 0.02
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 100
+        """),
+
     # additive algo.closeness (centrality.py): k-bounded closeness /
     # harmonic centrality for an explicit source set via one
     # multi-source BFS. Oracle enumerates every ≤3-hop path from the 3
@@ -3459,7 +3490,7 @@ _FORCE_FRONT = [
     # algo.kCore, algo.SSSP
     "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
     "q_hits", "q_ppr", "p_embedding_outliers", "p_zipf", "p_pmi",
-    "p_containment", "q_closeness",
+    "p_containment", "q_closeness", "q_node_sim",
 ]
 
 

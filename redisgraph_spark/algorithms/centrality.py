@@ -67,3 +67,59 @@ def closeness(edges: DataFrame, source_ids: list[int],
                    / grid, F.lit(0.0)).alias("closeness"),
         F.coalesce(F.round(F.col("__harm") * grid) / grid, F.lit(0.0))
         .alias("harmonic"))
+
+
+def node_similarity(edges: DataFrame, direction: str = "out",
+                    threshold: float = 0.3, top_k: int = 100,
+                    max_neighbor_degree: int | None = 10_000,
+                    grid: float = 1e6) -> DataFrame:
+    """Neighbor-set Jaccard node similarity (the GDS nodeSimilarity
+    staple): sim(a, b) = |N(a)∩N(b)| / |N(a)∪N(b)| over ``direction``
+    neighbors ('out' = _dst sets keyed by _src, 'in' = the transpose).
+    The co-occurrence recommender primitive — e.g. parts similar
+    because the same orders contain them.
+
+    Scale shape: candidate pairs come from a self-join on the SHARED
+    NEIGHBOR key (only pairs with intersection > 0 ever materialize —
+    never all-pairs), intersections from one (a, b) count, set sizes
+    from a degree table. ``max_neighbor_degree`` drops hub neighbors
+    whose pair fan-out is quadratic (the max_fp_freq stop-shingle
+    lever): a neighbor shared by d nodes contributes d² pairs, so one
+    celebrity hub would dominate the shuffle. Set sizes are computed
+    BEFORE the drop, so capped similarities are biased DOWN, never up
+    (a capped pair can miss the threshold, not fake it). Callers pass
+    None for exact semantics — the contract entry does.
+
+    Returns unordered pairs (node_a < node_b): (node_a, node_b,
+    intersection, jaccard), top_k by (jaccard desc, node_a, node_b).
+    """
+    if direction not in ("out", "in"):
+        raise ValueError("node_similarity: direction must be 'out' or 'in'")
+    key, nbr = (("_src", "_dst") if direction == "out"
+                else ("_dst", "_src"))
+    adj = edges.select(F.col(key).alias("__n"),
+                       F.col(nbr).alias("__nb")).distinct()
+    sizes = adj.groupBy("__n").agg(F.count(F.lit(1)).alias("__sz"))
+    if max_neighbor_degree is not None:
+        hot = adj.groupBy("__nb").agg(F.count(F.lit(1)).alias("__d")) \
+            .filter(F.col("__d") > max_neighbor_degree).select("__nb")
+        adj = adj.join(hot, "__nb", "left_anti")
+    a = adj.select(F.col("__n").alias("node_a"), "__nb")
+    b = adj.select(F.col("__n").alias("node_b"), "__nb")
+    inter = a.join(b, "__nb") \
+        .filter(F.col("node_a") < F.col("node_b")) \
+        .groupBy("node_a", "node_b").agg(
+            F.count(F.lit(1)).alias("intersection"))
+    jac = (F.round(F.col("intersection")
+                   / (F.col("__sa") + F.col("__sb")
+                      - F.col("intersection")) * grid) / grid)
+    return inter \
+        .join(sizes.select(F.col("__n").alias("node_a"),
+                           F.col("__sz").alias("__sa")), "node_a") \
+        .join(sizes.select(F.col("__n").alias("node_b"),
+                           F.col("__sz").alias("__sb")), "node_b") \
+        .select("node_a", "node_b", "intersection",
+                jac.alias("jaccard")) \
+        .filter(F.col("jaccard") >= threshold) \
+        .orderBy(F.col("jaccard").desc(), "node_a", "node_b") \
+        .limit(top_k)

@@ -31,6 +31,7 @@ PROCS = {
     "algo.sssp": ("node", "distance", "hops"),
     "algo.hits": ("node", "hub", "authority"),
     "algo.closeness": ("node", "reached", "closeness", "harmonic"),
+    "algo.nodesimilarity": ("node1", "node2", "intersection", "jaccard"),
     "db.idx.fulltext.querynodes": ("node", "score"),
     "db.idx.fulltext.createnodeindex": ("ok",),
     "db.idx.fulltext.drop": ("ok",),
@@ -187,6 +188,58 @@ def run_procedure(planner, clause: A.CallClause
             .join(nodes, F.col("__kc_id") == nodes["_id"]) \
             .select(node_struct.alias("node"))
         return out, ["node"]
+    if name == "algo.nodesimilarity":
+        # additive: neighbor-set Jaccard similarity (GDS nodeSimilarity
+        # analog). args: optional relation-type string, optional
+        # direction 'out'/'in', optional float threshold, optional int
+        # top-k. Exact semantics (no hub cap) through this surface.
+        from redisgraph_spark.algorithms.centrality import node_similarity
+        rel = None
+        direction = "out"
+        thr = 0.3
+        topk = 100
+        for a in clause.args:
+            if isinstance(a, A.Literal):
+                val = a.value
+            elif isinstance(a, A.Parameter):
+                val = planner.params[a.name]
+            else:
+                raise ValueError(
+                    "algo.nodeSimilarity args must be literals")
+            if isinstance(val, str):
+                if val in ("out", "in"):
+                    direction = val
+                else:
+                    rel = val
+            elif isinstance(val, bool):
+                raise ValueError(
+                    "algo.nodeSimilarity: unexpected boolean arg")
+            elif isinstance(val, int):
+                topk = val
+            elif isinstance(val, float):
+                thr = val
+            elif val is not None:
+                raise ValueError(
+                    "algo.nodeSimilarity: args are an optional relation "
+                    "type, direction 'out'/'in', float threshold and "
+                    "int top-k")
+        sim = node_similarity(
+            g.edges([rel] if rel else None).select("_src", "_dst"),
+            direction=direction, threshold=thr, top_k=topk,
+            max_neighbor_degree=None)
+        nodes = g.nodes()
+        packed = nodes.select(
+            F.col("_id").alias("__nid"),
+            F.struct(*[F.col(c) for c in nodes.columns]).alias("__ns"))
+        p1 = packed.withColumnRenamed("__ns", "node1") \
+            .withColumnRenamed("__nid", "__nid1")
+        p2 = packed.withColumnRenamed("__ns", "node2") \
+            .withColumnRenamed("__nid", "__nid2")
+        out = sim \
+            .join(p1, sim["node_a"] == p1["__nid1"]) \
+            .join(p2, sim["node_b"] == p2["__nid2"]) \
+            .select("node1", "node2", "intersection", "jaccard")
+        return out, ["node1", "node2", "intersection", "jaccard"]
     if name == "algo.closeness":
         # additive: k-bounded closeness/harmonic centrality for an
         # explicit source set (all-nodes closeness is O(V·E) — never

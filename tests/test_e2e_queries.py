@@ -618,3 +618,36 @@ def test_algo_closeness(spark):
     with pytest.raises(Exception):
         g.query("CALL algo.closeness([], null, 2) YIELD node "
                 "RETURN node").collect()
+
+
+def test_algo_node_similarity(spark):
+    """Out-neighbor Jaccard on a hand graph: sources 1 and 2 share 2
+    of 3 total neighbors (j = 2/3... exactly 0.5 here), while 1 and 3
+    share nothing; direction 'in' transposes; a duplicate edge must
+    not inflate the intersection."""
+    from redisgraph_spark import Graph
+    nodes = {"N": spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12)], ["_id"])}
+    edges = {"R": spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 11), (102, 2, 10), (103, 2, 11),
+         (104, 2, 12), (105, 3, 12), (106, 1, 10)],
+        ["_id", "_src", "_dst"])}
+    g = Graph(spark, nodes, edges)
+    got = {(r["a"], r["b"]): (r["intersection"], r["jaccard"])
+           for r in g.query(
+        "CALL algo.nodeSimilarity(null, 'out', 0.1, 10) "
+        "YIELD node1, node2, intersection, jaccard "
+        "RETURN node1._id AS a, node2._id AS b, intersection, jaccard"
+    ).collect()}
+    # N(1) = {10,11} (dup edge collapses), N(2) = {10,11,12}:
+    # intersection 2, union 3 → 2/3
+    assert got[(1, 2)] == (2, round(2 / 3 * 1e6) / 1e6)
+    # N(2) ∩ N(3) = {12} → 1/3
+    assert got[(2, 3)] == (1, round(1 / 3 * 1e6) / 1e6)
+    assert (1, 3) not in got
+    # 'in' direction: 10 and 11 share in-neighbors {1,2} exactly → 1.0
+    got_in = {(r["a"], r["b"]): r["jaccard"] for r in g.query(
+        "CALL algo.nodeSimilarity(null, 'in', 0.5, 10) "
+        "YIELD node1, node2, jaccard "
+        "RETURN node1._id AS a, node2._id AS b, jaccard").collect()}
+    assert got_in[(10, 11)] == 1.0
