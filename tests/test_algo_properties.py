@@ -1,0 +1,157 @@
+"""Property tests for the round-7 graph algorithms: each checks the
+DataFrame implementation against a brute-force pure-Python reference
+on seeded random graphs — the differential style of
+test_expr_differential / test_mutation_differential applied to the
+algorithm layer."""
+
+import random
+
+import pytest
+
+
+def _random_edges(seed: int, n: int = 18, m: int = 40):
+    rng = random.Random(seed)
+    return list({(rng.randrange(1, n + 1), rng.randrange(1, n + 1))
+                 for _ in range(m)})
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_kcore_invariant_and_maximality(spark, seed):
+    """The returned 3-core (a) has min undirected degree ≥ 3 inside
+    the core and (b) equals the classic sequential-peel result."""
+    from redisgraph_spark.algorithms.components import k_core
+    pairs = [(a, b) for a, b in _random_edges(seed) if a != b]
+    edges = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        ["_id", "_src", "_dst"])
+    got = sorted(r["node"] for r in
+                 k_core(edges.select("_src", "_dst"), 3).collect())
+
+    # sequential peel reference
+    from collections import defaultdict
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    alive = set(nbrs)
+    while True:
+        drop = {v for v in alive
+                if len(nbrs[v] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    assert got == sorted(alive)
+    for v in alive:
+        assert len(nbrs[v] & alive) >= 3
+
+
+@pytest.mark.parametrize("seed", [2, 11, 31])
+def test_sssp_matches_bellman_ford_reference(spark, seed):
+    """Distances and hop counts equal a pure-Python Bellman-Ford over
+    paths of ≤ max_hops edges (weights drawn from small ints so float
+    sums are exact)."""
+    from redisgraph_spark.algorithms.sssp import sssp
+    rng = random.Random(seed)
+    pairs = [(a, b) for a, b in _random_edges(seed, n=12, m=30)
+             if a != b]
+    w = {p: float(rng.randrange(1, 6)) for p in pairs}
+    edges = spark.createDataFrame(
+        [(i, a, b, w[(a, b)]) for i, (a, b) in enumerate(pairs)],
+        ["_id", "_src", "_dst", "wt"])
+    hops = 4
+    got = {r["node"]: (r["distance"], r["hops"])
+           for r in sssp(edges, 1, "wt", max_hops=hops).collect()}
+
+    best = {1: (0.0, 0)}
+    frontier = {1: (0.0, 0)}
+    for _ in range(hops):
+        nxt = {}
+        for u, (d, h) in frontier.items():
+            for (a, b), wt in w.items():
+                if a != u:
+                    continue
+                cand = (d + wt, h + 1)
+                if b not in best or cand < best[b]:
+                    if b not in nxt or cand < nxt[b]:
+                        nxt[b] = cand
+        improved = {b: c for b, c in nxt.items()
+                    if b not in best or c < best[b]}
+        if not improved:
+            break
+        best.update(improved)
+        frontier = improved
+    assert got == best
+
+
+@pytest.mark.parametrize("seed", [3, 13])
+def test_node_similarity_matches_bruteforce(spark, seed):
+    """Jaccard pairs equal the all-pairs brute force (no hub cap)."""
+    from redisgraph_spark.algorithms.centrality import node_similarity
+    pairs = [(a, b) for a, b in _random_edges(seed, n=14, m=45)
+             if a != b]
+    edges = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        ["_id", "_src", "_dst"])
+    got = {(r["node_a"], r["node_b"]): (r["intersection"], r["jaccard"])
+           for r in node_similarity(
+               edges.select("_src", "_dst"), "out", threshold=0.01,
+               top_k=10_000, max_neighbor_degree=None).collect()}
+
+    from collections import defaultdict
+    out = defaultdict(set)
+    for a, b in pairs:
+        out[a].add(b)
+    exp = {}
+    ks = sorted(out)
+    for i, x in enumerate(ks):
+        for y in ks[i + 1:]:
+            inter = len(out[x] & out[y])
+            if not inter:
+                continue
+            j = round(inter / len(out[x] | out[y]) * 1e6) / 1e6
+            if j >= 0.01:
+                exp[(x, y)] = (inter, j)
+    assert got == exp
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_closeness_matches_bfs_reference(spark, seed):
+    """reached / closeness / harmonic equal a pure-Python BFS from
+    every source."""
+    from redisgraph_spark.algorithms.centrality import closeness
+    pairs = [(a, b) for a, b in _random_edges(seed, n=15, m=35)
+             if a != b]
+    edges = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        ["_id", "_src", "_dst"])
+    sources = [1, 2, 3]
+    hops = 4
+    got = {r["node"]: (r["reached"], r["closeness"], r["harmonic"])
+           for r in closeness(edges.select("_src", "_dst"), sources,
+                              max_hops=hops).collect()}
+
+    from collections import defaultdict, deque
+    out = defaultdict(set)
+    for a, b in pairs:
+        out[a].add(b)
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= hops:
+                continue
+            for v in out[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        ds = [d for n, d in dist.items() if n != s]
+        if ds:
+            exp = (len(ds),
+                   round(len(ds) / sum(ds) * 1e6) / 1e6,
+                   round(sum(1.0 / d for d in ds) * 1e6) / 1e6)
+        else:
+            exp = (0, 0.0, 0.0)
+        assert got[s][0] == exp[0]
+        assert got[s][1] == exp[1]
+        assert abs(got[s][2] - exp[2]) < 2e-6  # float-sum order
