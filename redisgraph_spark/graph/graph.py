@@ -222,6 +222,27 @@ class Graph:
         # `_labels` array (reference multi-label nodes,
         # src/graph/entities/node.h)
         self._multilabel = False
+        # statistics-gated execution tuning: size the session's shuffle
+        # plan to this graph's footer-known input bytes (AQE off +
+        # data-proportional partitions under 256MB, cluster defaults
+        # above — see session.tune_for_input; per-session ratchet, so
+        # one big graph keeps cluster-scale settings for good)
+        from redisgraph_spark.session import (plan_input_bytes,
+                                              tune_for_input)
+        total = 0
+        for df in list(self.node_tables.values()) + \
+                list(self.edge_tables.values()):
+            total += plan_input_bytes(df)
+            if total >= (1 << 62):
+                break
+        tune_for_input(spark, total)
+        # with adaptive off (small input) the planner supplies the
+        # broadcast hints AQE would have discovered at runtime: any
+        # subplan whose output is bounded by the graph itself (semi-join
+        # key sets, optional-match branches, degree aggregates) is safe
+        # to broadcast when ALL graph input is under the gate threshold
+        from redisgraph_spark.session import _ADAPTIVE_MIN_BYTES
+        self._small_input = total < _ADAPTIVE_MIN_BYTES
 
     # ---------------------------------------------------------------- indexes
     @property

@@ -674,7 +674,12 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
     # already modified, op_update.c:66-100). Value expressions were
     # compiled against the PRE-update record, matching the reference's
     # buffer-then-commit evaluation order.
+    tail = getattr(planner, "_tail_refs", None)
     for var, key, val in pending_refresh:
+        if tail is not None and var not in tail:
+            # nothing after this clause reads the variable — the
+            # struct rebuild would be dead plan weight
+            continue
         dt = ctx.df.schema[var].dataType
         names = [f.name for f in dt.fields]
         cols = [(val if fn == key else F.col(var).getField(fn)).alias(fn)

@@ -125,11 +125,31 @@ class CypherPlanner:
         # plan_single: everything counts as referenced, no light paths
         self._referenced: set[str] | None = None
         self._light_paths: set[str] = set()
+        # node vars that only need an id-shaped struct in the current
+        # sub-pattern compile (OPTIONAL MATCH shared endpoints: the
+        # branch joins back to the outer row on _id, so binding the
+        # full node struct — a join against the all-labels union — is
+        # wasted work; see _optional_match)
+        self._id_only_vars: set[str] = set()
         self._variants_flag: bool | None = None
 
     # ---------------------------------------------------------------- helpers
     def sym(self, prefix: str) -> str:
         return f"__{prefix}{next(self._gensym)}"
+
+    def _hint_small(self, df: DataFrame) -> DataFrame:
+        """Cost-based broadcast hint: when the whole graph's
+        footer-known input is under the adaptive gate threshold
+        (session.tune_for_input runs the session AQE-off there), any
+        subplan whose OUTPUT is bounded by the graph itself fits an
+        executor, so hint the broadcast the runtime re-planner would
+        have discovered. At scale the gate never fires and join
+        strategy stays with Catalyst/AQE. Callers must only pass
+        bounded subplans (key sets, per-node aggregates, single-hop
+        branches) — never var-len expansions."""
+        if getattr(self.graph, "_small_input", False):
+            return F.broadcast(df)
+        return df
 
     def compiler(self, ctx: Ctx) -> ExprCompiler:
         df = ctx.df if ctx.df is not None else self._unit_df()
@@ -311,7 +331,14 @@ class CypherPlanner:
         self._light_paths = self._light_path_vars(q)
         self._referenced = self._referenced_vars(q)
         result: DataFrame | None = None
-        for clause in _merge_creates(q.clauses):
+        merged = _merge_creates(q.clauses)
+        for ci, clause in enumerate(merged):
+            # variables referenced by LATER clauses: a SET's
+            # read-your-writes struct rebuild is only needed for these
+            # (a trailing SET with no RETURN skips it entirely)
+            self._tail_refs = {
+                n.name for cl in merged[ci + 1:] for n in _walk(cl)
+                if isinstance(n, A.Variable)}
             if isinstance(clause, A.MatchClause):
                 self._clause_match(ctx, clause)
             elif isinstance(clause, A.UnwindClause):
@@ -547,7 +574,8 @@ class CypherPlanner:
             c = F.col(f"{v}._id") == F.col(k)
             cond = c if cond is None else (cond & c)
         how = "left_anti" if anti else "left_semi"
-        ctx.df = ctx.df.join(key_df, cond, how)
+        # deduped id keys: bounded by the node set → small-mode hint
+        ctx.df = ctx.df.join(self._hint_small(key_df), cond, how)
 
     def _rewrite_graph_funcs(self, ctx: Ctx, e: A.Expr) -> A.Expr:
         """Replace indegree(n)/outdegree(n) with degree columns joined
@@ -575,8 +603,9 @@ class CypherPlanner:
             kc = self.sym("degk")
             deg = edge_df.groupBy(F.col(key).alias(kc)) \
                 .agg(F.count(F.lit(1)).alias(hidden))
-            ctx.df = ctx.df.join(
-                deg, F.col(f"{var}._id") == F.col(kc), "left").drop(kc)
+            ctx.df = ctx.df.join(           # per-node counts: bounded
+                self._hint_small(deg),
+                F.col(f"{var}._id") == F.col(kc), "left").drop(kc)
             ctx.vars[hidden] = VarInfo("scalar")
             mapping[id(call)] = A.FuncCall(
                 "coalesce", [A.Variable(hidden), A.Literal(0)])
@@ -732,12 +761,32 @@ class CypherPlanner:
                 # label the rel hints say nothing about
                 and (rel.min_hops is None or rel.min_hops >= 1
                      or not node.labels))
+            # id-only endpoint (OPTIONAL MATCH shared var): compile the
+            # hop as skippable — no node-table join — then rebind the
+            # dangling endpoint column as an id-shaped node struct; the
+            # caller's join back to the outer row supplies existence
+            # (edge endpoints are node ids by construction) and the
+            # rel-endpoint hints proved any label filter redundant
+            id_only = (node.var is not None
+                       and node.var in self._id_only_vars
+                       and not node.props and not need_ids
+                       and node.var not in ctx.vars
+                       and rel.min_hops is None
+                       and self._endpoint_guaranteed(
+                           rel, node.labels, target=True))
             if rel.min_hops is not None:
                 prev = self._var_len_hop(ctx, prev, rel, node, edge_uniq,
                                          skippable)
             else:
                 prev = self._single_hop(ctx, prev, rel, node, edge_uniq,
-                                        skippable)
+                                        skippable or id_only)
+                if id_only and prev[0] == "col":
+                    ctx.df = ctx.df.withColumn(
+                        node.var,
+                        F.struct(F.col(prev[1]).alias("_id"))) \
+                        .drop(prev[1])
+                    ctx.vars[node.var] = VarInfo("node")
+                    prev = ("var", node.var)
             if need_ids:
                 path_node_vars.append(prev[1])
             i += 2
@@ -1193,8 +1242,30 @@ class CypherPlanner:
             ctx.df = self._unit_df()
         sub = Ctx()
         edge_uniq: list[str] = []
+        # shared node endpoints appearing EXACTLY ONCE in the branch,
+        # with no props and no reference from the branch WHERE, only
+        # need their _id for the join back to the outer row — compile
+        # them id-only (skips the node-existence join against the
+        # all-labels union, the dominant cost of small optional hops)
+        from collections import Counter
+        occur: Counter = Counter()
         for path in clause.paths:
-            self._compile_path(sub, path, edge_uniq)
+            for el in path.elements:
+                if isinstance(el, A.NodePattern) and el.var:
+                    occur[el.var] += 1
+        id_only = {v for v, c in occur.items()
+                   if c == 1 and v in ctx.vars
+                   and ctx.vars[v].kind == "node"}
+        if clause.where is not None:
+            id_only -= {n.name for n in _walk(clause.where)
+                        if isinstance(n, A.Variable)}
+        saved_id_only = self._id_only_vars
+        self._id_only_vars = id_only
+        try:
+            for path in clause.paths:
+                self._compile_path(sub, path, edge_uniq)
+        finally:
+            self._id_only_vars = saved_id_only
         mixed: list[A.Expr] = []
         if clause.where is not None:
             # the WHERE of an OPTIONAL MATCH is part of the match: a
@@ -1240,6 +1311,15 @@ class CypherPlanner:
             mcomp = self.compiler(mctx)
             for cj in mixed:
                 cond = cond & mcomp.compile(cj).cast("boolean")
+        # bounded branch (no var-len expansion) → small-mode broadcast
+        # hint; with AQE gated off nothing else upgrades this left join
+        # from sort-merge (the branch's static size estimate is
+        # join-output-sized, far past any broadcast threshold)
+        varlen = any(isinstance(el, A.RelPattern)
+                     and el.min_hops is not None
+                     for path in clause.paths for el in path.elements)
+        if not varlen:
+            sub_df = self._hint_small(sub_df)
         ctx.df = ctx.df.join(sub_df, cond, "left").drop(*renames.values())
         if "__unit" in ctx.df.columns:
             ctx.df = ctx.df.drop("__unit")

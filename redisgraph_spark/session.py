@@ -26,6 +26,13 @@ def inline_df(spark: SparkSession, rows: list[tuple],
     ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
     if not rows:
         return spark.createDataFrame([], ddl)
+    sql = _values_sql(rows, schema)
+    if sql is not None:
+        # one py4j round-trip and a LocalRelation (zero tasks on
+        # collect) — the Column-builder below costs ~3 JVM calls per
+        # CELL, which adds up in mutation scripts that inline several
+        # small key sets per query
+        return spark.sql(sql)
     structs = [
         F.struct(*[F.lit(v).cast(t).alias(n)
                    for v, (n, t) in zip(row, schema)])
@@ -33,6 +40,46 @@ def inline_df(spark: SparkSession, rows: list[tuple],
     return (spark.range(0, 1, 1, 1)
             .select(F.explode(F.array(*structs)).alias("__r"))
             .select("__r.*"))
+
+
+def _values_sql(rows: list[tuple],
+                schema: list[tuple[str, str]]) -> str | None:
+    """Render ``SELECT ... FROM VALUES`` for plain-scalar rows; None
+    when a value needs more than literal rendering (caller falls back
+    to the Column builder)."""
+    def render(v) -> str | None:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v in (float("inf"), float("-inf")):
+                return f"CAST('{v}' AS DOUBLE)"
+            return repr(v)
+        if isinstance(v, str):
+            if "\x00" in v:
+                return None          # NUL breaks the SQL literal
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return None
+    simple = {"boolean", "int", "integer", "bigint", "long", "double",
+              "float", "string"}
+    if not all(t.lower() in simple for _, t in schema):
+        return None
+    out = []
+    for row in rows:
+        cells = []
+        for v, (n, t) in zip(row, schema):
+            r = render(v)
+            if r is None:
+                return None
+            cells.append(f"CAST({r} AS {t})")
+        out.append("(" + ", ".join(cells) + ")")
+    cols = ", ".join(f"`{n}`" for n, _ in schema)
+    return f"SELECT * FROM VALUES {', '.join(out)} AS __v({cols})"
 
 
 def _lit_sql_type(v) -> str | None:
@@ -95,6 +142,75 @@ def inline_rows_df(spark: SparkSession, rows: list[dict]):
     return inline_df(spark, data, schema)
 
 
+# ---------------------------------------------------------- adaptive gate
+# Per-application tuning state: baseline shuffle partitions captured the
+# first time the gate runs, and the largest input seen so far (ratchet —
+# one big graph in the session keeps cluster-scale settings for good).
+_TUNE_STATE: dict[str, dict] = {}
+
+# Below this footer-known total input size, adaptive execution is pure
+# overhead: every ShuffleQueryStage / BroadcastQueryStage materializes
+# as its own scheduled job, and on a sub-256MB working set the job
+# floor dominates the data work AQE would re-plan (measured on the
+# sf0.1 headline set: 16 entries, AQE on/32 partitions 6.25 s vs
+# AQE off/8 partitions 4.8-5.2 s — every shuffle already fits in a
+# handful of partitions, so there is nothing for runtime re-planning
+# to fix). At the 100 TB design point the gate NEVER fires — footer
+# bytes exceed any threshold — and AQE + skew-join + coalescing stay
+# on exactly as before.
+_ADAPTIVE_MIN_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_ADAPTIVE_MIN_BYTES", str(256 * 1024 * 1024)))
+
+
+def tune_for_input(spark: SparkSession, total_bytes: int) -> None:
+    """Statistics-gated execution tuning (the engine's cost-model knob).
+
+    The reference sizes its traversal batching from graph statistics
+    (graph_statistics.h); the Spark analog is sizing the SHUFFLE plan
+    from footer-known input bytes:
+
+    - small input (< ``SPARK_GRAFT_ADAPTIVE_MIN_BYTES``, default 256MB
+      compressed): adaptive execution off + shuffle partitions sized to
+      the data (~1 partition per 2MB compressed input, floor 8 so
+      frontier joins keep enough parallelism) — one scheduled job per
+      query instead of one per query stage.
+    - large input: adaptive on, baseline partitions — the cluster-scale
+      path (runtime coalescing, skew-join splitting) is untouched.
+
+    Ratchet: once any input in the session crosses the threshold the
+    cluster-scale settings stick — a later small graph must not degrade
+    a session that also serves a big one.
+    """
+    app = spark.sparkContext.applicationId
+    st = _TUNE_STATE.setdefault(app, {
+        "baseline_sp": int(spark.conf.get("spark.sql.shuffle.partitions")),
+        "max_bytes": -1})
+    if total_bytes <= st["max_bytes"]:
+        return                      # a smaller graph never re-tunes down
+    st["max_bytes"] = total_bytes
+    if total_bytes >= _ADAPTIVE_MIN_BYTES:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(st["baseline_sp"]))
+    else:
+        sp = min(st["baseline_sp"],
+                 max(8, int(total_bytes // (2 * 1024 * 1024)) + 1))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+
+
+def plan_input_bytes(df) -> int:
+    """Footer-known size of a DataFrame's input (no jobs scheduled):
+    the optimized plan's statistics, which for parquet scans come from
+    file footers and for literal relations from the rows themselves."""
+    try:
+        n = df._jdf.queryExecution().optimizedPlan().stats() \
+            .sizeInBytes()
+        return int(min(n, 1 << 62))
+    except Exception:
+        return 1 << 62              # unknown → assume big (keep AQE)
+
+
 def get_spark(app_name: str = "redisgraph-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
@@ -130,6 +246,14 @@ def get_spark(app_name: str = "redisgraph-spark",
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
                 str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # limit().collect() probes (mutation key sets, merge match
+        # probes) otherwise run Spark's incremental take — 1 partition,
+        # then 4x more, then 16x: three scheduled jobs to read a 5-row
+        # match. Scanning 64 partitions in the first take job turns
+        # them into ONE job; a LIMIT k over a 100TB table probes 64
+        # partitions up front, which the scaleUpFactor loop would have
+        # reached by its third round anyway.
+        .config("spark.sql.limit.initialNumPartitions", "64")
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long
         # and convert (Spark has no native nanos timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
