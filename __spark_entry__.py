@@ -3503,6 +3503,12 @@ _FORCE_FRONT = [
     "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
     "q_hits", "q_ppr", "p_embedding_outliers", "p_zipf", "p_pmi",
     "p_containment", "q_closeness", "q_node_sim",
+    # late-r7 performance batch: fixed-point revenue formulation
+    # (entry+oracle changed), id-only optional endpoints + small-mode
+    # broadcast hints, count(entity)→count(_id) pruning rewrite
+    "q_two_hop_revenue", "q_two_hop_bucketed", "q_optional_match",
+    "q_null_handling", "q_degree", "q_semi_apply", "q_anti_semi_apply",
+    "q_apply_multiplexer",
 ]
 
 

@@ -1921,6 +1921,18 @@ class CypherPlanner:
                         "percentilecont", "percentiledisc"):
                 args[0] = V.num_view(args[0])
         if name == "count":
+            # count(entity) observes only null-ness, and an entity
+            # struct is null exactly when its _id is (ids are never
+            # null) — counting the _id instead lets Catalyst's nested
+            # column pruning drop every other struct field from the
+            # scan (count over the whole struct forces reading ALL
+            # properties). count(DISTINCT entity) ≡ DISTINCT _id: the
+            # id uniquely identifies the entity within a graph version.
+            a = n.args[0]
+            if isinstance(a, A.Variable) and a.name in comp.vars \
+                    and comp.vars[a.name].kind in ("node", "edge"):
+                idc = F.col(f"{a.name}._id")
+                return F.countDistinct(idc) if n.distinct else F.count(idc)
             return F.countDistinct(args[0]) if n.distinct else F.count(args[0])
         if name == "sum":
             return F.sum_distinct(args[0]) if n.distinct else F.sum(args[0])
