@@ -91,6 +91,10 @@ def main() -> None:
     g = entrymod._graph(spark, sf_dir)
     g.node_count("Region")
     g.warm_traversal()
+    # materialize the RAM-resident projections (persist is lazy; the
+    # reference builds its matrices at graph load, graph.h:72-77)
+    for _df in list(g.node_tables.values()) + list(g.edge_tables.values()):
+        _df.count()
     # entity statistics are load-time running counters in the reference
     # (graph_statistics.h) — seed them here so the first var-len query
     # doesn't pay one count job per edge type for its cost model

@@ -84,8 +84,30 @@ def _defer_pin(g, kind: str, name: str, df: DataFrame) -> DataFrame:
     the next action that reads the table fuse the rewrite into its own
     job.  To bound lineage growth under long mutation scripts, every
     4th chained rewrite of the same table gets a (lazy) checkpoint,
-    which resets the chain."""
+    which resets the chain.
+
+    Tiny-table fast path: a table whose statistics say it holds ≤512
+    rows of plain scalars (Region-sized dims under a mutation script)
+    is collected ONCE into a literal VALUES relation instead — the
+    analog of the reference mutating its in-memory row store in place.
+    Every later bind/analysis against it is then a LocalRelation
+    (no lineage, trivial Catalyst work), which is where a 5-query
+    mutation script actually spends its wall time. The collect is
+    capped: a table that grew past the cap falls back to the lazy
+    plan and stops being tracked as tiny."""
     key = (kind, name)
+    if key in getattr(g, "_tiny_tables", set()) and \
+            all(f.dataType.simpleString() in _INLINE_TYPES
+                and f.dataType.simpleString() not in ("date", "timestamp")
+                for f in df.schema.fields):
+        rows = df.limit(513).collect()
+        if len(rows) <= 512:
+            from redisgraph_spark.session import inline_df
+            schema = [(f.name, f.dataType.simpleString())
+                      for f in df.schema.fields]
+            g._rewrite_depth[key] = 0
+            return inline_df(g.spark, [tuple(r) for r in rows], schema)
+        g._tiny_tables.discard(key)
     depth = g._rewrite_depth.get(key, 0) + 1
     if depth >= 4:
         g._rewrite_depth[key] = 0
