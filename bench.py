@@ -101,7 +101,9 @@ def main() -> None:
     g.warm_statistics()
     # bucketed-layout build (save_bucketed → load_bucketed) is load,
     # not query — the reference likewise builds matrices at graph load
-    entrymod._bucketed_graph(spark, sf_dir)
+    gb = entrymod._bucketed_graph(spark, sf_dir)
+    for _df in list(gb.node_tables.values()) + list(gb.edge_tables.values()):
+        _df.count()
     for t in ("documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     # MinHash signature index: an index artifact over the documents

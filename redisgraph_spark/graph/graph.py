@@ -920,7 +920,14 @@ class Graph:
                 nodes[name] = spark.table(f"{database}.nodes_{key}")
             else:
                 edges[name] = spark.table(f"{database}.edges_{key}")
-        return cls(spark, nodes, edges, rel_endpoints=rel_endpoints)
+        g = cls(spark, nodes, edges, rel_endpoints=rel_endpoints)
+        if g._small_input:
+            # RAM-resident under the small gate (InMemoryTableScan
+            # keeps the bucketed child's partitioning, so exchange-free
+            # joins survive); lazy — materialized by the load phase
+            for df in list(nodes.values()) + list(edges.values()):
+                df.persist()
+        return g
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Graph":

@@ -137,6 +137,20 @@ class CypherPlanner:
     def sym(self, prefix: str) -> str:
         return f"__{prefix}{next(self._gensym)}"
 
+    def _stat_peek(self, kind: str, names: list[str] | None) -> int | None:
+        """Cached entity count at the CURRENT graph version, or None —
+        never schedules a job (plan-time cost model must stay free,
+        like the reference's running counters, graph_statistics.h)."""
+        g = self.graph
+        tabs = g.node_tables if kind == "n" else g.edge_tables
+        total = 0
+        for nm in (names if names is not None else list(tabs)):
+            c = g._count_cache.get((kind, nm, g._version))
+            if c is None:
+                return None
+            total += c
+        return total
+
     def _hint_small(self, df: DataFrame) -> DataFrame:
         """Cost-based broadcast hint: when the whole graph's
         footer-known input is under the adaptive gate threshold
@@ -733,6 +747,8 @@ class CypherPlanner:
                     el.var = self.sym("e")
                     hidden_edges.append(el.var)
         first: A.NodePattern = elements[0]
+        fresh_start = ctx.df is None or (
+            "__unit" in ctx.df.columns and len(ctx.df.columns) == 1)
         # reduceScans analog (optimizations/reduce_scans.c): an endpoint
         # that is unreferenced and unconstrained — or whose label filter
         # the rel-endpoint hints prove redundant — needs no node-table
@@ -746,6 +762,21 @@ class CypherPlanner:
             prev: tuple[str, str | None] = ("free", None)
         else:
             prev = ("var", self._bind_node(ctx, first))
+        # statistics-tracked frontier row bound along this chain, for
+        # small-mode build-side hints (Catalyst cannot size a join
+        # OUTPUT statically, so left-deep hop joins otherwise broadcast
+        # the big new edge table instead of the small accumulated
+        # frontier). Exact after the first hop off a unique scan;
+        # accumulated additively after — an overestimate only makes the
+        # hint rarer. Reset on anything untrackable.
+        chain_bound: int | None = None
+        if fresh_start and not first.props:
+            if prev[0] == "free":
+                chain_bound = 0
+            else:
+                chain_bound = self._stat_peek(
+                    "n", list(first.labels) if first.labels else None)
+        chain_hops = 0
         path_node_vars: list[str] = []
         if need_ids and prev[0] == "var":
             path_node_vars.append(prev[1])
@@ -775,9 +806,32 @@ class CypherPlanner:
                        and self._endpoint_guaranteed(
                            rel, node.labels, target=True))
             if rel.min_hops is not None:
+                chain_bound = None
                 prev = self._var_len_hop(ctx, prev, rel, node, edge_uniq,
                                          skippable)
             else:
+                if chain_bound is not None and chain_hops < 2 \
+                        and getattr(self.graph, "_small_input", False):
+                    E = self._stat_peek(
+                        "e", list(rel.types) if rel.types else None)
+                    def _leaves(dt) -> int:
+                        fields = getattr(dt, "fields", None)
+                        if fields is None:
+                            return 1
+                        return sum(_leaves(f.dataType) for f in fields)
+                    if E is not None and ctx.df is not None \
+                            and chain_bound * 2 <= E \
+                            and chain_bound * 12 * _leaves(ctx.df.schema) \
+                            <= 64 * 1024 * 1024:
+                        # frontier provably smaller than the edge table
+                        # it is about to meet (and its hash relation
+                        # fits the broadcast budget even unpruned):
+                        # make IT the build side
+                        ctx.df = F.broadcast(ctx.df)
+                    chain_bound = None if E is None else chain_bound + E
+                else:
+                    chain_bound = None
+                chain_hops += 1
                 prev = self._single_hop(ctx, prev, rel, node, edge_uniq,
                                         skippable or id_only)
                 if id_only and prev[0] == "col":

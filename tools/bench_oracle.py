@@ -71,7 +71,10 @@ def main() -> None:
         _df.count()
     # same load phase as bench.py: bucketed layout + signature index
     # are build-once artifacts, not per-query work
-    em._bucketed_graph(spark, sf_dir)
+    _gb = em._bucketed_graph(spark, sf_dir)
+    for _df in (list(_gb.node_tables.values())
+                + list(_gb.edge_tables.values())):
+        _df.count()
     em._minhash_sig(spark, sf_dir)
     for t in ("documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
