@@ -945,6 +945,34 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY id
         """),
 
+    # additive algo.betweenness (centrality.py): exact Brandes on the
+    # undirected Nation∪Region / IN_REGION star forest (all sources).
+    # VALUE-BEARING closed form: in a star with k leaves every leaf
+    # pair's unique shortest path runs through the center, so
+    # betweenness(region) = C(k,2) with k its nation count (summed
+    # from both endpoints then halved — exactly what Brandes computes)
+    # and every nation scores 0. The oracle derives C(k,2) from the
+    # nation table, so region-size skew in the data feeds the check.
+    "q_betweenness": (
+        "CALL algo.betweenness(['Nation', 'Region'], 'IN_REGION') "
+        "YIELD node, score "
+        "RETURN labels(node)[0] AS lbl, node.n_nationkey AS nk, "
+        "node.r_regionkey AS rk, score "
+        "ORDER BY lbl, nk, rk",
+        """
+        SELECT 'Nation' AS lbl, n_nationkey AS nk,
+               CAST(NULL AS BIGINT) AS rk,
+               CAST(0.0 AS DOUBLE) AS score FROM nation
+        UNION ALL
+        SELECT 'Region', CAST(NULL AS BIGINT), r_regionkey,
+               CAST(coalesce(t.c * (t.c - 1) / 2.0, 0.0) AS DOUBLE)
+        FROM region LEFT JOIN (
+          SELECT n_regionkey, count(*) AS c
+          FROM nation GROUP BY n_regionkey) t
+          ON t.n_regionkey = r_regionkey
+        ORDER BY lbl, nk, rk
+        """),
+
     # additive algo.SSSP (sssp.py): bounded-hop weighted Bellman-Ford
     # from Customer 1 over ALL relations, weight = l_quantity where
     # present else 1.0, ≤3 hops. The oracle enumerates every ≤3-hop
@@ -3508,7 +3536,7 @@ _FORCE_FRONT = [
     # broadcast hints, count(entity)→count(_id) pruning rewrite
     "q_two_hop_revenue", "q_two_hop_bucketed", "q_optional_match",
     "q_null_handling", "q_degree", "q_semi_apply", "q_anti_semi_apply",
-    "q_apply_multiplexer",
+    "q_apply_multiplexer", "q_betweenness",
 ]
 
 

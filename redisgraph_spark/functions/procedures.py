@@ -31,6 +31,7 @@ PROCS = {
     "algo.sssp": ("node", "distance", "hops"),
     "algo.hits": ("node", "hub", "authority"),
     "algo.closeness": ("node", "reached", "closeness", "harmonic"),
+    "algo.betweenness": ("node", "score"),
     "algo.nodesimilarity": ("node1", "node2", "intersection", "jaccard"),
     "db.idx.fulltext.querynodes": ("node", "score"),
     "db.idx.fulltext.createnodeindex": ("ok",),
@@ -288,6 +289,70 @@ def run_procedure(planner, clause: A.CallClause
             .select(node_struct.alias("node"), "reached", "closeness",
                     "harmonic")
         return out, ["node", "reached", "closeness", "harmonic"]
+    if name == "algo.betweenness":
+        # additive: Brandes betweenness on a label-set-induced subgraph
+        # (exact when no source list is given — right for bounded
+        # subgraphs; k-source estimator otherwise, Brandes & Pich
+        # 2007). args: label | [labels], relType, optional source-id
+        # list, optional int max hops, optional bool directed
+        # (default false: classic undirected betweenness with halved
+        # pair counts).
+        from redisgraph_spark.algorithms.centrality import (MAX_HOPS,
+                                                            betweenness)
+
+        def _bv(e):
+            if isinstance(e, A.Literal):
+                return e.value
+            if isinstance(e, A.ListLiteral):
+                return [_bv(x) for x in e.items]
+            if isinstance(e, A.Parameter):
+                return planner.params[e.name]
+            raise ValueError("algo.betweenness args must be literals")
+
+        vals = [_bv(a) for a in clause.args]
+        label = vals[0] if vals else None
+        rel = vals[1] if len(vals) > 1 else None
+        srcs = None
+        hops = MAX_HOPS
+        directed = False
+        for v in vals[2:]:
+            if isinstance(v, bool):
+                directed = v
+            elif isinstance(v, list):
+                srcs = v
+            elif isinstance(v, int):
+                hops = v
+            elif v is not None:
+                raise ValueError(
+                    "algo.betweenness: optional args are a source-id "
+                    "list, an int max hop count and a directed flag")
+        if srcs is not None and (
+                not srcs or not all(isinstance(s, int)
+                                    and not isinstance(s, bool)
+                                    for s in srcs)):
+            raise ValueError(
+                "algo.betweenness source list must be non-empty ints")
+        if hops < 1:
+            raise ValueError("algo.betweenness max hops must be >= 1")
+        if isinstance(label, list):
+            nodes = g.nodes(label)
+        else:
+            nodes = g.nodes([label] if label else None)
+        edges = g.edges([rel] if rel else None).select("_src", "_dst")
+        # label-induced subgraph: both endpoints inside the node set
+        ids = nodes.select("_id")
+        edges = edges.join(ids.withColumnRenamed("_id", "_src"),
+                           "_src", "left_semi") \
+                     .join(ids.withColumnRenamed("_id", "_dst"),
+                           "_dst", "left_semi")
+        bc = betweenness(edges, source_ids=srcs, max_hops=hops,
+                         directed=directed)
+        node_struct = F.struct(*[F.col(c) for c in nodes.columns])
+        out = nodes.join(bc.withColumnRenamed("node", "__bcid"),
+                         nodes["_id"] == F.col("__bcid"), "left") \
+            .select(node_struct.alias("node"),
+                    F.coalesce("score", F.lit(0.0)).alias("score"))
+        return out, ["node", "score"]
     if name == "algo.hits":
         # additive: Kleinberg hubs & authorities, fixed synchronous
         # power-iteration rounds with grid-rounded normalization (the

@@ -155,3 +155,58 @@ def test_closeness_matches_bfs_reference(spark, seed):
         assert got[s][0] == exp[0]
         assert got[s][1] == exp[1]
         assert abs(got[s][2] - exp[2]) < 2e-6  # float-sum order
+
+
+@pytest.mark.parametrize("seed,directed", [(3, False), (13, True),
+                                           (29, False)])
+def test_betweenness_matches_brandes_reference(spark, seed, directed):
+    """Betweenness scores equal a pure-Python Brandes run (Brandes
+    2001) on the same seeded random graph, directed and undirected."""
+    from redisgraph_spark.algorithms.centrality import betweenness
+    pairs = [(a, b) for a, b in _random_edges(seed, n=14, m=32)
+             if a != b]
+    edges = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        ["_id", "_src", "_dst"])
+    got = {r["node"]: r["score"]
+           for r in betweenness(edges.select("_src", "_dst"),
+                                directed=directed).collect()}
+
+    from collections import defaultdict, deque
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        if not directed:
+            adj[b].add(a)
+    nodes = sorted(set(adj) | {v for s in adj.values() for v in s})
+    bc = defaultdict(float)
+    for s in nodes:
+        # single-source Brandes
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    half = 1.0 if directed else 2.0
+    exp = {n: round(v / half * 1e6) / 1e6
+           for n, v in bc.items() if v}
+    assert set(got) >= set(exp)
+    for n in got:
+        assert abs(got[n] - exp.get(n, 0.0)) < 5e-6, (n, got[n], exp.get(n))
