@@ -2237,6 +2237,22 @@ def _p_stream_user_stats(spark, sf_dir):
         .orderBy("user_id")
 
 
+def _p_stream_join(spark, sf_dir):
+    """Stream-stream interval join (attribution window): every click
+    joined to the same user's purchases within the next 10 minutes,
+    run through the real incremental engine (two watermarked sides,
+    range-bounded join state, availableNow) — must equal the batch
+    interval join exactly."""
+    from redisgraph_spark.streaming.stream import (run_to_memory,
+                                                   stream_interval_join)
+    name = _memory_name("stream_join_", sf_dir)
+    out = stream_interval_join(_stream_events(spark, sf_dir))
+    run_to_memory(out, name, output_mode="append")
+    return spark.table(name).select(
+        "user_id", "l_event", "r_event", "lag_micros") \
+        .orderBy("user_id", "l_event", "r_event")
+
+
 def _p_stream_dedup(spark, sf_dir):
     """State-store streaming dedup (dropDuplicatesWithinWatermark):
     keep one event per (user_id, event_type) within the watermark
@@ -3499,6 +3515,21 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
                max(value) AS max_value
         FROM events GROUP BY user_id ORDER BY user_id
         """),
+
+    # stream-stream interval join == the same join run as one batch
+    # (micros grain on both sides: Spark's streaming reader converts
+    # TIMESTAMP(NANOS) to microsecond TimestampType)
+    "p_stream_join": (_p_stream_join, """
+        WITH ev AS (SELECT event_id, user_id, event_type,
+                           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tsu
+                    FROM events)
+        SELECT c.user_id AS user_id, c.event_id AS l_event,
+               p.event_id AS r_event, p.tsu - c.tsu AS lag_micros
+        FROM ev c JOIN ev p ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.tsu > c.tsu AND p.tsu <= c.tsu + 600000000
+        ORDER BY user_id, l_event, r_event
+        """),
 }
 
 
@@ -3536,7 +3567,7 @@ _FORCE_FRONT = [
     # broadcast hints, count(entity)→count(_id) pruning rewrite
     "q_two_hop_revenue", "q_two_hop_bucketed", "q_optional_match",
     "q_null_handling", "q_degree", "q_semi_apply", "q_anti_semi_apply",
-    "q_apply_multiplexer", "q_betweenness",
+    "q_apply_multiplexer", "q_betweenness", "p_stream_join",
 ]
 
 

@@ -63,6 +63,44 @@ def streaming_sessions(stream: DataFrame, gap: str = "30 minutes",
                 "total_value")
 
 
+def stream_interval_join(stream: DataFrame, left_type: str = "click",
+                         right_type: str = "purchase",
+                         within: str = "10 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream INTERVAL join: every `left_type` event joined to
+    the same user's `right_type` events in ``(l_ts, l_ts + within]`` —
+    the attribution-window primitive (click → purchase). Both sides
+    carry watermarks and the join condition is a closed time range, so
+    Spark bounds the state store: left rows evict once the right
+    watermark passes ``l_ts + within``, right rows once the left
+    watermark passes ``r_ts`` (the only configuration where
+    stream-stream inner joins run with finite state — Structured
+    Streaming's documented interval-join contract).
+
+    Strictly-after semantics (``r_ts > l_ts``) keep the pair
+    orientation unambiguous when both events share a timestamp.
+    """
+    l = stream.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+        F.col("value").alias("l_value"))
+    l = l.withWatermark("l_ts", watermark)
+    r = stream.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+        F.col("value").alias("r_value"))
+    r = r.withWatermark("r_ts", watermark)
+    return l.join(
+        r, (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner") \
+        .select(F.col("l_user").alias("user_id"), "l_event", "r_event",
+                "l_ts", "r_ts",
+                (F.unix_micros(F.col("r_ts"))
+                 - F.unix_micros(F.col("l_ts"))).alias("lag_micros"))
+
+
 def streaming_dedup(stream: DataFrame, keys: list[str],
                     watermark: str = "1 hour") -> DataFrame:
     """Exactly-once per key within the watermark horizon (state-store
