@@ -945,6 +945,74 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         ORDER BY id
         """),
 
+    # additive algo.randomWalk (walks.py): deterministic seeded walks
+    # (node2vec/DeepWalk corpus primitive). The oracle replays the
+    # EXACT walks: same canonically-ranked adjacency, same BIGINT
+    # arithmetic mix modulo out-degree, unrolled one CTE per step —
+    # every (walk, step, node) row must agree.
+    "q_random_walk": (
+        "CALL algo.randomWalk([3000000000001, 3000000000002, "
+        "3000000000003], null, 4, 7) YIELD walk, step, node "
+        "RETURN walk, step, node._id AS id ORDER BY walk, step",
+        """
+        WITH e AS (
+          SELECT 2000000000000 + n_nationkey AS u,
+                 1000000000000 + n_regionkey AS v FROM nation
+          UNION ALL
+          SELECT 3000000000000 + c_custkey, 2000000000000 + c_nationkey
+          FROM customer
+          UNION ALL
+          SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey
+          FROM supplier
+          UNION ALL
+          SELECT 3000000000000 + o_custkey, 6000000000000 + o_orderkey
+          FROM orders
+          UNION ALL
+          SELECT 6000000000000 + l_orderkey, 5000000000000 + l_partkey
+          FROM lineitem
+          UNION ALL
+          SELECT DISTINCT 5000000000000 + l_partkey,
+                 4000000000000 + l_suppkey FROM lineitem
+        ), adj AS (
+          SELECT u, v,
+                 row_number() OVER (PARTITION BY u ORDER BY v) - 1
+                   AS idx,
+                 count(*) OVER (PARTITION BY u) AS deg
+          FROM (SELECT DISTINCT u, v FROM e)
+        ), s0 AS (
+          SELECT CAST(3000000000000 + k AS BIGINT) AS walk,
+                 CAST(3000000000000 + k AS BIGINT) AS node
+          FROM (VALUES (1), (2), (3)) t(k)
+        ), s1 AS (
+          SELECT s0.walk, a.v AS node FROM s0 JOIN adj a
+            ON a.u = s0.node AND a.idx =
+               ((s0.node % 1000000007) * 2654435761 + 1 * 40503
+                + (s0.walk % 1000000007) * 97 + 7) % a.deg
+        ), s2 AS (
+          SELECT s1.walk, a.v AS node FROM s1 JOIN adj a
+            ON a.u = s1.node AND a.idx =
+               ((s1.node % 1000000007) * 2654435761 + 2 * 40503
+                + (s1.walk % 1000000007) * 97 + 7) % a.deg
+        ), s3 AS (
+          SELECT s2.walk, a.v AS node FROM s2 JOIN adj a
+            ON a.u = s2.node AND a.idx =
+               ((s2.node % 1000000007) * 2654435761 + 3 * 40503
+                + (s2.walk % 1000000007) * 97 + 7) % a.deg
+        ), s4 AS (
+          SELECT s3.walk, a.v AS node FROM s3 JOIN adj a
+            ON a.u = s3.node AND a.idx =
+               ((s3.node % 1000000007) * 2654435761 + 4 * 40503
+                + (s3.walk % 1000000007) * 97 + 7) % a.deg
+        )
+        SELECT walk, CAST(step AS INT) AS step, node AS id FROM (
+          SELECT walk, 0 AS step, node FROM s0
+          UNION ALL SELECT walk, 1, node FROM s1
+          UNION ALL SELECT walk, 2, node FROM s2
+          UNION ALL SELECT walk, 3, node FROM s3
+          UNION ALL SELECT walk, 4, node FROM s4)
+        ORDER BY walk, step
+        """),
+
     # additive algo.betweenness (centrality.py): exact Brandes on the
     # undirected Nation∪Region / IN_REGION star forest (all sources).
     # VALUE-BEARING closed form: in a star with k leaves every leaf
@@ -3567,7 +3635,7 @@ _FORCE_FRONT = [
     # broadcast hints, count(entity)→count(_id) pruning rewrite
     "q_two_hop_revenue", "q_two_hop_bucketed", "q_optional_match",
     "q_null_handling", "q_degree", "q_semi_apply", "q_anti_semi_apply",
-    "q_apply_multiplexer", "q_betweenness", "p_stream_join",
+    "q_apply_multiplexer", "q_betweenness", "p_stream_join", "q_random_walk",
 ]
 
 

@@ -32,6 +32,7 @@ PROCS = {
     "algo.hits": ("node", "hub", "authority"),
     "algo.closeness": ("node", "reached", "closeness", "harmonic"),
     "algo.betweenness": ("node", "score"),
+    "algo.randomwalk": ("walk", "step", "node"),
     "algo.nodesimilarity": ("node1", "node2", "intersection", "jaccard"),
     "db.idx.fulltext.querynodes": ("node", "score"),
     "db.idx.fulltext.createnodeindex": ("ok",),
@@ -289,6 +290,53 @@ def run_procedure(planner, clause: A.CallClause
             .select(node_struct.alias("node"), "reached", "closeness",
                     "harmonic")
         return out, ["node", "reached", "closeness", "harmonic"]
+    if name == "algo.randomwalk":
+        # additive: deterministic seeded walks (node2vec/DeepWalk
+        # corpus generation). args: source-id list, optional relation
+        # type, optional int walk length, optional int seed.
+        from redisgraph_spark.algorithms.walks import random_walks
+        srcs = None
+        rel = None
+        ints: list[int] = []
+        for a in clause.args:
+            if isinstance(a, A.Literal):
+                val = a.value
+            elif isinstance(a, A.Parameter):
+                val = planner.params[a.name]
+            elif isinstance(a, A.ListLiteral):
+                val = [x.value if isinstance(x, A.Literal) else x
+                       for x in a.items]
+            else:
+                val = a
+            if isinstance(val, list):
+                srcs = val
+            elif isinstance(val, str):
+                rel = val
+            elif isinstance(val, int) and not isinstance(val, bool):
+                ints.append(val)
+            elif val is not None:
+                raise ValueError(
+                    "algo.randomWalk: args are a source-id list, an "
+                    "optional relation type, an optional int length "
+                    "and an optional int seed")
+        if (not srcs or not isinstance(srcs, list)
+                or not all(isinstance(s, int) and not isinstance(s, bool)
+                           for s in srcs)):
+            raise ValueError(
+                "algo.randomWalk requires a non-empty source-node id "
+                "list")
+        length = ints[0] if ints else 5
+        seed = ints[1] if len(ints) > 1 else 7
+        if length < 1:
+            raise ValueError("algo.randomWalk length must be >= 1")
+        walks = random_walks(
+            g.edges([rel] if rel else None).select("_src", "_dst"),
+            srcs, length=length, seed=seed)
+        nodes = g.nodes()
+        node_struct = F.struct(*[F.col(c) for c in nodes.columns])
+        out = walks.join(nodes, walks["node"] == nodes["_id"]) \
+            .select("walk", "step", node_struct.alias("node"))
+        return out, ["walk", "step", "node"]
     if name == "algo.betweenness":
         # additive: Brandes betweenness on a label-set-induced subgraph
         # (exact when no source list is given — right for bounded

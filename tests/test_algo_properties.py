@@ -210,3 +210,40 @@ def test_betweenness_matches_brandes_reference(spark, seed, directed):
     assert set(got) >= set(exp)
     for n in got:
         assert abs(got[n] - exp.get(n, 0.0)) < 5e-6, (n, got[n], exp.get(n))
+
+
+@pytest.mark.parametrize("seed", [4, 19])
+def test_random_walks_match_python_replay(spark, seed):
+    """Every walk step equals a pure-Python replay of the seeded
+    arithmetic choice over the canonically-ranked adjacency, and every
+    consecutive pair is a real edge."""
+    from redisgraph_spark.algorithms.walks import random_walks
+    pairs = [(a, b) for a, b in _random_edges(seed, n=12, m=28)
+             if a != b]
+    edges = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        ["_id", "_src", "_dst"])
+    starts = [1, 2, 3, 4]
+    length = 6
+    wseed = 11
+    got = {}
+    for r in random_walks(edges.select("_src", "_dst"), starts,
+                          length=length, seed=wseed).collect():
+        got.setdefault(r["walk"], {})[r["step"]] = r["node"]
+
+    from collections import defaultdict
+    nbrs = defaultdict(list)
+    for a, b in sorted(set(pairs)):
+        nbrs[a].append(b)
+    for s in starts:
+        exp = [s]
+        cur = s
+        for t in range(1, length + 1):
+            out = sorted(nbrs.get(cur, []))
+            if not out:
+                break
+            h = ((cur % 1_000_000_007) * 2654435761 + t * 40503
+                 + (s % 1_000_000_007) * 97 + wseed)
+            cur = out[h % len(out)]
+            exp.append(cur)
+        assert [got[s][t] for t in sorted(got[s])] == exp, (s, got[s], exp)
