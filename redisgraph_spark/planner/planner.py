@@ -611,8 +611,29 @@ class CypherPlanner:
             for extra in call.args[1:]:
                 if isinstance(extra, A.Literal):
                     rels.append(str(extra.value))
-            edge_df = self.graph.edges(rels or None)
             key = "_dst" if call.name == "indegree" else "_src"
+            if not rels:
+                # rel-endpoint hints prune relation types that cannot
+                # touch the variable's label on the counted side —
+                # indegree(n:Nation) aggregates the IN_NATION table,
+                # not the union of every edge table (entity_funcs.c
+                # iterates per-relation matrices; unioning 600k
+                # CONTAINS rows to count Nation in-edges is pure waste)
+                lbls = getattr(ctx.vars[var], "labels", None)
+                hints = self.graph.rel_endpoints
+                if lbls and hints and not self.graph._multilabel:
+                    want = set(lbls)
+                    side = 1 if call.name == "indegree" else 0
+                    rels = [r for r in self.graph.edge_tables
+                            if hints.get(r) is None
+                            or (hints[r][side] & want)]
+                    if not rels:
+                        # no relation can reach this label: degree 0
+                        mapping[id(call)] = A.Literal(0)
+                        continue
+                    if set(rels) == set(self.graph.edge_tables):
+                        rels = []
+            edge_df = self.graph.edges(rels or None)
             hidden = self.sym("deg")
             kc = self.sym("degk")
             deg = edge_df.groupBy(F.col(key).alias(kc)) \
