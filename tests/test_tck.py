@@ -13,6 +13,11 @@ import pytest
 FEATURES = os.environ.get("SPARK_GRAFT_TCK_DIR",
                           "/root/reference/tests/tck/features")
 PASSING = os.path.join(os.path.dirname(__file__), "tck_passing.txt")
+# scenarios the REFERENCE tags @skip/@crash (it cannot run them) that
+# this engine passes anyway — ratcheted separately so the
+# beyond-reference surface never regresses either
+PASSING_EXT = os.path.join(os.path.dirname(__file__),
+                           "tck_passing_extended.txt")
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(FEATURES),
@@ -31,9 +36,15 @@ def test_tck_ratchet(spark):
         pytest.skip("no ratchet file yet — run tools/tck_report.py")
     with open(PASSING) as f:
         expected = {ln.strip() for ln in f if ln.strip()}
+    if os.path.exists(PASSING_EXT):
+        with open(PASSING_EXT) as f:
+            expected |= {ln.strip() for ln in f if ln.strip()}
     full = os.environ.get("SPARK_GRAFT_TCK_FULL") == "1"
     from redisgraph_spark.tck.runner import run_scenario
-    scs = [s for s in _scenarios()
+    from redisgraph_spark.tck import load_scenarios
+    # the extended ratchet names TAGGED scenarios, so select from the
+    # unfiltered corpus by name
+    scs = [s for s in load_scenarios(FEATURES)
            if f"{s.feature}::{s.name}" in expected]
     if not full:
         # deterministic smoke slice across the alphabet of features
