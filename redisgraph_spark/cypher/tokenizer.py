@@ -55,8 +55,16 @@ def _unescape(raw: str) -> str:
         c = body[i]
         if c == "\\" and i + 1 < len(body):
             nxt = body[i + 1]
-            if nxt == "u" and i + 5 < len(body):
-                out.append(chr(int(body[i + 2:i + 6], 16)))
+            if nxt == "u":
+                # \uXXXX requires exactly four hex digits
+                # (InvalidUnicodeLiteral, openCypher Literals6[13])
+                hexs = body[i + 2:i + 6]
+                if len(hexs) < 4 or any(
+                        h not in "0123456789abcdefABCDEF" for h in hexs):
+                    raise SyntaxError(
+                        f"Invalid unicode literal '\\u{hexs}': expected "
+                        "four hexadecimal digits")
+                out.append(chr(int(hexs, 16)))
                 i += 6
                 continue
             out.append(_ESCAPES.get(nxt, nxt))
@@ -89,7 +97,14 @@ def tokenize(text: str) -> list[Token]:
             body = raw[2:] if raw[1:2] in ("o", "O") else raw[1:]
             tokens.append(Token("int", int(body, 8), m.start()))
         elif kind == "float":
-            tokens.append(Token("float", float(raw), m.start()))
+            fv = float(raw)
+            if fv in (float("inf"), float("-inf")):
+                # a literal too large for an IEEE double is a compile-
+                # time error (FloatingPointOverflow, Literals5[27])
+                raise SyntaxError(
+                    f"Floating point number '{raw[:32]}…' is out of "
+                    "range for a 64-bit double")
+            tokens.append(Token("float", fv, m.start()))
         elif kind == "string":
             tokens.append(Token("string", _unescape(raw), m.start()))
         elif kind == "param":

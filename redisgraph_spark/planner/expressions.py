@@ -850,6 +850,35 @@ class ExprCompiler:
                 eq = left == right
             return eq if op == "=" else \
                 F.when(eq.isNull(), nullb).otherwise(~eq)
+        if lc == "num" or (lc is None and rc == "num") \
+                or (lc == "num" and rc is None):
+            # IEEE 754 NaN semantics (openCypher Comparison1/2; the
+            # reference compares through C doubles and gets these for
+            # free): NaN is not equal to anything INCLUDING itself,
+            # <> with NaN is true, and every ordering against NaN is
+            # false. Spark's native comparisons instead treat NaN as
+            # equal-to-itself and greater-than-everything (its
+            # sort/join convention), so float-typed operands take an
+            # isnan-guarded path. Null keeps ternary behavior.
+            nan_terms = []
+            for side in (left, right):
+                try:
+                    if isinstance(self.dtype(side),
+                                  (T.DoubleType, T.FloatType)):
+                        nan_terms.append(F.isnan(side))
+                except Exception:
+                    pass
+            if nan_terms:
+                any_nan = nan_terms[0]
+                for t in nan_terms[1:]:
+                    any_nan = any_nan | t
+                nullb = F.lit(None).cast("boolean")
+                base = {"=": left == right, "<>": left != right,
+                        "<": left < right, "<=": left <= right,
+                        ">": left > right, ">=": left >= right}[op]
+                return F.when(left.isNull() | right.isNull(), nullb) \
+                    .when(any_nan, F.lit(op == "<>")) \
+                    .otherwise(base)
         if op == "=":
             return left == right
         if op == "<>":
@@ -1047,6 +1076,10 @@ class ExprCompiler:
                 return el == needle
             elems = hay
             lead = hay.isNull()
+        elif isinstance(hdt, T.NullType):
+            # `x IN null` is null, not an error (openCypher Null3[7] —
+            # ternary logic treats the missing list like any null)
+            return nullb
         else:
             raise CompileError("IN expects a list on the right-hand side")
         eqs = F.transform(elems, eq)
@@ -1291,13 +1324,19 @@ class ExprCompiler:
         if isinstance(t, T.NullType):
             return F.lit(None)             # labels(null) → null
         if isinstance(t, T.StructType) and "_labels" in t.fieldNames():
-            return c.getField("_labels")   # multi-label graph (SET n:L)
+            # multi-label graph (SET n:L); drop the unlabeled marker
+            return F.filter(c.getField("_labels"),
+                            lambda x: x != F.lit(""))
         # a null entity (failed OPTIONAL MATCH) yields null, not [null];
         # typed null branch — an untyped NULL literal here makes Janino
         # reject the generated CASE code ("isNull_0 is not an rvalue")
-        # and the whole stage silently falls back to interpreted mode
+        # and the whole stage silently falls back to interpreted mode.
+        # An UNLABELED node (CREATE ()) has an empty label list, not
+        # [''] (Graph3[1]/[5]).
         return F.when(c.isNull(),
                       F.lit(None).cast("array<string>")) \
+            .when(F.coalesce(c.getField("_label"), F.lit("")) == "",
+                  F.array().cast("array<string>")) \
             .otherwise(F.array(c.getField("_label")))
 
     def _fn_type(self, e: A.FuncCall) -> Column:
@@ -1343,6 +1382,51 @@ class ExprCompiler:
         return self._endpoint(e, 1, "_dst")
 
     def _fn_exists(self, e: A.FuncCall) -> Column:
+        # exists(map.key) on a MAP value is a KEY-PRESENCE check — a
+        # key bound to null still exists (openCypher Map4); node/edge
+        # properties keep value-null semantics (the reference is
+        # schemaless: absent property ≡ null, attribute_set.c). The
+        # subject's kind decides which world we are in.
+        a = e.args[0]
+        if not isinstance(a, (A.Property, A.Variable)):
+            # exists() accepts a property access or a pattern (patterns
+            # were rewritten to semi-join flags before compile); an
+            # arbitrary expression is a compile-time error
+            # (InvalidArgumentExpression, Graph9[6])
+            raise CompileError(
+                "exists() expects a property access or a pattern")
+        if isinstance(a, A.Property):
+            subj = a.subject
+            is_entity = (isinstance(subj, A.Variable)
+                         and self.vars.get(subj.name) is not None
+                         and self.vars[subj.name].kind in ("node",
+                                                           "edge"))
+            if is_entity:
+                # a null entity (failed OPTIONAL MATCH) yields null,
+                # not false (Graph9[5])
+                ent = F.col(subj.name)
+                return F.when(ent.isNull(),
+                              F.lit(None).cast("boolean")) \
+                    .otherwise(self.compile(a).isNotNull())
+            if not is_entity:
+                sc = self.compile(subj)
+                dt = None
+                try:
+                    dt = self.dtype(sc)
+                except Exception:
+                    pass
+                if isinstance(dt, T.StructType):
+                    present = a.key in {f.name for f in dt.fields}
+                    return F.when(sc.isNull(),
+                                  F.lit(None).cast("boolean")) \
+                        .otherwise(F.lit(present))
+                if isinstance(dt, T.MapType):
+                    return F.when(sc.isNull(),
+                                  F.lit(None).cast("boolean")) \
+                        .otherwise(F.array_contains(F.map_keys(sc),
+                                                    F.lit(a.key)))
+                if isinstance(dt, T.NullType):
+                    return F.lit(None).cast("boolean")
         return self.compile(e.args[0]).isNotNull()
 
     def _fn_properties(self, e: A.FuncCall) -> Column:
@@ -1350,8 +1434,23 @@ class ExprCompiler:
             info = self.vars.get(e.args[0].name)
             if info is not None and info.kind in ("node", "edge"):
                 c = F.col(e.args[0].name)
-                return F.struct(*[c.getField(f).alias(f) for f in info.fields])
-        return self.compile(e.args[0])
+                props = F.struct(*[c.getField(f).alias(f)
+                                   for f in info.fields])
+                # properties(null entity) is null, not an empty map
+                # (Graph10[3]); the otherwise-branch types the null
+                return F.when(c.isNull(), F.lit(None)).otherwise(props)
+        inner = self.compile(e.args[0])
+        try:
+            dt = self.dtype(inner)
+        except Exception:
+            dt = None
+        if dt is not None and not isinstance(
+                dt, (T.StructType, T.MapType, T.NullType)):
+            # properties() on a scalar/list is a compile-time error
+            # (InvalidArgumentType, Graph10[5-7])
+            raise CompileError(
+                "properties(): invalid argument type")
+        return inner
 
     def _fn_property(self, e: A.FuncCall) -> Column:
         """``property(entity, name)`` — dynamic property access

@@ -33,11 +33,17 @@ def _split_table_row(line: str) -> list[str]:
     cells, cur, esc = [], [], False
     for c in body[1:]:
         if esc:
-            cur.append(c)
+            # table-level escapes are ONLY \| and \\ (the TCK style
+            # note in Literals6.feature:86); any other \x passes
+            # through for the Cypher-value parser
+            if c in ("|", "\\"):
+                cur.append(c)
+            else:
+                cur.append("\\")
+                cur.append(c)
             esc = False
         elif c == "\\":
             esc = True
-            cur.append(c)
         elif c == "|":
             cells.append("".join(cur).strip())
             cur = []

@@ -63,8 +63,13 @@ def _parse_string(p: _P) -> str:
         if c == "":
             raise TCKParseError("unterminated string")
         if c == "\\":
+            # Cypher string-literal escapes (the TCK expected tables
+            # use Cypher literal syntax): \n \t \r \b \f are control
+            # characters, \\ \' \" pass the char through
             p.i += 1
-            out.append(p.peek())
+            esc = p.peek()
+            out.append({"n": "\n", "t": "\t", "r": "\r",
+                        "b": "\b", "f": "\f"}.get(esc, esc))
             p.i += 1
             continue
         if c == "'":
