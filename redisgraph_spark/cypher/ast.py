@@ -55,6 +55,15 @@ class Property(Expr):
 
 
 @dataclass
+class LabelPred(Expr):
+    """Label-predicate expression ``expr:Label1:Label2`` (openCypher
+    Graph5): true iff a node carries ALL the labels; on a relationship
+    it tests the type; null subject yields null."""
+    subject: Expr
+    labels: list[str]
+
+
+@dataclass
 class Subscript(Expr):
     subject: Expr
     index: Expr

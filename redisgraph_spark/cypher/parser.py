@@ -254,13 +254,14 @@ class Parser:
         items = []
         while True:
             target = self.parse_postfix()
-            if self.at_op(":"):
-                if not isinstance(target, A.Variable):
+            if isinstance(target, A.LabelPred):
+                # postfix parsing folds `n:Foo:Bar` (with or without
+                # whitespace before the colon, Set3[5-7]) into a
+                # LabelPred — in SET position that IS the label item
+                if not isinstance(target.subject, A.Variable):
                     raise SyntaxError("SET :Label requires a variable")
-                labels = []
-                while self.opt_op(":"):
-                    labels.append(self.name())
-                items.append(A.LabelItem(target.name, labels))
+                items.append(A.LabelItem(target.subject.name,
+                                         list(target.labels)))
                 if not self.opt_op(","):
                     break
                 continue
@@ -286,13 +287,11 @@ class Parser:
         items: list[object] = []
         while True:
             target = self.parse_postfix()
-            if self.at_op(":"):
-                if not isinstance(target, A.Variable):
+            if isinstance(target, A.LabelPred):
+                if not isinstance(target.subject, A.Variable):
                     raise SyntaxError("REMOVE :Label requires a variable")
-                labels = []
-                while self.opt_op(":"):
-                    labels.append(self.name())
-                items.append(A.LabelItem(target.name, labels))
+                items.append(A.LabelItem(target.subject.name,
+                                         list(target.labels)))
             elif isinstance(target, A.Property):
                 items.append(target)
             else:
@@ -559,6 +558,15 @@ class Parser:
             if self.at_op("."):
                 self.advance()
                 expr = A.Property(expr, self.name())
+            elif self.at_op(":"):
+                # label-predicate expression expr:Label1:Label2
+                # (colon is unambiguous in expression position — map
+                # keys and pattern labels are consumed by their own
+                # parsers before expression parsing sees them)
+                labels = []
+                while self.opt_op(":"):
+                    labels.append(self.name())
+                expr = A.LabelPred(expr, labels)
             elif self.at_op("["):
                 self.advance()
                 if self.at_op(".."):  # x[..end]

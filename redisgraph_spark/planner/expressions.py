@@ -1381,6 +1381,45 @@ class ExprCompiler:
     def _fn_endnode(self, e: A.FuncCall) -> Column:
         return self._endpoint(e, 1, "_dst")
 
+    def _c_LabelPred(self, e: A.LabelPred) -> Column:
+        """``expr:Label1:Label2`` — true iff the node carries ALL the
+        labels (multi-label graphs check the _labels array, single-
+        label the _label field); a relationship tests its type; a null
+        subject yields null (openCypher Graph5)."""
+        c = self.compile(e.subject)
+        nullb = F.lit(None).cast("boolean")
+        try:
+            dt = self.dtype(c)
+        except Exception:
+            dt = None
+        if isinstance(dt, T.NullType):
+            return nullb
+        if not isinstance(dt, T.StructType):
+            raise CompileError(
+                "Type mismatch: label expression expects a node or "
+                "relationship")
+        names = set(dt.fieldNames())
+        if "_labels" in names:
+            cond = None
+            for l in e.labels:
+                t = F.array_contains(c.getField("_labels"), F.lit(l))
+                cond = t if cond is None else (cond & t)
+        elif "_label" in names:
+            cond = None
+            for l in e.labels:
+                t = c.getField("_label") == F.lit(l)
+                cond = t if cond is None else (cond & t)
+        elif "_rel" in names:
+            cond = None
+            for l in e.labels:
+                t = c.getField("_rel") == F.lit(l)
+                cond = t if cond is None else (cond & t)
+        else:
+            raise CompileError(
+                "Type mismatch: label expression expects a node or "
+                "relationship")
+        return F.when(c.isNull(), nullb).otherwise(cond)
+
     def _fn_exists(self, e: A.FuncCall) -> Column:
         # exists(map.key) on a MAP value is a KEY-PRESENCE check — a
         # key bound to null still exists (openCypher Map4); node/edge
@@ -1388,7 +1427,7 @@ class ExprCompiler:
         # schemaless: absent property ≡ null, attribute_set.c). The
         # subject's kind decides which world we are in.
         a = e.args[0]
-        if not isinstance(a, (A.Property, A.Variable)):
+        if not isinstance(a, (A.Property, A.Variable, A.Subscript)):
             # exists() accepts a property access or a pattern (patterns
             # were rewritten to semi-join flags before compile); an
             # arbitrary expression is a compile-time error

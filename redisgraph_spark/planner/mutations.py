@@ -327,17 +327,25 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             var = el.var or planner.sym("cn")
             vars_.append(var)
             if var not in pending_nodes:
-                label = el.labels[0] if el.labels else ""
+                labels = tuple(el.labels) if el.labels else ("",)
                 pending_nodes[var] = (
-                    label, _eval_props(planner, ctx, el.props))
+                    labels, _eval_props(planner, ctx, el.props))
             elif el.labels or el.props:
                 # later occurrences must be bare references
                 raise PlanError(f"Variable `{var}` already declared")
         path_vars.append(vars_)
     ids = dict(zip(pending_nodes, _fresh_ids(len(pending_nodes))))
     by_label: dict[str, list[dict]] = {}
-    for var, (label, props) in pending_nodes.items():
-        by_label.setdefault(label, []).append({"_id": ids[var], **props})
+    for var, (labels, props) in pending_nodes.items():
+        # a multi-label node (CREATE (:A:B)) is ONE node whose row
+        # lives in every labeled table (reference multi-label nodes,
+        # src/graph/entities/node.h); unified scans then dedup by id
+        # and carry a _labels array (Graph._multilabel)
+        for label in labels:
+            by_label.setdefault(label, []).append(
+                {"_id": ids[var], **props})
+        if len(labels) > 1:
+            g._multilabel = True
     for label, rows in by_label.items():
         for group in _type_groups(rows):
             df = inline_rows_df(spark, group)
@@ -345,7 +353,7 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                 df = spark.createDataFrame(group)
             g.node_tables[label] = _union_into(
                 g.node_tables.get(label), df)
-        nodes_created += len(rows)
+    nodes_created += len(pending_nodes)
     # pass 2: edges, batched per relation type
     edge_rows: dict[str, list[dict]] = {}
     named_edges: dict[str, tuple[str, dict]] = {}
@@ -450,8 +458,12 @@ def _create_bound(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                     (F.monotonically_increasing_id()
                      + F.lit(_alloc_block())).alias("_id"), *prop_cols) \
                     .localCheckpoint(eager=True)
-            g.node_tables[label] = _union_into(
-                g.node_tables.get(label), rows)
+            for lbl in (np.labels if len(np.labels or []) > 1
+                        else [label]):
+                g.node_tables[lbl] = _union_into(
+                    g.node_tables.get(lbl), rows)
+            if np.labels and len(np.labels) > 1:
+                g._multilabel = True
             planner.stats["nodes_created"] = \
                 planner.stats.get("nodes_created", 0) + rows.count()
             continue
@@ -542,14 +554,20 @@ def _bind_created(planner, ctx, clause, pending_nodes, ids,
     cols = []
     infos: dict[str, VarInfo] = {}
     for var in explicit:
-        label, props = pending_nodes[var]
+        labels, props = pending_nodes[var]
+        first = labels[0]
         fields = [F.lit(ids[var]).alias("_id"),
-                  F.lit(label if label else None).alias("_label")]
+                  F.lit(first if first else None).alias("_label")]
+        if len(labels) > 1:
+            # labels()/label predicates read the _labels array when
+            # present — creation order preserved (Graph3[2])
+            fields.append(F.array(*[F.lit(l) for l in labels])
+                          .alias("_labels"))
         fields += [_lit_col(v).alias(k) for k, v in props.items()]
         cols.append(F.struct(*fields).alias(var))
         info = VarInfo("node", tuple(props))
-        if label:
-            info.labels = (label,)
+        if first:
+            info.labels = tuple(l for l in labels if l)
         infos[var] = info
     for var, (rtype, row) in named_edges.items():
         fields = [F.lit(row["_id"]).alias("_id"),
@@ -732,6 +750,45 @@ def _matched_rows(planner, ctx, var: str) -> DataFrame:
     return ctx.df.select(cols).dropDuplicates(["_id"])
 
 
+def _refresh_label_struct(ctx, var: str, add: list[str] | None = None,
+                          remove: list[str] | None = None) -> None:
+    """Read-your-writes for SET/REMOVE label: rebuild the bound struct
+    so a later RETURN in the same query sees the new label set (the
+    reference streams the record through op_update with labels already
+    applied). The struct gains a ``_labels`` array if it had none."""
+    if ctx.df is None or var not in ctx.df.columns:
+        return
+    dt = ctx.df.schema[var].dataType
+    names = [f.name for f in dt.fields]
+    if "_labels" in names:
+        old = F.col(f"{var}._labels")
+    else:
+        old = F.filter(
+            F.array(F.coalesce(F.col(f"{var}._label"), F.lit(""))),
+            lambda x: x != F.lit(""))
+    arr = old
+    if add:
+        arr = F.array_union(arr, F.array(*[F.lit(l) for l in add]))
+    if remove:
+        arr = F.array_except(arr, F.array(*[F.lit(l) for l in remove]))
+    cols = []
+    inserted = False
+    for fn in names:
+        if fn == "_labels":
+            cols.append(arr.alias("_labels"))
+            inserted = True
+        else:
+            cols.append(F.col(var).getField(fn).alias(fn))
+        if fn == "_label" and "_labels" not in names:
+            cols.append(arr.alias("_labels"))
+            inserted = True
+    if not inserted:
+        cols.append(arr.alias("_labels"))
+    ctx.df = ctx.df.withColumn(
+        var, F.when(F.col(f"{var}._id").isNotNull(),
+                    F.struct(*cols)).otherwise(F.lit(None)))
+
+
 def _add_labels(planner, ctx, item: A.LabelItem) -> None:
     """``SET n:Label`` — the node's row is copied into each target label
     table (multi-label nodes, reference ``src/graph/entities/node.h``;
@@ -758,6 +815,7 @@ def _add_labels(planner, ctx, item: A.LabelItem) -> None:
         planner.stats["labels_added"] = \
             planner.stats.get("labels_added", 0) + added
     g._scan_cache.clear()
+    _refresh_label_struct(ctx, item.var, add=item.labels)
 
 
 def _remove_labels(planner, ctx, item: A.LabelItem) -> None:
@@ -795,6 +853,7 @@ def _remove_labels(planner, ctx, item: A.LabelItem) -> None:
         planner.stats["labels_removed"] = \
             planner.stats.get("labels_removed", 0) + removed
     g._scan_cache.clear()
+    _refresh_label_struct(ctx, item.var, remove=item.labels)
 
 
 def _remove(planner, ctx, clause: A.RemoveClause) -> DataFrame | None:

@@ -96,6 +96,8 @@ def _deparse(e: A.Expr) -> str:
         return f"{_deparse(e.subject)}.{e.key}"
     if isinstance(e, A.CountStar):
         return "count(*)"
+    if isinstance(e, A.LabelPred):
+        return _deparse(e.subject) + "".join(f":{l}" for l in e.labels)
     if isinstance(e, A.FuncCall):
         inner = ", ".join(_deparse(a) for a in e.args)
         d = "DISTINCT " if e.distinct else ""
