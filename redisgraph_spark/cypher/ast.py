@@ -55,6 +55,16 @@ class Property(Expr):
 
 
 @dataclass
+class PatternComprehension(Expr):
+    """``[p = (a)-[:R]->(b) WHERE pred | proj]`` — matches the pattern
+    per input row (outer variables stay bound) and collects the
+    projection into a list; no match yields []."""
+    path: "PatternPath"
+    where: Expr | None
+    proj: Expr
+
+
+@dataclass
 class LabelPred(Expr):
     """Label-predicate expression ``expr:Label1:Label2`` (openCypher
     Graph5): true iff a node carries ALL the labels; on a relationship

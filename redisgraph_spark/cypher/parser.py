@@ -760,6 +760,27 @@ class Parser:
         if self.at_op("]"):
             self.advance()
             return A.ListLiteral([])
+        # pattern comprehension: [p = (a)-[:R]->(b) WHERE pred | proj]
+        # — disambiguated from a list literal by attempting the pattern
+        # parse and requiring the `|` projection; backtracks otherwise
+        # (`[(a)]` and `[(1+2)]` stay list literals)
+        nxt = self.peek()
+        if (self.tok.kind == "op" and self.tok.value == "(") or \
+                (self.tok.kind in ("name", "kw") and nxt.kind == "op"
+                 and nxt.value == "="):
+            save = self.i
+            try:
+                path = self.parse_pattern_path()
+                if len(path.elements) >= 3 and path.shortest is None:
+                    where = self.parse_expr() if self.opt_kw("where") \
+                        else None
+                    self.eat_op("|")
+                    proj = self.parse_expr()
+                    self.eat_op("]")
+                    return A.PatternComprehension(path, where, proj)
+                self.i = save
+            except SyntaxError:
+                self.i = save
         # lookahead for comprehension: name IN ... — keyword-named
         # variables are legal identifiers here like everywhere else
         # (`[end IN [1,2] | end + 1]`), except the literal keywords,

@@ -597,6 +597,7 @@ class CypherPlanner:
         """Replace indegree(n)/outdegree(n) with degree columns joined
         from an edge aggregation (reference entity funcs
         ``src/arithmetic/entity_funcs/entity_funcs.c:186-230``)."""
+        e = self._rewrite_pattern_comprehensions(ctx, e)
         e = self._rewrite_shortest_paths(ctx, e)
         calls = [n for n in _walk(e)
                  if isinstance(n, A.FuncCall)
@@ -646,6 +647,78 @@ class CypherPlanner:
             ctx.vars[hidden] = VarInfo("scalar")
             mapping[id(call)] = A.FuncCall(
                 "coalesce", [A.Variable(hidden), A.Literal(0)])
+        return _substitute(e, mapping)
+
+    def _rewrite_pattern_comprehensions(self, ctx: Ctx,
+                                        e: A.Expr) -> A.Expr:
+        """``[p = (a)-[:R]->(b) WHERE pred | proj]`` in expression
+        position: pin a row key, re-match the pattern with the outer
+        row's bindings live (the sub-compile starts from the CURRENT
+        DataFrame, so bound endpoints filter exactly like a correlated
+        Apply), collect the projection per row key, left-join the list
+        back — no match is [] (openCypher Pattern3)."""
+        pcs = [n for n in _walk(e)
+               if isinstance(n, A.PatternComprehension)]
+        if not pcs:
+            return e
+        mapping: dict[int, A.Expr] = {}
+        for pc in pcs:
+            hidden = self.sym("pc")
+            if ctx.df is None:
+                ctx.df = self._unit_df()
+            rk = self.sym("pcr")
+            ctx.df = ctx.df.withColumn(
+                rk, F.monotonically_increasing_id()) \
+                .localCheckpoint(eager=True)
+            sub = Ctx(df=ctx.df, vars=dict(ctx.vars))
+            edge_uniq: list = []
+            self._compile_path(sub, pc.path, edge_uniq)
+            if pc.where is not None:
+                self._apply_where(sub, pc.where)
+            comp = self.compiler(sub)
+            proj = comp.compile(pc.proj)
+            # deterministic list order: descending edge ids = newest
+            # relationship first, Neo4j's documented adjacency
+            # iteration order (openCypher leaves it unspecified; a
+            # distributed collect would otherwise be run-dependent)
+            ekeys = [F.col(f"{nm}._id")
+                     for kind, nm in edge_uniq
+                     if kind == "e" and nm in sub.df.columns]
+            if not ekeys and pc.path.var \
+                    and pc.path.var in sub.df.columns:
+                # named path: hidden edge binds are dropped after the
+                # path value is built — key on its first edge instead
+                ekeys = [F.element_at(
+                    F.col(f"{pc.path.var}.edges"), 1).getField("_id")]
+            if ekeys:
+                pair = F.struct(
+                    *[k.alias(f"k{i}") for i, k in enumerate(ekeys)],
+                    proj.alias("__v"))
+
+                def _cmp(l, r):
+                    out = F.lit(0)
+                    for i in reversed(range(len(ekeys))):
+                        ki = f"k{i}"
+                        out = F.when(l[ki] < r[ki], F.lit(1)) \
+                            .when(l[ki] > r[ki], F.lit(-1)) \
+                            .otherwise(out)
+                    return out
+                lists = sub.df.select(F.col(rk), pair.alias("__pcp")) \
+                    .groupBy(rk) \
+                    .agg(F.transform(
+                        F.array_sort(F.collect_list("__pcp"), _cmp),
+                        lambda x: x["__v"]).alias(hidden))
+            else:
+                lists = sub.df.select(F.col(rk), proj.alias("__pcv")) \
+                    .groupBy(rk) \
+                    .agg(F.collect_list("__pcv").alias(hidden))
+            ctx.df = ctx.df.join(lists, rk, "left")
+            arr_t = lists.schema[hidden].dataType
+            ctx.df = ctx.df.withColumn(
+                hidden, F.coalesce(F.col(hidden),
+                                   F.array().cast(arr_t))).drop(rk)
+            ctx.vars[hidden] = VarInfo("scalar")
+            mapping[id(pc)] = A.Variable(hidden)
         return _substitute(e, mapping)
 
     def _rewrite_shortest_paths(self, ctx: Ctx, e: A.Expr) -> A.Expr:
@@ -2032,10 +2105,21 @@ class CypherPlanner:
             return F.percentile(args[0], args[1])
         if name == "percentiledisc":
             # discrete percentile: element at ceil(p·n) of the sorted list
-            # (src/arithmetic/aggregate_funcs/agg_funcs.c:442)
+            # (src/arithmetic/aggregate_funcs/agg_funcs.c:442). A
+            # non-literal p is range-checked at runtime (ArgumentError
+            # NumberOutOfRange — literal/parameter forms were already
+            # validated at compile above)
+            p = args[1]
+            p = F.when(
+                (p < 0) | (p > 1),
+                F.raise_error(F.format_string(
+                    "Invalid input '%s' is not a valid argument, "
+                    "must be a number in the range 0.0 to 1.0",
+                    p.cast("string"))).cast("double")) \
+                .otherwise(p.cast("double"))
             lst = F.sort_array(F.collect_list(args[0]))
             idx = F.greatest(
-                F.ceil(args[1] * F.size(lst)).cast("int"), F.lit(1))
+                F.ceil(p * F.size(lst)).cast("int"), F.lit(1))
             return F.try_element_at(lst, idx)
         raise PlanError(f"Unknown aggregate {name}")
 
