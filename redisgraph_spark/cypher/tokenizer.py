@@ -28,7 +28,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<octint>0[oO][0-7]+|0[0-7]+(?![0-9a-zA-Z_.]))
   | (?P<int>\d+)
   | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
-  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<param>\$[A-Za-z0-9_]+)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<op><=|>=|<>|!=|=~|\.\.|->|<-|[-+*/%^=<>()\[\]{},.:|])
 """, re.VERBOSE)

@@ -137,26 +137,34 @@ def apply_mutation(planner, ctx, clause) -> DataFrame | None:
 
 
 # ---------------------------------------------------------------- CREATE
-def _const_eval(planner, e: A.Expr):
+def _const_eval(planner, e: A.Expr, pending: dict | None = None):
     """Driver-side evaluation of a constant expression (literals,
     parameters, list/neg compositions) — the constant-folding subset a
-    standalone CREATE can use."""
+    standalone CREATE can use. ``pending`` resolves property references
+    to nodes declared EARLIER in the same CREATE
+    (``CREATE (a {id: 0}), ({num: a.id})`` — the reference evaluates
+    the second pattern with `a`'s record already pending)."""
     if isinstance(e, A.Literal):
         return e.value
     if isinstance(e, A.Parameter):
         return planner.params[e.name]
     if isinstance(e, A.ListLiteral):
-        return [_const_eval(planner, x) for x in e.items]
+        return [_const_eval(planner, x, pending) for x in e.items]
     if isinstance(e, A.Unary) and e.op in ("-", "+"):
-        v = _const_eval(planner, e.operand)
+        v = _const_eval(planner, e.operand, pending)
         return -v if e.op == "-" else v
+    if pending is not None and isinstance(e, A.Property) \
+            and isinstance(e.subject, A.Variable) \
+            and e.subject.name in pending:
+        return pending[e.subject.name][1].get(e.key)
     raise ValueError(
         "CREATE property values must be constant (literals, parameters, "
         "lists) when creating outside a MATCH context")
 
 
-def _eval_props(planner, ctx, props: list[tuple[str, A.Expr]]) -> dict:
-    return {k: _const_eval(planner, v) for k, v in props}
+def _eval_props(planner, ctx, props: list[tuple[str, A.Expr]],
+                pending: dict | None = None) -> dict:
+    return {k: _const_eval(planner, v, pending) for k, v in props}
 
 
 def _widen_numeric(a, b) -> str:
@@ -300,8 +308,12 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             if el.var and el.var in ctx.vars:
                 raise PlanError(f"Variable `{el.var}` already bound")
         for el in path.elements[::2]:
-            # a bound node may be referenced bare, never re-declared
-            if el.var and el.var in ctx.vars and (el.labels or el.props):
+            # a bound node may be referenced bare INSIDE a longer
+            # path, never re-declared — and a standalone CREATE (n)
+            # of a bound variable is a redeclaration too
+            # (VariableAlreadyBound, Create1[11])
+            if el.var and el.var in ctx.vars and (
+                    el.labels or el.props or len(path.elements) == 1):
                 raise PlanError(f"Variable `{el.var}` already bound")
     _invalidate_rels(g, {(els[i].types[0] if els[i].types else "RELATED")
                          for path in clause.paths
@@ -329,7 +341,8 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             if var not in pending_nodes:
                 labels = tuple(el.labels) if el.labels else ("",)
                 pending_nodes[var] = (
-                    labels, _eval_props(planner, ctx, el.props))
+                    labels,
+                    _eval_props(planner, ctx, el.props, pending_nodes))
             elif el.labels or el.props:
                 # later occurrences must be bare references
                 raise PlanError(f"Variable `{var}` already declared")
@@ -882,7 +895,36 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
     edges_deleted = 0
     for e in clause.exprs:
         if not isinstance(e, A.Variable):
-            raise ValueError("DELETE expects variables")
+            # DELETE list[0] / map.nodes / nested extractions
+            # (openCypher Delete5): any expression evaluating to an
+            # entity works — bind it as a hidden column and classify
+            # the entity kind from its struct shape
+            from pyspark.sql import types as T
+            comp = planner.compiler(ctx)
+            col = comp.compile(e)
+            try:
+                dt = comp.dtype(col)
+            except Exception:
+                dt = None
+            if isinstance(dt, T.NullType):
+                continue                 # DELETE null is a no-op
+            if not isinstance(dt, T.StructType):
+                raise ValueError(
+                    "DELETE expects a node, relationship or path")
+            names = set(dt.fieldNames())
+            if {"nodes", "edges"} <= names:
+                kind = "path"
+            elif "_src" in names:
+                kind = "edge"
+            elif "_id" in names:
+                kind = "node"
+            else:
+                raise ValueError(
+                    "DELETE expects a node, relationship or path")
+            hidden = planner.sym("del")
+            ctx.df = ctx.df.withColumn(hidden, col)
+            ctx.vars[hidden] = VarInfo(kind)
+            e = A.Variable(hidden)
         var = e.name
         if var not in ctx.vars:
             raise ValueError(f"'{var}' not defined")
@@ -1062,6 +1104,10 @@ def _merge(planner, ctx, clause: A.MergeClause) -> DataFrame | None:
             # NoSingleRelationshipType (TCK Merge5 [23]-[25])
             raise PlanError(
                 "MERGE requires exactly one relationship type")
+    if len(els) == 1 and els[0].var and els[0].var in ctx.vars:
+        # MERGE (a) of an already-bound variable is a redeclaration
+        # (VariableAlreadyBound, Merge1[15])
+        raise PlanError(f"Variable `{els[0].var}` already bound")
     for el in els:
         for k, v in el.props:
             if (isinstance(v, A.Literal) and v.value is None) or \

@@ -193,6 +193,17 @@ class CypherPlanner:
 
     def _node_scan(self, labels: list[str] | None) -> tuple[DataFrame, tuple[str, ...]]:
         flat = self.graph.nodes(labels if labels else None)
+        if labels and len(labels) > 1:
+            # (n:A:B) is a CONJUNCTION — the node must carry every
+            # label (openCypher Match1[3]); the union scan above is
+            # the candidate set, membership in ALL label tables is the
+            # filter (single-label graphs can never satisfy it)
+            if "_labels" in flat.columns:
+                for l in labels:
+                    flat = flat.filter(
+                        F.array_contains(F.col("_labels"), l))
+            else:
+                flat = flat.filter(F.lit(False))
         props = tuple(c for c in flat.columns
                       if c not in ("_id", "_label", "_labels"))
         return flat, props
@@ -206,11 +217,34 @@ class CypherPlanner:
     def _const_int(self, e: A.Expr | None) -> int | None:
         if e is None:
             return None
-        if isinstance(e, A.Literal) and isinstance(e.value, int):
+        if isinstance(e, A.Literal) and isinstance(e.value, int) \
+                and not isinstance(e.value, bool):
             return e.value
         if isinstance(e, A.Parameter):
-            return int(self.params[e.name])
-        raise PlanError("SKIP/LIMIT must be an integer literal or parameter")
+            v = self.params[e.name]
+            if isinstance(v, bool) or not isinstance(v, int):
+                # a float parameter is InvalidArgumentType, not a
+                # silent truncation (ReturnSkipLimit1[8])
+                raise PlanError(
+                    f"SKIP/LIMIT expects an integer, got {v!r}")
+            return int(v)
+        # a variable-free expression (SKIP toInteger(rand()*9)) is
+        # evaluated ONCE at plan time over the unit row — referencing
+        # a variable fails compile and stays an error
+        try:
+            comp = ExprCompiler(self._unit_df(), {}, self.params)
+            val = self._unit_df().select(
+                comp.compile(e).alias("__v")).take(1)[0]["__v"]
+        except PlanError:
+            raise
+        except Exception:
+            raise PlanError(
+                "SKIP/LIMIT must be an integer literal, parameter or "
+                "variable-free integer expression")
+        if isinstance(val, bool) or not isinstance(val, int):
+            raise PlanError(
+                f"SKIP/LIMIT expects an integer, got {val!r}")
+        return int(val)
 
     # ------------------------------------------------------------------ plan
     def plan(self, q: A.Query) -> DataFrame:
@@ -319,6 +353,10 @@ class CypherPlanner:
         free there, a distributed join is not)."""
         if not labels:
             return True
+        if len(labels) > 1:
+            # a conjunction of labels can never be guaranteed by
+            # single-label endpoint hints
+            return False
         hints = self.graph.rel_endpoints
         if not hints:
             return False
@@ -1213,8 +1251,19 @@ class CypherPlanner:
                 F.col(to_c) == F.col(f"{tgt}._id")).drop(to_c)
             comp = self.compiler(ctx)
             if node.labels:
-                ctx.df = ctx.df.filter(
-                    F.col(f"{tgt}._label").isin(list(node.labels)))
+                dt = ctx.df.schema[tgt].dataType
+                if len(node.labels) > 1 or "_labels" in dt.fieldNames():
+                    lbls = F.col(f"{tgt}._labels") \
+                        if "_labels" in dt.fieldNames() \
+                        else F.array(F.col(f"{tgt}._label"))
+                    cond = None
+                    for l in node.labels:
+                        t = F.array_contains(lbls, l)
+                        cond = t if cond is None else (cond & t)
+                    ctx.df = ctx.df.filter(cond)
+                else:
+                    ctx.df = ctx.df.filter(
+                        F.col(f"{tgt}._label").isin(list(node.labels)))
             for k, v in node.props:
                 if k in ctx.vars[tgt].fields:
                     ctx.df = ctx.df.filter(
@@ -1872,6 +1921,13 @@ class CypherPlanner:
         aliases: list[str] = []
         for it in all_items:
             aliases.append(it.alias or it.text or _deparse(it.expr))
+        dupes = {a for a in aliases if aliases.count(a) > 1}
+        if dupes:
+            # two projection columns with one name is a compile error
+            # (ColumnNameConflict, openCypher Return4[10])
+            raise PlanError(
+                f"Multiple result columns with the same name "
+                f"are not supported: {sorted(dupes)[0]!r}")
 
         has_agg = any(_has_agg(it.expr) for it in all_items)
         comp = self.compiler(ctx)
