@@ -885,6 +885,74 @@ def _remove(planner, ctx, clause: A.RemoveClause) -> DataFrame | None:
 
 
 # ----------------------------------------------------------------- DELETE
+def _delete_kind(ctx, e) -> str | None:
+    """Structural entity-kind proof for a DELETE target expression:
+    ``'node'|'edge'|'path'`` when provably an entity, ``'other'`` when
+    provably NOT (e.g. a map literal that merely carries an ``_id``
+    key — round-7 advice: shape-only sniffing deleted real rows),
+    ``None`` when provenance is unknown (e.g. ``WITH {k: n} AS m``
+    erases the kind — caller falls back to struct-shape sniffing,
+    which keeps TCK Delete5[3-7] working)."""
+    if isinstance(e, A.Variable):
+        info = ctx.vars.get(e.name)
+        if info is not None and info.kind in ("node", "edge", "path"):
+            return info.kind
+        return None
+    if isinstance(e, A.Literal):
+        return "other"
+    if isinstance(e, (A.MapLiteral, A.ListLiteral)):
+        # the container itself is never a deletable entity
+        return "other"
+    if isinstance(e, A.Property):
+        if isinstance(e.subject, A.MapLiteral):
+            for k, v in e.subject.items:
+                if k == e.key:
+                    return _delete_kind(ctx, v)
+            return "other"          # missing key → null, but never entity
+        return None
+    if isinstance(e, A.Subscript):
+        return _elem_kind(ctx, e.subject)
+    if isinstance(e, A.CaseExpr):
+        kinds = {_delete_kind(ctx, v) for _, v in e.whens}
+        if e.default is not None:
+            kinds.add(_delete_kind(ctx, e.default))
+        return kinds.pop() if len(kinds) == 1 else None
+    if isinstance(e, A.FuncCall):
+        n = e.name.lower()
+        if n in ("startnode", "endnode"):
+            return "node"
+        if n in ("head", "last") and e.args:
+            return _elem_kind(ctx, e.args[0])
+        return None
+    return None
+
+
+def _elem_kind(ctx, e) -> str | None:
+    """Entity kind of the ELEMENTS of a list-valued expression (for
+    ``DELETE list[i]``); same tri-state contract as _delete_kind."""
+    if isinstance(e, A.FuncCall):
+        n = e.name.lower()
+        if n == "nodes":
+            return "node"
+        if n in ("relationships", "rels"):
+            return "edge"
+        if n == "collect" and e.args:
+            return _delete_kind(ctx, e.args[0])
+        return None
+    if isinstance(e, A.ListLiteral):
+        kinds = {_delete_kind(ctx, x) for x in e.items}
+        return kinds.pop() if len(kinds) == 1 else None
+    if isinstance(e, A.Property) and isinstance(e.subject, A.MapLiteral):
+        for k, v in e.subject.items:
+            if k == e.key:
+                return _elem_kind(ctx, v)
+        return "other"
+    if isinstance(e, A.Subscript):
+        # nested list-of-lists: element kind of the inner extraction
+        return None
+    return None
+
+
 def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
     """DETACH DELETE semantics: node deletion cascades to incident edges
     (reference ``ops/op_delete.c``, ``Graph_BulkDelete``
@@ -911,16 +979,25 @@ def _delete(planner, ctx, clause: A.DeleteClause) -> DataFrame | None:
             if not isinstance(dt, T.StructType):
                 raise ValueError(
                     "DELETE expects a node, relationship or path")
-            names = set(dt.fieldNames())
-            if {"nodes", "edges"} <= names:
-                kind = "path"
-            elif "_src" in names:
-                kind = "edge"
-            elif "_id" in names:
-                kind = "node"
-            else:
+            proved = _delete_kind(ctx, e)
+            if proved == "other":
+                # provably not an entity (a map literal carrying an
+                # _id key must not delete rows — round-7 advice)
                 raise ValueError(
                     "DELETE expects a node, relationship or path")
+            if proved is not None:
+                kind = proved
+            else:
+                names = set(dt.fieldNames())
+                if {"nodes", "edges"} <= names:
+                    kind = "path"
+                elif "_src" in names:
+                    kind = "edge"
+                elif "_id" in names:
+                    kind = "node"
+                else:
+                    raise ValueError(
+                        "DELETE expects a node, relationship or path")
             hidden = planner.sym("del")
             ctx.df = ctx.df.withColumn(hidden, col)
             ctx.vars[hidden] = VarInfo(kind)

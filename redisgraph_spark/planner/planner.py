@@ -80,6 +80,33 @@ def _walk(e):
                                 yield from _walk(x)
 
 
+def _tail_ref_names(clauses) -> set | None:
+    """Variables referenced by the given (later) clauses, used to decide
+    whether a SET's read-your-writes struct rebuild can be skipped.
+    Returns ``None`` (= "assume everything is referenced") when any
+    clause star-expands (``RETURN *`` / ``WITH *`` carry no Variable
+    nodes). Besides ``A.Variable`` nodes, every string-typed ``var``
+    field counts: ``MapProjection.var`` (``n {.x}``), ``LabelItem.var``
+    (``SET n:Foo`` reads n's row via _matched_rows), and pattern vars
+    (a later MATCH re-binding ``n`` reads the bound struct). Binder
+    vars (list comprehension / reduce / quantifier) are included too —
+    a harmless over-approximation that only keeps a refresh alive."""
+    refs: set = set()
+    for cl in clauses:
+        for n in _walk(cl):
+            if getattr(n, "star", False):
+                return None
+            if isinstance(n, A.Variable):
+                refs.add(n.name)
+            v = getattr(n, "var", None)
+            if isinstance(v, str):
+                refs.add(v)
+            acc = getattr(n, "acc", None)
+            if isinstance(acc, str):
+                refs.add(acc)
+    return refs
+
+
 def _has_agg(e: A.Expr) -> bool:
     for n in _walk(e):
         if isinstance(n, A.CountStar):
@@ -192,6 +219,11 @@ class CypherPlanner:
             .select(F.lit(0).alias("__unit"))
 
     def _node_scan(self, labels: list[str] | None) -> tuple[DataFrame, tuple[str, ...]]:
+        # (n:A:A) is the same constraint as (n:A) — dedupe before the
+        # conjunction check so a repeated label on a single-label graph
+        # doesn't collapse to lit(False) (round-7 advice)
+        if labels:
+            labels = list(dict.fromkeys(labels))
         flat = self.graph.nodes(labels if labels else None)
         if labels and len(labels) > 1:
             # (n:A:B) is a CONJUNCTION — the node must carry every
@@ -390,9 +422,7 @@ class CypherPlanner:
             # variables referenced by LATER clauses: a SET's
             # read-your-writes struct rebuild is only needed for these
             # (a trailing SET with no RETURN skips it entirely)
-            self._tail_refs = {
-                n.name for cl in merged[ci + 1:] for n in _walk(cl)
-                if isinstance(n, A.Variable)}
+            self._tail_refs = _tail_ref_names(merged[ci + 1:])
             if isinstance(clause, A.MatchClause):
                 self._clause_match(ctx, clause)
             elif isinstance(clause, A.UnwindClause):
@@ -1510,15 +1540,38 @@ class CypherPlanner:
             mcomp = self.compiler(mctx)
             for cj in mixed:
                 cond = cond & mcomp.compile(cj).cast("boolean")
-        # bounded branch (no var-len expansion) → small-mode broadcast
-        # hint; with AQE gated off nothing else upgrades this left join
-        # from sort-merge (the branch's static size estimate is
-        # join-output-sized, far past any broadcast threshold)
-        varlen = any(isinstance(el, A.RelPattern)
-                     and el.min_hops is not None
-                     for path in clause.paths for el in path.elements)
-        if not varlen:
-            sub_df = self._hint_small(sub_df)
+        # bounded branch → small-mode broadcast hint; with AQE gated
+        # off nothing else upgrades this left join from sort-merge (the
+        # branch's static size estimate is join-output-sized, far past
+        # any broadcast threshold). A multi-hop branch's OUTPUT is NOT
+        # bounded by graph input size (round-7 advice: 256MB input can
+        # join out to a multi-GB branch and broadcast hints bypass size
+        # thresholds) — so the hint requires a provable row bound:
+        # 0 hops ⇒ ≤ node count of the scanned labels; 1 fixed hop off
+        # a unique scan ⇒ ≤ edge count of the hop's types (each output
+        # row consumes a distinct edge); ≥2 hops or var-len or missing
+        # statistics ⇒ no hint.
+        rels = [el for path in clause.paths for el in path.elements
+                if isinstance(el, A.RelPattern)]
+        bound: int | None = None
+        if not rels:
+            first_nodes = [path.elements[0] for path in clause.paths
+                           if path.elements]
+            if len(first_nodes) == 1:
+                labels = first_nodes[0].labels or None
+                bound = self._stat_peek("n", list(labels) if labels
+                                        else None)
+        elif len(rels) == 1 and rels[0].min_hops is None:
+            bound = self._stat_peek(
+                "e", list(rels[0].types) if rels[0].types else None)
+        if bound is not None:
+            def _leaves(dt) -> int:
+                fields = getattr(dt, "fields", None)
+                if fields is None:
+                    return 1
+                return sum(_leaves(f.dataType) for f in fields)
+            if bound * 12 * _leaves(sub_df.schema) <= 64 * 1024 * 1024:
+                sub_df = self._hint_small(sub_df)
         ctx.df = ctx.df.join(sub_df, cond, "left").drop(*renames.values())
         if "__unit" in ctx.df.columns:
             ctx.df = ctx.df.drop("__unit")

@@ -26,7 +26,7 @@ def inline_df(spark: SparkSession, rows: list[tuple],
     ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
     if not rows:
         return spark.createDataFrame([], ddl)
-    sql = _values_sql(rows, schema)
+    sql = _values_sql(rows, schema, _escaped_literals(spark))
     if sql is not None:
         # one py4j round-trip and a LocalRelation (zero tasks on
         # collect) — the Column-builder below costs ~3 JVM calls per
@@ -42,8 +42,27 @@ def inline_df(spark: SparkSession, rows: list[tuple],
             .select("__r.*"))
 
 
+def _escaped_literals(spark: SparkSession) -> bool:
+    """Whether ``spark.sql.parser.escapedStringLiterals`` is on for this
+    session (user-provided sessions may flip it — round-7 advice: the
+    backslash-escaped rendering silently corrupts data under that conf).
+    Memoized on the session object: inline_df sits on the mutation hot
+    path and a conf read is a py4j round-trip."""
+    cached = getattr(spark, "_rg_escaped_literals", None)
+    if cached is None:
+        cached = str(spark.conf.get(
+            "spark.sql.parser.escapedStringLiterals", "false")) \
+            .lower() == "true"
+        try:
+            spark._rg_escaped_literals = cached
+        except Exception:
+            pass
+    return cached
+
+
 def _values_sql(rows: list[tuple],
-                schema: list[tuple[str, str]]) -> str | None:
+                schema: list[tuple[str, str]],
+                escaped_literals: bool = False) -> str | None:
     """Render ``SELECT ... FROM VALUES`` for plain-scalar rows; None
     when a value needs more than literal rendering (caller falls back
     to the Column builder)."""
@@ -63,6 +82,16 @@ def _values_sql(rows: list[tuple],
         if isinstance(v, str):
             if "\x00" in v:
                 return None          # NUL breaks the SQL literal
+            if escaped_literals:
+                # NO escape sequence exists under this conf (backslash
+                # AND quote-doubling are both literal) — pick the quote
+                # style the data doesn't use; both kinds present →
+                # Column-builder fallback
+                if "'" not in v:
+                    return "'" + v + "'"
+                if '"' not in v:
+                    return '"' + v + '"'
+                return None
             return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
         return None
     simple = {"boolean", "int", "integer", "bigint", "long", "double",

@@ -482,3 +482,23 @@ def test_resultset_max_size(social):
     social.config_set("RESULTSET_MAX_SIZE", -1)
     assert len(social.query("MATCH (p:person) RETURN p.name").collect()) \
         == 10
+
+
+def test_inline_df_escaped_string_literals_conf(spark):
+    # round-7 advice (low): _values_sql must not backslash-escape when
+    # spark.sql.parser.escapedStringLiterals=true (user sessions may
+    # set it) — data would round-trip corrupted
+    from redisgraph_spark.session import inline_df
+    rows = [(r"a\b", "it's"), (r"c:\d\\e", "x''y")]
+    schema = [("a", "string"), ("b", "string")]
+    old = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    try:
+        for conf in ("true", "false"):
+            spark.conf.set("spark.sql.parser.escapedStringLiterals", conf)
+            spark._rg_escaped_literals = None  # drop memo
+            got = sorted(tuple(r) for r in inline_df(
+                spark, rows, schema).collect())
+            assert got == sorted(rows), conf
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", old)
+        spark._rg_escaped_literals = None

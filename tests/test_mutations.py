@@ -413,3 +413,54 @@ def test_unwind_param_batch_cutover_parity(spark):
             {"rows": nodes}).collect()[0]
         assert (got["n"], got["lbl"], got["sp"]) == \
             (n, "X", n * (n - 1)), n
+
+
+# ---------------------------------------------------------------- r8: ADVICE
+# regression tests for _tail_refs under-collection (round-7 advice, high):
+# star expansion, map projections and SET-label items reference variables
+# without producing A.Variable nodes, so the read-your-writes refresh was
+# wrongly skipped.
+
+def test_set_then_return_star(g):
+    got = g.query("MATCH (n:L {name: 'a'}) SET n.v = 99 RETURN *") \
+        .collect()
+    assert len(got) == 1 and got[0]["n"]["v"] == 99
+
+
+def test_set_then_with_star(g):
+    got = rows(g.query(
+        "MATCH (n:L {name: 'a'}) SET n.v = 77 WITH * RETURN n.v AS v"))
+    assert got == [(77,)]
+
+
+def test_set_then_map_projection(g):
+    got = g.query(
+        "MATCH (n:L {name: 'a'}) SET n.v = 55 RETURN n {.name, .v} AS m") \
+        .collect()
+    assert got[0]["m"]["v"] == 55
+
+
+def test_set_prop_then_set_label_persists_new_value(g):
+    # 'SET n.v=.. SET n:Foo' copies the row into the Foo label table via
+    # _matched_rows — it must see the POST-update row
+    g.query("MATCH (n:L {name: 'a'}) SET n.v = 123 SET n:Foo")
+    got = rows(g.query("MATCH (m:Foo) RETURN m.v AS v"))
+    assert got == [(123,)]
+
+
+def test_delete_map_literal_with_id_key_raises(g):
+    # round-7 advice (low): {_id: 1} is a map, not an entity — must be a
+    # type error, not a deletion of node 1
+    with pytest.raises(Exception, match="node, relationship or path"):
+        g.query("WITH 1 AS x DELETE {_id: 1}")
+    with pytest.raises(Exception, match="node, relationship or path"):
+        g.query("MATCH (n:L) DELETE {_id: n._id, _src: 0}")
+    assert g.query("MATCH (n:L) RETURN count(*) AS c") \
+        .collect()[0]["c"] == 2
+
+
+def test_delete_map_literal_entity_value_still_works(g):
+    g.query("MATCH (n:L {name: 'a'}) WITH {key: n} AS m "
+            "DETACH DELETE m.key")
+    got = rows(g.query("MATCH (n:L) RETURN n.name AS n"))
+    assert got == [("b",)]
