@@ -16,9 +16,10 @@ grid-round) lands on bit-identical doubles regardless of engine or
 partitioning. Iteration count is fixed, not convergence-detected.
 
 Scale shape per iteration: two keyed aggregations over the edge list
-(one per direction) + two 1-row L2 norms — the same two-shuffle loop
-as pageRank; state is one (node, score) row per endpoint. Nothing is
-collected to the driver except the two scalar norms.
+(one per direction) + two 1-row L2 norms folded into the lineage as
+broadcast crossJoins — the same two-shuffle loop as pageRank; state is
+one (node, score) row per endpoint. Nothing is collected to the driver
+mid-iteration; each round schedules exactly one job (the checkpoint).
 """
 
 from __future__ import annotations
@@ -47,27 +48,35 @@ def hits(edges: DataFrame, iters: int = 3,
     def _grid(c):
         return F.round(c * grid) / grid
 
+    # the two L2 norms fold into the lineage as 1-row broadcast
+    # crossJoins (round-7 advice: a norm collect is a scheduled job —
+    # 3 iterations cost 6 driver round-trips); arithmetic is unchanged
+    # (same double divided by the same double), so grid-rounded scores
+    # are bit-identical. One checkpoint job per iteration, zero
+    # mid-iteration collects.
     for _ in range(iters):
         # a(v) = Σ_{u→v} h(u)
         a_raw = e.join(scores.select(F.col("node").alias("u"), "hub"),
                        "u") \
             .groupBy("v").agg(F.sum("hub").alias("a"))
-        a_norm = a_raw.agg(
-            F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("n")) \
-            .collect()[0]["n"] or 1.0
-        a_new = a_raw.select(F.col("v").alias("node"),
-                             _grid(F.col("a") / F.lit(float(a_norm)))
-                             .alias("authority"))
+        a_norm = a_raw.agg(F.coalesce(
+            F.when(F.sqrt(F.sum(F.col("a") * F.col("a"))) != 0.0,
+                   F.sqrt(F.sum(F.col("a") * F.col("a")))),
+            F.lit(1.0)).alias("__an"))
+        a_new = a_raw.crossJoin(F.broadcast(a_norm)) \
+            .select(F.col("v").alias("node"),
+                    _grid(F.col("a") / F.col("__an")).alias("authority"))
         # h(u) = Σ_{u→v} a(v) over the NEW authorities
         h_raw = e.join(a_new.select(F.col("node").alias("v"),
                                     "authority"), "v") \
             .groupBy("u").agg(F.sum("authority").alias("h"))
-        h_norm = h_raw.agg(
-            F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("n")) \
-            .collect()[0]["n"] or 1.0
-        h_new = h_raw.select(F.col("u").alias("node"),
-                             _grid(F.col("h") / F.lit(float(h_norm)))
-                             .alias("hub"))
+        h_norm = h_raw.agg(F.coalesce(
+            F.when(F.sqrt(F.sum(F.col("h") * F.col("h"))) != 0.0,
+                   F.sqrt(F.sum(F.col("h") * F.col("h")))),
+            F.lit(1.0)).alias("__hn"))
+        h_new = h_raw.crossJoin(F.broadcast(h_norm)) \
+            .select(F.col("u").alias("node"),
+                    _grid(F.col("h") / F.col("__hn")).alias("hub"))
         scores = nodes.join(h_new, "node", "left") \
             .join(a_new, "node", "left") \
             .select("node",

@@ -22,10 +22,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 20,
     """nodes: (_id), edges: (_src,_dst) → (_id, score).
 
     Converges early when the L1 delta between iterations drops below
-    `tol` (LAGraph's pagerank stops on the same criterion); the delta
-    and the next iteration's dangling mass come from ONE 1-row
-    aggregate per iteration, so each iteration costs exactly two jobs
-    (checkpoint + stats collect).
+    `tol` (LAGraph's pagerank stops on the same criterion). The state
+    carries the previous score and a dangling flag so the per-round
+    delta + dangling mass are ONE zero-join single-stage scan of the
+    cached checkpoint (measured faster than both the old two-join
+    stats job and a fully in-lineage broadcast-crossJoin fold).
 
     ``restart_ids`` switches to PERSONALIZED PageRank: the teleport
     (and dangling-mass) distribution becomes uniform over the given
@@ -59,34 +60,47 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iterations: int = 20,
         deg, nodes["_id"] == deg["_src"], "left_anti") \
         .withColumn("__dang", F.lit(1)) \
         .localCheckpoint(eager=True)
-    # dangling-node mass is teleported uniformly (LAGraph-style)
-    d_mass = ranks.join(dangling, "_id").agg(
-        F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
+    # dangling-node mass is teleported uniformly (LAGraph-style).
+    # Iteration-stats shape (round-7 advice, then measured): the state
+    # carries the previous score and a dangling flag, so the per-round
+    # dangling mass + convergence delta are ONE single-stage scan of
+    # the cached checkpoint — no joins, no recompute. (The fully
+    # in-lineage variant — 1-row broadcast crossJoins — was built and
+    # MEASURED SLOWER: two nested broadcast-exchange builds per
+    # iteration cost 8-28s over 20 rounds vs ~0.1s/round for a cached
+    # single-stage collect; see COVERAGE.md r8 notes.)
+    ranks = nodes.select("_id") \
+        .join(dangling.select("_id", "__dang"), "_id", "left") \
+        .select("_id", F.lit(base).alias("score"),
+                F.lit(None).cast("double").alias("__prev"),
+                (F.col("__dang") == 1).alias("__dang"))
+    d_mass = base * (dangling.count())
     for _ in range(iterations):
         contrib = e.join(ranks, e["_src"] == ranks["_id"], "inner") \
             .select(F.col("_dst").alias("_id"),
                     (F.col("score") / F.col("__deg")).alias("c"))
         sums = contrib.groupBy("_id").agg(F.sum("c").alias("s"))
-        new_ranks = nodes.select("_id").join(sums, "_id", "left").select(
-            F.col("_id"),
-            (F.lit((1 - damping) * base)
-             + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0.0))
-                                 + F.lit(d_mass * base))
-             ).alias("score")) \
+        ranks = ranks.select("_id", F.col("score").alias("__old"),
+                             "__dang") \
+            .join(sums, "_id", "left") \
+            .select(
+                "_id",
+                (F.lit((1 - damping) * base)
+                 + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0.0))
+                                     + F.lit(d_mass * base))
+                 ).alias("score"),
+                F.col("__old").alias("__prev"),
+                "__dang") \
             .localCheckpoint(eager=True)
-        stats = new_ranks \
-            .join(ranks.withColumnRenamed("score", "__old"), "_id") \
-            .join(dangling.select("_id", "__dang"), "_id", "left") \
-            .agg(F.sum(F.abs(F.col("score") - F.col("__old")))
-                 .alias("delta"),
-                 F.coalesce(F.sum(F.when(F.col("__dang") == 1,
-                                         F.col("score"))), F.lit(0.0))
-                 .alias("dmass")).collect()[0]
-        ranks = new_ranks
+        stats = ranks.agg(
+            F.sum(F.abs(F.col("score") - F.col("__prev")))
+            .alias("delta"),
+            F.coalesce(F.sum(F.when(F.col("__dang"), F.col("score"))),
+                       F.lit(0.0)).alias("dmass")).collect()[0]
         d_mass = stats["dmass"]
         if stats["delta"] is not None and stats["delta"] < tol:
             break
-    return ranks
+    return ranks.select("_id", "score")
 
 
 def _pagerank_personalized(nodes: DataFrame, edges: DataFrame,
@@ -123,34 +137,44 @@ def _pagerank_personalized(nodes: DataFrame, edges: DataFrame,
         deg, rv["_id"] == deg["_src"], "left_anti") \
         .withColumn("__dang", F.lit(1)) \
         .localCheckpoint(eager=True)
-    d_mass = ranks.join(dangling, "_id").agg(
-        F.coalesce(F.sum("score"), F.lit(0.0))).collect()[0][0]
+    # same iteration-stats shape as the uniform path (see the measured
+    # note there): state carries (score, prev, restart, dangling flag);
+    # per-round stats are ONE single-stage cached scan, no joins
     one_minus_d = 1.0 - damping
+    ranks = rv.join(dangling.select("_id", "__dang"), "_id", "left") \
+        .select("_id", F.col("__r").alias("score"), "__r",
+                F.lit(None).cast("double").alias("__prev"),
+                (F.col("__dang") == 1).alias("__dang"))
+    d_mass = ranks.agg(F.coalesce(
+        F.sum(F.when(F.col("__dang"), F.col("score"))),
+        F.lit(0.0))).collect()[0][0]
     for _ in range(iterations):
         contrib = e.join(ranks, e["_src"] == ranks["_id"], "inner") \
             .select(F.col("_dst").alias("_id"),
                     (F.col("score") / F.col("__deg")).alias("c"))
         sums = contrib.groupBy("_id").agg(F.sum("c").alias("s"))
-        new_ranks = rv.join(sums, "_id", "left").select(
-            F.col("_id"),
-            (F.lit(one_minus_d) * F.col("__r")
-             + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0.0))
-                                 + F.lit(float(d_mass)) * F.col("__r"))
-             ).alias("score")) \
+        ranks = ranks.select("_id", F.col("score").alias("__old"),
+                             "__r", "__dang") \
+            .join(sums, "_id", "left") \
+            .select(
+                "_id",
+                (F.lit(one_minus_d) * F.col("__r")
+                 + F.lit(damping) * (F.coalesce(F.col("s"), F.lit(0.0))
+                                     + F.lit(float(d_mass))
+                                     * F.col("__r"))
+                 ).alias("score"),
+                F.col("__old").alias("__prev"),
+                "__r", "__dang") \
             .localCheckpoint(eager=True)
-        stats = new_ranks \
-            .join(ranks.withColumnRenamed("score", "__old"), "_id") \
-            .join(dangling.select("_id", "__dang"), "_id", "left") \
-            .agg(F.sum(F.abs(F.col("score") - F.col("__old")))
-                 .alias("delta"),
-                 F.coalesce(F.sum(F.when(F.col("__dang") == 1,
-                                         F.col("score"))), F.lit(0.0))
-                 .alias("dmass")).collect()[0]
-        ranks = new_ranks
+        stats = ranks.agg(
+            F.sum(F.abs(F.col("score") - F.col("__prev")))
+            .alias("delta"),
+            F.coalesce(F.sum(F.when(F.col("__dang"), F.col("score"))),
+                       F.lit(0.0)).alias("dmass")).collect()[0]
         d_mass = stats["dmass"]
         if stats["delta"] is not None and stats["delta"] < tol:
             break
-    return ranks
+    return ranks.select("_id", "score")
 
 
 def pagerank_proc(planner, args: list[A.Expr]):
