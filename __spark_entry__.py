@@ -3612,30 +3612,17 @@ PIPELINE_QUERIES: dict[str, tuple[Callable, str | None]] = {
 # Entries whose underlying code paths changed in the CURRENT round —
 # maintained by hand each round so behavior changes are re-verified
 # before already-green unaffected entries are refreshed.
-_FORCE_FRONT = [
-    # round 7: entries whose code paths changed THIS round only — the
-    # r5/r6 pins all carry green r6 driver rows now, so they rotate on
-    # staleness like everything else.  Changed in r7: the three oracle
-    # BIGINT casts; the mutation commit fast path; the vectorized
-    # winnowing route; the var-len hop-1 frontier cache; the durable
-    # streaming near-dup signature index; the anomaly z-grid rounding;
-    # the >1024-row UNWIND struct-classification parity; the simhash/
-    # minhash recall-superset assertions.
-    "q_unwind_param_batch", "p_vocab_stats", "p_gopher_quality",
-    "q_mutation_roundtrip", "p_winnow", "q_var_len",
-    "p_stream_neardup", "p_value_anomalies",
-    "p_simhash", "p_minhash_verified", "p_cosine_topk_pq",
-    # new in r7: BM25 scoring, char-entropy signals, hash train-split,
-    # algo.kCore, algo.SSSP
-    "p_bm25", "p_char_entropy", "p_train_split", "q_kcore", "q_sssp",
-    "q_hits", "q_ppr", "p_embedding_outliers", "p_zipf", "p_pmi",
-    "p_containment", "q_closeness", "q_node_sim",
-    # late-r7 performance batch: fixed-point revenue formulation
-    # (entry+oracle changed), id-only optional endpoints + small-mode
-    # broadcast hints, count(entity)→count(_id) pruning rewrite
-    "q_two_hop_revenue", "q_two_hop_bucketed", "q_optional_match",
-    "q_null_handling", "q_degree", "q_semi_apply", "q_anti_semi_apply",
-    "q_apply_multiplexer", "q_betweenness", "p_stream_join", "q_random_walk",
+_FORCE_FRONT: list = [
+    # round 8: deliberately EMPTY. 49 entries entered r8 with their
+    # last driver row from r5 or earlier while the driver caps the
+    # sample at 50 — forcing r8-changed entries to the front would
+    # keep part of that backlog stale for another round. The r8 code
+    # changes (pageRank/HITS iteration-stats shape, SET read-your-
+    # writes tail refs, DELETE target typing, OPTIONAL MATCH hint
+    # bounds) are all covered by r7-green rows plus this round's
+    # recorded full 137-entry check_contract runs (small-mode AND
+    # --gate-open); rotating the 49 stale entries through the driver
+    # leaves every entry with a driver row from r6+ after this round.
 ]
 
 

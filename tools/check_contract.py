@@ -7,14 +7,24 @@ name, rows sorted, floats rounded to 9 significant digits).
 
 Usage:
     python tools/check_contract.py [query_name ...] [--sf DIR]
+                                   [--gate-open]
+
+``--gate-open`` forces the cluster-scale execution path
+(SPARK_GRAFT_ADAPTIVE_MIN_BYTES=0: AQE on, no planner broadcast
+hints, no literal rewrites) regardless of input size — the plan shape
+a 100 TB deployment runs. Must be handled before the engine import.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
+
+if "--gate-open" in sys.argv:
+    os.environ["SPARK_GRAFT_ADAPTIVE_MIN_BYTES"] = "0"
 
 sys.path.insert(0, "/root/repo")
 
@@ -74,6 +84,8 @@ def main() -> int:
         elif a == "--sf" and i + 1 < len(argv):
             sf_dir = argv[i + 1]
             i += 1
+        elif a == "--gate-open":
+            pass  # consumed at import time above
         elif not a.startswith("--"):
             args.append(a)
         i += 1
