@@ -464,3 +464,81 @@ def test_delete_map_literal_entity_value_still_works(g):
             "DETACH DELETE m.key")
     got = rows(g.query("MATCH (n:L) RETURN n.name AS n"))
     assert got == [("b",)]
+
+
+# ------------------------------------------------------- r8: tiny fast paths
+@pytest.fixture()
+def gt(spark):
+    """Graph with count hints so tables are tiny-tracked — exercises the
+    driver-side SET/DELETE rewrites (_set_tiny_fast/_delete_tiny_fast)."""
+    from redisgraph_spark import Graph
+    nodes = {
+        "L": spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            ["_id", "name", "v"]),
+        "M": spark.createDataFrame([(9, "z")], ["_id", "name"]),
+    }
+    edges = {
+        "R": spark.createDataFrame(
+            [(100, 1, 2), (101, 2, 3), (102, 3, 9)],
+            ["_id", "_src", "_dst"]),
+    }
+    return Graph(spark, nodes, edges,
+                 count_hints={("n", "L"): 3, ("n", "M"): 1, ("e", "R"): 3})
+
+
+def test_tiny_set_fast_path(gt):
+    assert ("node", "L") in gt._tiny_tables
+    gt.query("MATCH (n:L {name: 'a'}) SET n.v = 99")
+    assert gt.last_stats.get("properties_set") == 1
+    got = dict(rows(gt.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    assert got == {"a": 99, "b": 20, "c": 30}
+    # widening: int column takes a float value → whole column double
+    gt.query("MATCH (n:L {name: 'b'}) SET n.v = 1.5")
+    got = dict(rows(gt.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    assert got == {"a": 99.0, "b": 1.5, "c": 30.0}
+    # new property: others read NULL
+    gt.query("MATCH (n:L {name: 'c'}) SET n.extra = 'x'")
+    got = dict(rows(gt.query("MATCH (n:L) RETURN n.name AS n, n.extra AS e")))
+    assert got == {"a": None, "b": None, "c": "x"}
+    # SET NULL removes the value, keeps the column
+    gt.query("MATCH (n:L {name: 'a'}) SET n.v = NULL")
+    got = dict(rows(gt.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    assert got == {"a": None, "b": 1.5, "c": 30.0}
+
+
+def test_tiny_set_variant_mixture_falls_back(gt, spark):
+    # str value into int column → heterogeneous-type semantics must go
+    # through the distributed path; behavior must match a graph with no
+    # tiny tracking at all
+    from redisgraph_spark import Graph
+    plain = Graph(spark, {"L": spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        ["_id", "name", "v"])}, {})
+    for g_ in (gt, plain):
+        g_.query("MATCH (n:L {name: 'a'}) SET n.v = 'str'")
+    got = dict(rows(gt.query("MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    want = dict(rows(plain.query(
+        "MATCH (n:L) RETURN n.name AS n, n.v AS v")))
+    assert got["a"] == "str" and got == want
+
+
+def test_tiny_delete_node_cascades(gt):
+    gt.query("MATCH (n:L {name: 'b'}) DETACH DELETE n")
+    assert gt.last_stats.get("nodes_deleted") == 1
+    assert gt.last_stats.get("relationships_deleted") == 2
+    got = rows(gt.query("MATCH (x)-[r:R]->(y) RETURN x.name AS x, y.name AS y"))
+    assert got == [("c", "z")]
+
+
+def test_tiny_delete_edge(gt):
+    gt.query("MATCH (:L {name: 'a'})-[r:R]->() DELETE r")
+    assert gt.last_stats.get("relationships_deleted") == 1
+    assert gt.query("MATCH ()-[r:R]->() RETURN count(*) AS c") \
+        .collect()[0]["c"] == 2
+
+
+def test_tiny_set_read_your_writes(gt):
+    got = rows(gt.query(
+        "MATCH (n:L {name: 'a'}) SET n.v = 7 RETURN n.v AS v"))
+    assert got == [(7,)]
