@@ -206,8 +206,39 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
     total = sum(plan_input_bytes(df)
                 for df in list(nodes.values()) + list(edges.values()))
     if total < _ADAPTIVE_MIN_BYTES:
-        for df in list(nodes.values()) + list(edges.values()):
-            df.persist()
+        # tiny dimension tables (footer-known ≤512 plain-scalar rows)
+        # become inline VALUES relations at build time — the driver
+        # row-store analog of the reference's DataBlocks. Every scan
+        # and every mutation fast path over them then folds to a
+        # LocalTableScan (zero scheduled jobs); one capped collect per
+        # table per PROCESS (the build cache shares the result across
+        # Graph instances). At cluster scale the gate is open and this
+        # block never runs.
+        from redisgraph_spark.session import INLINE_TYPES, inline_df
+        inlined: set = set()
+        for tabs, kind in ((nodes, "n"), (edges, "e")):
+            for nm, df in list(tabs.items()):
+                cnt = count_hints.get((kind, nm))
+                if cnt is None or cnt > 512:
+                    continue
+                if any(f.dataType.simpleString() not in INLINE_TYPES
+                       or f.dataType.simpleString() in ("date",
+                                                        "timestamp")
+                       for f in df.schema.fields):
+                    continue
+                rows = df.limit(513).collect()
+                if len(rows) <= 512:
+                    schema = [(f.name, f.dataType.simpleString())
+                              for f in df.schema.fields]
+                    tabs[nm] = inline_df(
+                        spark, [tuple(r) for r in rows], schema)
+                    inlined.add((kind, nm))
+        for tabs, kind in ((nodes, "n"), (edges, "e")):
+            for nm, df in tabs.items():
+                # persisting an inline relation would wrap it in an
+                # InMemoryRelation and break the LocalTableScan fold
+                if (kind, nm) not in inlined:
+                    df.persist()
     from collections import OrderedDict
     plans: OrderedDict = OrderedDict()
     _BUILD_CACHE[key] = (nodes, edges, count_hints, plans)

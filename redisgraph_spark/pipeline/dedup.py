@@ -643,7 +643,6 @@ def semdedup(emb: DataFrame, threshold: float = 0.45, nlist: int = 8,
         return vecs.select(F.col(id_col),
                            F.lit(0).cast("bigint").alias("list_id"),
                            F.lit(True).alias("kept")).limit(0)
-    dim = len(seed_rows[0]["__v"])
     centroids = inline_df(
         spark,
         [(i, [float(x) for x in r["__v"]])
@@ -660,13 +659,10 @@ def semdedup(emb: DataFrame, threshold: float = 0.45, nlist: int = 8,
                                       F.col("center"))) \
             .withColumn("__rk", F.row_number().over(w)) \
             .filter(F.col("__rk") == 1).select(id_col, "list_id", "__v")
-        new_c = assign.groupBy("list_id").agg(
-            *[(F.round(F.avg(F.element_at(F.col("__v"), i + 1)) * grid)
-               / grid).alias(f"d{i}") for i in range(dim)])
-        centroids = new_c.select(
-            "list_id",
-            F.array(*[F.col(f"d{i}") for i in range(dim)])
-            .alias("center")).localCheckpoint(eager=True)
+        from redisgraph_spark.pipeline.similarity import centroid_means
+        centroids = centroid_means(assign, ["list_id"], "__v",
+                                   round_grid=grid) \
+            .localCheckpoint(eager=True)
     clustered = vecs.crossJoin(F.broadcast(centroids)) \
         .withColumn("__sim", sim9(F.col("__v"), F.col("center"))) \
         .withColumn("__rk", F.row_number().over(w)) \

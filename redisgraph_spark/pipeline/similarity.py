@@ -119,6 +119,28 @@ def _planes(dim: int, nbits: int, seed: int) -> list[list[float]]:
     return planes
 
 
+def centroid_means(assign: DataFrame, keys: list[str], vec_col: str,
+                   round_grid: float | None = None) -> DataFrame:
+    """Per-key mean vector for Lloyd re-estimation, keyed by
+    (keys…, dimension-index) via posexplode — the plan is O(1) in
+    vector dimension. (The previous shape built one agg column per
+    dimension: at production embedding dims (768–1536) × nlist that
+    explodes plan/codegen size — round-7 advice.) Output columns:
+    *keys, ``center`` (array<double>, dimension order restored by an
+    array_sort on the index)."""
+    mean = F.avg(F.col("__x"))
+    if round_grid:
+        mean = F.round(mean * round_grid) / round_grid
+    per_dim = assign.select(
+        *keys, F.posexplode(F.col(vec_col)).alias("__d", "__x")) \
+        .groupBy(*keys, "__d").agg(mean.alias("__m"))
+    return per_dim.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("__d"),
+                                                 F.col("__m")))),
+            lambda s: s.getField("__m")).alias("center"))
+
+
 def ivf_build(emb: DataFrame, nlist: int = 16, iters: int = 3,
               id_col: str = "vec_id", vec_col: str = "embedding"
               ) -> tuple[DataFrame, DataFrame]:
@@ -156,14 +178,8 @@ def ivf_build(emb: DataFrame, nlist: int = 16, iters: int = 3,
             F.col("__sim").desc(), F.col("list_id").asc())
         assign = scored.withColumn("__rk", F.row_number().over(w)) \
             .filter(F.col("__rk") == 1).select(id_col, "list_id", vec_col)
-        dim_idx = list(range(len(init[0])))
-        new_c = assign.groupBy("list_id").agg(
-            *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}")
-              for i in dim_idx])
-        centroids = new_c.select(
-            "list_id",
-            F.array(*[F.col(f"d{i}") for i in dim_idx]).alias("center"))
-        centroids = centroids.localCheckpoint(eager=True)
+        centroids = centroid_means(assign, ["list_id"], vec_col) \
+            .localCheckpoint(eager=True)
     scored = emb.crossJoin(F.broadcast(centroids)) \
         .withColumn("__sim", cosine_sim(F.col(vec_col), F.col("center")))
     w = Window.partitionBy(id_col).orderBy(
@@ -270,12 +286,8 @@ def pq_build(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 3,
 
     for _ in range(iters):
         a = assign(centroids)
-        new_c = a.groupBy("__sub", "__code").agg(
-            *[F.avg(F.element_at(F.col("__sv"), i + 1)).alias(f"d{i}")
-              for i in range(dsub)]) \
-            .select("__sub", "__code",
-                    F.array(*[F.col(f"d{i}")
-                              for i in range(dsub)]).alias("__newc"))
+        new_c = centroid_means(a, ["__sub", "__code"], "__sv") \
+            .withColumnRenamed("center", "__newc")
         centroids = centroids.join(new_c, ["__sub", "__code"], "left") \
             .select("__sub", "__code",
                     F.coalesce(F.col("__newc"), F.col("__center"))

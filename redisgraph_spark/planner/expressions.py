@@ -24,6 +24,12 @@ from redisgraph_spark.cypher import ast as A
 
 _NUMERIC_INT = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 
+# sentinel for "type not statically known — probe the JVM"
+_UNSET = object()
+# (applicationId, empty probe frame) per schema JSON — shared across
+# compiler instances so repeated queries don't re-pay createDataFrame
+_PROBE_DFS: dict[str, tuple] = {}
+
 
 class VarInfo:
     """What a bound Cypher variable is: node/edge struct, path struct, or
@@ -123,14 +129,47 @@ class ExprCompiler:
         DataFrame with the in-scope schema — the accumulated join plan
         is analyzed once (df.schema is cached by Spark); each probe then
         costs a one-node plan analysis instead of re-analyzing the whole
-        query subtree."""
+        query subtree. Probe frames are cached per schema across
+        compiler instances (one createDataFrame is ~30ms of py4j — a
+        5-query mutation script builds a compiler per clause)."""
         df = self.df
         if df is None:
             raise CompileError("no DataFrame in scope for type probing")
         if self._probe_df is None:
-            self._probe_df = df.sparkSession.createDataFrame(
-                [], df.schema)
+            key = df.schema.json()
+            cached = _PROBE_DFS.get(key)
+            if cached is None or cached[0] != \
+                    df.sparkSession.sparkContext.applicationId:
+                cached = (df.sparkSession.sparkContext.applicationId,
+                          df.sparkSession.createDataFrame([], df.schema))
+                _PROBE_DFS[key] = cached
+                if len(_PROBE_DFS) > 256:
+                    _PROBE_DFS.pop(next(iter(_PROBE_DFS)))
+            self._probe_df = cached[1]
         return self._probe_df.select(col.alias("_t")).schema[0].dataType
+
+    def static_dtype(self, e) -> "T.DataType | object":
+        """Plan-time type of a literal/parameter AST node without a JVM
+        probe; ``_UNSET`` = unknown (caller falls back to probing)."""
+        if isinstance(e, A.Literal):
+            v = e.value
+        elif isinstance(e, A.Parameter):
+            if e.name not in self.params:
+                return _UNSET
+            v = self.params[e.name]
+        else:
+            return _UNSET
+        if v is None:
+            return T.NullType()
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        return _UNSET
 
     def _is_string(self, col: Column) -> bool:
         try:
@@ -141,6 +180,15 @@ class ExprCompiler:
     def _is_array(self, col: Column) -> bool:
         try:
             return isinstance(self.dtype(col), T.ArrayType)
+        except Exception:
+            return False
+
+    @staticmethod
+    def _variant_of_dt(dt) -> bool:
+        """is_variant_type over a statically-known DataType (no probe)."""
+        from .variant import is_variant_type
+        try:
+            return is_variant_type(dt)
         except Exception:
             return False
 
@@ -812,13 +860,18 @@ class ExprCompiler:
         assert out is not None
         return out
 
-    def _typed_cmp(self, left: Column, right: Column, op: str) -> Column:
+    def _typed_cmp(self, left: Column, right: Column, op: str,
+                   ldt=_UNSET, rdt=_UNSET) -> Column:
         """Comparison with Cypher cross-type semantics: disjoint type
         classes are allowed for = / <> (never equal — AR_EQ/AR_NE,
         boolean_funcs.c:143-163) but a type-mismatch error for ordering
         (AR_LT et al., boolean_funcs.c:77-136); null operands stay
-        null-propagating."""
-        lc, rc = self._cmp_class(left), self._cmp_class(right)
+        null-propagating. ``ldt``/``rdt``: statically-known operand
+        DataTypes — each one supplied skips a JVM type probe."""
+        lc = self._class_of_dt(ldt) if ldt is not _UNSET \
+            else self._cmp_class(left)
+        rc = self._class_of_dt(rdt) if rdt is not _UNSET \
+            else self._cmp_class(right)
         nullb = F.lit(None).cast("boolean")
         if lc is not None and rc is not None and lc != rc:
             if op == "=":
@@ -832,7 +885,9 @@ class ExprCompiler:
         if lc == "array" and rc == "array" and op in ("=", "<>"):
             try:
                 eq = self._array_eq_typed(
-                    left, right, self.dtype(left), self.dtype(right))
+                    left, right,
+                    ldt if ldt is not _UNSET else self.dtype(left),
+                    rdt if rdt is not _UNSET else self.dtype(right))
             except Exception:
                 eq = self._array_eq(left, right)
             return eq if op == "=" else \
@@ -845,7 +900,9 @@ class ExprCompiler:
         if lc == "map" and rc == "map" and op in ("=", "<>"):
             try:
                 eq = self._map_eq_typed(
-                    left, right, self.dtype(left), self.dtype(right))
+                    left, right,
+                    ldt if ldt is not _UNSET else self.dtype(left),
+                    rdt if rdt is not _UNSET else self.dtype(right))
             except Exception:
                 eq = left == right
             return eq if op == "=" else \
@@ -861,10 +918,10 @@ class ExprCompiler:
             # sort/join convention), so float-typed operands take an
             # isnan-guarded path. Null keeps ternary behavior.
             nan_terms = []
-            for side in (left, right):
+            for side, sdt in ((left, ldt), (right, rdt)):
                 try:
-                    if isinstance(self.dtype(side),
-                                  (T.DoubleType, T.FloatType)):
+                    dt = sdt if sdt is not _UNSET else self.dtype(side)
+                    if isinstance(dt, (T.DoubleType, T.FloatType)):
                         nan_terms.append(F.isnan(side))
                 except Exception:
                     pass
@@ -891,14 +948,23 @@ class ExprCompiler:
             return left > right
         return left >= right
 
-    def prop_eq(self, field_col: Column, value_col: Column) -> Column:
+    def prop_eq(self, field_col: Column, value_col: Column,
+                field_dt=_UNSET, value_dt=_UNSET) -> Column:
         """Pattern-property equality ``{k: v}`` — variant union columns
         dispatch per value; plain columns use the cross-type ternary
         rules (a disjoint-class probe like {nm: true} against a string
-        column is FALSE, never a runtime cast — fuzz finding)."""
-        if self._is_variant(field_col) or self._is_variant(value_col):
+        column is FALSE, never a runtime cast — fuzz finding).
+        ``field_dt``/``value_dt``: statically-known DataTypes (from the
+        scanned table's schema / a literal AST) — each skips the JVM
+        type probes entirely on the plan-construction hot path."""
+        fv = self._variant_of_dt(field_dt) if field_dt is not _UNSET \
+            else self._is_variant(field_col)
+        vv = self._variant_of_dt(value_dt) if value_dt is not _UNSET \
+            else self._is_variant(value_col)
+        if fv or vv:
             return self._variant_cmp(field_col, value_col, "=")
-        return self._typed_cmp(field_col, value_col, "=")
+        return self._typed_cmp(field_col, value_col, "=",
+                               ldt=field_dt, rdt=value_dt)
 
     def _variant_cmp(self, l: Column, r: Column, op: str) -> Column:
         """Comparison with at least one variant side: same-type payloads

@@ -46,8 +46,7 @@ def _alloc_block() -> int:
     return _BLOCK_BASE + next(_block_counter) * _BLOCK_STRIDE
 
 
-_INLINE_TYPES = {"bigint", "int", "smallint", "tinyint", "double",
-                 "float", "string", "boolean", "date", "timestamp"}
+from redisgraph_spark.session import INLINE_TYPES as _INLINE_TYPES
 
 
 def _materialize_small(spark, df: DataFrame, cap: int = 1024
@@ -93,6 +92,16 @@ def _tiny_rows(g, kind: str, name: str, tbl: DataFrame) -> list | None:
     if len(rows) > 512:
         g._tiny_tables.discard((kind, name))
         return None
+    # swap the collected rows back in as an inline VALUES relation so
+    # every LATER touch of this table (scans, the next mutation's
+    # collects) folds to a LocalTableScan — callers that mutated the
+    # rows overwrite this swap immediately after
+    from redisgraph_spark.session import inline_df
+    tables = g.node_tables if kind == "node" else g.edge_tables
+    schema = [(f.name, f.dataType.simpleString())
+              for f in tbl.schema.fields]
+    tables[name] = inline_df(g.spark, [tuple(r) for r in rows], schema)
+    g._rewrite_depth[(kind, name)] = 0
     return rows
 
 
@@ -239,6 +248,57 @@ def _widen_numeric(a, b) -> str:
     integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     return "bigint" if isinstance(a, integral) \
         and isinstance(b, integral) else "double"
+
+
+def _append_tiny(g, kind: str, name: str, row_dicts: list[dict]) -> bool:
+    """CREATE-append for a tiny-tracked table, done driver-side: old
+    rows + pending rows merge in Python and an inline VALUES relation
+    swaps in, so the committed table stays a LocalRelation (a lazy
+    Union would break the LocalTableScan fold every later touch relies
+    on). Returns False for anything outside the plain-scalar envelope
+    or when the merged table outgrows the tiny cap — caller keeps the
+    distributed _union_into path."""
+    tables = g.node_tables if kind == "node" else g.edge_tables
+    tbl = tables.get(name)
+    if tbl is None or (kind, name) not in getattr(g, "_tiny_tables",
+                                                  set()):
+        return False
+    # per-column types of the pending values
+    new_types: dict[str, set] = {}
+    for d in row_dicts:
+        for k, v in d.items():
+            t = _py_scalar_type(v)
+            if t == "unsupported":
+                return False
+            if t is not None:
+                new_types.setdefault(k, set()).add(t)
+    old = _tiny_rows(g, kind, name, tbl)
+    if old is None:
+        return False
+    if len(old) + len(row_dicts) > 512:
+        g._tiny_tables.discard((kind, name))
+        return False
+    schema = [(f.name, f.dataType.simpleString())
+              for f in tbl.schema.fields]
+    names = [n for n, _ in schema]
+    for d in row_dicts:
+        for k in d:
+            if k not in names:
+                names.append(k)
+                schema.append((k, None))
+    final_schema = []
+    for n, t in schema:
+        ft = _widen_sql(t, new_types.get(n, set()))
+        if ft is None:
+            return False           # str/num conflict → variant path
+        final_schema.append((n, ft))
+    merged = [tuple(r[n] if n in r.__fields__ else None for n in names)
+              for r in old]
+    merged += [tuple(d.get(n) for n in names) for d in row_dicts]
+    from redisgraph_spark.session import inline_df
+    tables[name] = inline_df(g.spark, merged, final_schema)
+    g._rewrite_depth[(kind, name)] = 0
+    return True
 
 
 def _union_into(tbl: DataFrame | None, rows: DataFrame) -> DataFrame:
@@ -423,6 +483,8 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             g._multilabel = True
     for label, rows in by_label.items():
         for group in _type_groups(rows):
+            if _append_tiny(g, "node", label, group):
+                continue
             df = inline_rows_df(spark, group)
             if df is None:
                 df = spark.createDataFrame(group)
@@ -451,6 +513,8 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             i += 2
     for rtype, rows in edge_rows.items():
         for group in _type_groups(rows):
+            if _append_tiny(g, "edge", rtype, group):
+                continue
             df = inline_rows_df(spark, group)
             if df is None:
                 df = spark.createDataFrame(group)

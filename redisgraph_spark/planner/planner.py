@@ -34,8 +34,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from redisgraph_spark.cypher import ast as A
-from redisgraph_spark.planner.expressions import (CompileError, ExprCompiler,
-                                                  VarInfo)
+from redisgraph_spark.planner.expressions import (_UNSET, CompileError,
+                                                  ExprCompiler, VarInfo)
+
+
+def _field_dt(frame, field):
+    """DataType of a scanned frame's column from its (py-side cached)
+    schema — a free plan-time type hint for prop_eq; _UNSET when the
+    frame/field can't resolve without a probe."""
+    try:
+        return frame.schema[field].dataType
+    except Exception:
+        return _UNSET
 from redisgraph_spark.algorithms import traversal as TRAV
 
 AGG_FUNCS = {"count", "sum", "avg", "min", "max", "collect", "stdev",
@@ -1148,8 +1158,9 @@ class CypherPlanner:
                         F.col(f"{name}._label").isin(list(np.labels)))
             for k, v in np.props:
                 if k in ctx.vars[name].fields:
-                    ctx.df = ctx.df.filter(
-                        comp.prop_eq(F.col(name).getField(k), comp.compile(v)))
+                    ctx.df = ctx.df.filter(comp.prop_eq(
+                        F.col(name).getField(k), comp.compile(v),
+                        value_dt=comp.static_dtype(v)))
                 else:
                     ctx.df = ctx.df.filter(F.lit(False))
             return name
@@ -1171,8 +1182,10 @@ class CypherPlanner:
             comp = self.compiler(ctx)
             for k, v in np.props:
                 if k in props:
-                    ctx.df = ctx.df.filter(
-                        comp.prop_eq(F.col(name).getField(k), comp.compile(v)))
+                    ctx.df = ctx.df.filter(comp.prop_eq(
+                        F.col(name).getField(k), comp.compile(v),
+                        field_dt=_field_dt(flat, k),
+                        value_dt=comp.static_dtype(v)))
                 else:
                     ctx.df = ctx.df.filter(F.lit(False))
         return name
@@ -1242,8 +1255,10 @@ class CypherPlanner:
         comp = self.compiler(ctx)
         for k, v in rel.props:
             if k in props:
-                ctx.df = ctx.df.filter(
-                    comp.prop_eq(F.col(e_name).getField(k), comp.compile(v)))
+                ctx.df = ctx.df.filter(comp.prop_eq(
+                    F.col(e_name).getField(k), comp.compile(v),
+                    field_dt=_field_dt(oriented, k),
+                    value_dt=comp.static_dtype(v)))
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
         # edge-uniqueness within one MATCH (relationship isomorphism;
@@ -1296,8 +1311,9 @@ class CypherPlanner:
                         F.col(f"{tgt}._label").isin(list(node.labels)))
             for k, v in node.props:
                 if k in ctx.vars[tgt].fields:
-                    ctx.df = ctx.df.filter(
-                        comp.prop_eq(F.col(tgt).getField(k), comp.compile(v)))
+                    ctx.df = ctx.df.filter(comp.prop_eq(
+                        F.col(tgt).getField(k), comp.compile(v),
+                        value_dt=comp.static_dtype(v)))
                 else:
                     ctx.df = ctx.df.filter(F.lit(False))
             set_endpoints(tgt)
@@ -1315,8 +1331,10 @@ class CypherPlanner:
         comp = self.compiler(ctx)
         for k, v in node.props:
             if k in nprops:
-                ctx.df = ctx.df.filter(
-                    comp.prop_eq(F.col(tgt).getField(k), comp.compile(v)))
+                ctx.df = ctx.df.filter(comp.prop_eq(
+                    F.col(tgt).getField(k), comp.compile(v),
+                    field_dt=_field_dt(flat, k),
+                    value_dt=comp.static_dtype(v)))
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
         set_endpoints(tgt)
@@ -1456,8 +1474,10 @@ class CypherPlanner:
         comp = self.compiler(ctx)
         for k, v in node.props:
             if k in nprops:
-                ctx.df = ctx.df.filter(
-                    comp.prop_eq(F.col(tgt).getField(k), comp.compile(v)))
+                ctx.df = ctx.df.filter(comp.prop_eq(
+                    F.col(tgt).getField(k), comp.compile(v),
+                    field_dt=_field_dt(flat, k),
+                    value_dt=comp.static_dtype(v)))
             else:
                 ctx.df = ctx.df.filter(F.lit(False))
         return ("var", tgt)

@@ -42,6 +42,12 @@ def inline_df(spark: SparkSession, rows: list[tuple],
             .select("__r.*"))
 
 
+# column types the VALUES-literal fast paths can render; shared by the
+# mutation tiny-table row store and the tpch build-time inliner
+INLINE_TYPES = {"bigint", "int", "smallint", "tinyint", "double",
+                "float", "string", "boolean", "date", "timestamp"}
+
+
 def _escaped_literals(spark: SparkSession) -> bool:
     """Whether ``spark.sql.parser.escapedStringLiterals`` is on for this
     session (user-provided sessions may flip it — round-7 advice: the

@@ -1271,3 +1271,24 @@ def test_containment_asymmetric(spark):
     assert (2, 1) not in got               # container not contained
     jac = exact_jaccard_pairs(docs, threshold=0.3).collect()
     assert jac == []                       # Jaccard misses the quote
+
+
+def test_centroid_agg_dimension_scalable(spark):
+    # round-7 advice #5: Lloyd re-estimation must plan O(1) in vector
+    # dimension (posexplode-keyed agg, not one agg column per dim).
+    # dim=1024 + nlist=256 must ANALYZE in bounded time — the per-dim
+    # column shape took minutes of plan/codegen at this size.
+    import time
+    from redisgraph_spark.pipeline.similarity import ivf_build
+    from redisgraph_spark.pipeline.dedup import semdedup
+    rows = [(i, [float((i * 31 + d) % 7) for d in range(1024)])
+            for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t0 = time.time()
+    cents, assign = ivf_build(emb, nlist=256, iters=1)
+    got = {r["list_id"]: r["center"] for r in cents.collect()}
+    assert all(len(v) == 1024 for v in got.values())
+    sd = semdedup(emb, nlist=4, iters=1, id_col="vec_id",
+                  vec_col="embedding")
+    assert sd.count() == 12
+    assert time.time() - t0 < 120
