@@ -1085,6 +1085,28 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         SELECT node AS id, d AS distance, CAST(h AS INTEGER) AS hops
         FROM best WHERE rn = 1 ORDER BY id
         """),
+
+    # correlated SSSP (r8): per-row bound sources plan as ONE keyed
+    # multi-source Bellman-Ford (sssp.py::sssp_multi — the vectorized
+    # algo.BFS shape, never a driver loop). Every Nation < 5 reaches
+    # itself at 0 and its region at 1 over IN_REGION.
+    "q_sssp_correlated": (
+        "MATCH (n:Nation) WHERE n.n_nationkey < 5 "
+        "CALL algo.SSSP(n, 'IN_REGION') YIELD node, distance, hops "
+        "RETURN n.n_nationkey AS src, labels(node)[0] AS lbl, "
+        "node.r_regionkey AS rk, node.n_nationkey AS nk, "
+        "distance, hops ORDER BY src, lbl, rk, nk",
+        """
+        SELECT n_nationkey AS src, 'Nation' AS lbl,
+               CAST(NULL AS BIGINT) AS rk, n_nationkey AS nk,
+               CAST(0.0 AS DOUBLE) AS distance, 0 AS hops
+        FROM nation WHERE n_nationkey < 5
+        UNION ALL
+        SELECT n_nationkey, 'Region', n_regionkey,
+               CAST(NULL AS BIGINT), CAST(1.0 AS DOUBLE), 1
+        FROM nation WHERE n_nationkey < 5
+        ORDER BY src, lbl, rk, nk
+        """),
 }
 
 

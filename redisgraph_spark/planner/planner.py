@@ -1727,6 +1727,31 @@ class CypherPlanner:
             if clause.where is not None:
                 self._apply_where(ctx, clause.where)
             return
+        if clause.proc == "algo.sssp" and ctx.df is not None \
+                and clause.args and isinstance(clause.args[0], A.Variable) \
+                and ctx.vars.get(clause.args[0].name) is not None \
+                and ctx.vars[clause.args[0].name].kind == "node":
+            # correlated SSSP: per-row sources become ONE keyed
+            # multi-source Bellman-Ford (never a driver loop — the
+            # same vectorized shape as algo.BFS above)
+            from redisgraph_spark.algorithms.sssp import sssp_call
+            proc_df, default_cols = sssp_call(self, ctx, clause)
+            sel = clause.yields or [(c, None) for c in default_cols]
+            for col_name, alias in sel:
+                if col_name not in default_cols:
+                    raise PlanError(
+                        f"Procedure {clause.proc} has no column "
+                        f"{col_name}")
+                name = alias or col_name
+                if name != col_name:
+                    proc_df = proc_df.withColumnRenamed(col_name, name)
+                ctx.vars[name] = VarInfo("scalar")
+            drop = [c for c in default_cols
+                    if c not in {a or c for c, a in sel}]
+            ctx.df = proc_df.drop(*drop) if drop else proc_df
+            if clause.where is not None:
+                self._apply_where(ctx, clause.where)
+            return
         if ctx.df is not None and clause.args and any(
                 not isinstance(a, (A.Literal, A.Parameter))
                 for a in clause.args):

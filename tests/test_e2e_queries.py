@@ -651,3 +651,26 @@ def test_algo_node_similarity(spark):
         "YIELD node1, node2, jaccard "
         "RETURN node1._id AS a, node2._id AS b, jaccard").collect()}
     assert got_in[(10, 11)] == 1.0
+
+
+def test_correlated_sssp_vectorized(graph):
+    # r8: per-row bound sources → ONE multi-source keyed Bellman-Ford
+    # (sssp_multi), with exact parity to the single-source literal path
+    g = graph
+    rows = g.query(
+        "MATCH (n:Nation) WHERE n.n_nationkey < 3 "
+        "CALL algo.SSSP(n, 'IN_REGION') YIELD node, distance, hops "
+        "RETURN n.n_nationkey AS src, node.r_regionkey AS rk, "
+        "distance, hops ORDER BY src, rk").collect()
+    assert len(rows) == 6   # each source: itself (d=0) + its region (d=1)
+    for k in range(3):
+        nid = g.query(
+            f"MATCH (n:Nation {{n_nationkey: {k}}}) RETURN id(n) AS i") \
+            .collect()[0]["i"]
+        single = g.query(
+            f"CALL algo.SSSP({nid}, 'IN_REGION') "
+            "YIELD node, distance, hops "
+            "RETURN node.r_regionkey AS rk, distance, hops "
+            "ORDER BY rk").collect()
+        corr = [tuple(r)[1:] for r in rows if r["src"] == k]
+        assert corr == [tuple(x) for x in single]
