@@ -168,8 +168,8 @@ class Graph:
                  name: str = "g",
                  rel_endpoints: Mapping[str, tuple] | None = None,
                  count_hints: Mapping[tuple[str, str], int] | None = None,
-                 plan_cache: "OrderedDict[tuple, DataFrame] | None" = None
-                 ) -> None:
+                 plan_cache: "OrderedDict[tuple, DataFrame] | None" = None,
+                 input_bytes: int | None = None) -> None:
         from collections import OrderedDict
         self.spark = spark
         self.name = name
@@ -237,12 +237,17 @@ class Graph:
         # one big graph keeps cluster-scale settings for good)
         from redisgraph_spark.session import (plan_input_bytes,
                                               tune_for_input)
-        total = 0
-        for df in list(self.node_tables.values()) + \
-                list(self.edge_tables.values()):
-            total += plan_input_bytes(df)
-            if total >= (1 << 62):
-                break
+        if input_bytes is not None:
+            # precomputed by the caller's build cache (from_tpch):
+            # skips ~1 py4j statistics probe per table per instance
+            total = int(input_bytes)
+        else:
+            total = 0
+            for df in list(self.node_tables.values()) + \
+                    list(self.edge_tables.values()):
+                total += plan_input_bytes(df)
+                if total >= (1 << 62):
+                    break
         tune_for_input(spark, total)
         # with adaptive off (small input) the planner supplies the
         # broadcast hints AQE would have discovered at runtime: any

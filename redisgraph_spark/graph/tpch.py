@@ -73,7 +73,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BUILD_CACHE.get(key)
     if cached is not None:
-        nodes, edges, count_hints, plans = cached
+        nodes, edges, count_hints, plans, total_bytes = cached
         # every instance starts from the SAME immutable base tables, so
         # version-0 plans are valid across instances — share one plan
         # cache (the reference's per-graph compiled-plan cache,
@@ -81,7 +81,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
         # the per-instance epoch in the cache key
         return Graph(spark, nodes, edges, name="tpch",
                      rel_endpoints=_REL_ENDPOINTS, count_hints=count_hints,
-                     plan_cache=plans)
+                     plan_cache=plans, input_bytes=total_bytes)
 
     def rd(name: str) -> DataFrame:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -241,10 +241,10 @@ def tpch_graph(spark: SparkSession, sf_dir: str):
                     df.persist()
     from collections import OrderedDict
     plans: OrderedDict = OrderedDict()
-    _BUILD_CACHE[key] = (nodes, edges, count_hints, plans)
+    _BUILD_CACHE[key] = (nodes, edges, count_hints, plans, total)
     return Graph(spark, nodes, edges, name="tpch",
                  rel_endpoints=_REL_ENDPOINTS, count_hints=count_hints,
-                 plan_cache=plans)
+                 plan_cache=plans, input_bytes=total)
 
 
 _REL_ENDPOINTS = {

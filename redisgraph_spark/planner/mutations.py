@@ -72,7 +72,8 @@ def _materialize_small(spark, df: DataFrame, cap: int = 1024
     return ck, ck.count()
 
 
-def _tiny_rows(g, kind: str, name: str, tbl: DataFrame) -> list | None:
+def _tiny_rows(g, kind: str, name: str, tbl: DataFrame,
+               swap: bool = True) -> list | None:
     """Rows of a tiny-tracked table with plain-scalar columns, or None.
 
     When the table is already an inline VALUES relation (every tiny
@@ -94,14 +95,17 @@ def _tiny_rows(g, kind: str, name: str, tbl: DataFrame) -> list | None:
         return None
     # swap the collected rows back in as an inline VALUES relation so
     # every LATER touch of this table (scans, the next mutation's
-    # collects) folds to a LocalTableScan — callers that mutated the
-    # rows overwrite this swap immediately after
-    from redisgraph_spark.session import inline_df
-    tables = g.node_tables if kind == "node" else g.edge_tables
-    schema = [(f.name, f.dataType.simpleString())
-              for f in tbl.schema.fields]
-    tables[name] = inline_df(g.spark, [tuple(r) for r in rows], schema)
-    g._rewrite_depth[(kind, name)] = 0
+    # collects) folds to a LocalTableScan; callers that ALWAYS swap a
+    # mutated copy right after pass swap=False to skip the double
+    # rebuild
+    if swap:
+        from redisgraph_spark.session import inline_df
+        tables = g.node_tables if kind == "node" else g.edge_tables
+        schema = [(f.name, f.dataType.simpleString())
+                  for f in tbl.schema.fields]
+        tables[name] = inline_df(g.spark, [tuple(r) for r in rows],
+                                 schema)
+        g._rewrite_depth[(kind, name)] = 0
     return rows
 
 
@@ -272,7 +276,7 @@ def _append_tiny(g, kind: str, name: str, row_dicts: list[dict]) -> bool:
                 return False
             if t is not None:
                 new_types.setdefault(k, set()).add(t)
-    old = _tiny_rows(g, kind, name, tbl)
+    old = _tiny_rows(g, kind, name, tbl, swap=False)
     if old is None:
         return False
     if len(old) + len(row_dicts) > 512:
