@@ -121,28 +121,38 @@ def run(spark, tag: str, npath: str, epath: str) -> dict:
     # split engages on the hub key
     saved = {k: spark.conf.get(k) for k in (
         "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin")}
+    # a multi-join pipeline needs the extra-shuffle waiver or
+    # OptimizeSkewedJoin refuses to break the upper join's
+    # co-partitioning (the exact veto a 100 TB chain hits)
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin",
+                   "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE re-plans small runtime sizes back to broadcast through its
+    # OWN threshold — disable that too, or the skew path never runs
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                   "-1")
     # scale the skew-split thresholds DOWN in proportion to the test
     # data (the defaults are sized for 256MB+ partitions; the hot key
     # here is ~4MB) so the 100 TB mechanism is exercised, not skipped
     spark.conf.set(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        "1MB")
+        "100KB")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
                    "2")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                   "1MB")
+                   "100KB")
     try:
         rows = timed("two_hop_smj", two_hop)
         plan = last2["df"]._jdf.queryExecution() \
             .executedPlan().toString()
         res["smj_used"] = "SortMergeJoin" in plan
-        res["smj_skew_split"] = ("isSkew=true" in plan
-                                 or "skewed" in plan
-                                 or " skew=" in plan)
+        res["smj_skew_split"] = ("skew=true" in plan
+                                 or "skewed" in plan)
         res["smj_aqe_shuffle_read"] = "AQEShuffleRead" in plan
     finally:
         for k, v in saved.items():
