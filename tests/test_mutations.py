@@ -542,3 +542,26 @@ def test_tiny_set_read_your_writes(gt):
     got = rows(gt.query(
         "MATCH (n:L {name: 'a'}) SET n.v = 7 RETURN n.v AS v"))
     assert got == [(7,)]
+
+
+def test_tiny_agg_fast_path_parity(gt, spark):
+    # r8: aggregate-only RETURN over a tiny single-label scan answers
+    # driver-side; values must match a non-tiny graph exactly
+    from redisgraph_spark import Graph
+    plain = Graph(spark, {"L": spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        ["_id", "name", "v"])}, {})
+    q = ("MATCH (n:L) RETURN count(*) AS c, count(n.v) AS cv, "
+         "min(n.v) AS mn, max(n.name) AS mx, sum(n.v) AS s")
+    want = [tuple(r) for r in plain.query(q).collect()]
+    got = [tuple(r) for r in gt.query(q).collect()]
+    assert got == want == [(3, 3, 10, "c", 60)]
+    # stays correct through mutations (read-your-writes on the store)
+    gt.query("MATCH (n:L {name: 'a'}) SET n.v = 99")
+    got = gt.query("MATCH (n:L) RETURN max(n.v) AS m, count(*) AS c") \
+        .collect()
+    assert tuple(got[0]) == (99, 3)
+    gt.query("MATCH (n:L {name: 'c'}) DETACH DELETE n")
+    got = gt.query("MATCH (n:L) RETURN count(*) AS c, sum(n.v) AS s") \
+        .collect()
+    assert tuple(got[0]) == (2, 119)
