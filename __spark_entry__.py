@@ -1178,9 +1178,16 @@ def _assert_recall(verified: DataFrame, docs: DataFrame,
         .join(verified.select("doc_a", "doc_b"),
               ["doc_a", "doc_b"], "left_anti").count()
     if missing:
-        raise AssertionError(
-            f"{what}: candidate recall < 1.0 at threshold {threshold} "
-            f"— {missing} true pair(s) missed")
+        msg = (f"{what}: candidate recall < 1.0 at threshold {threshold} "
+               f"— {missing} true pair(s) missed")
+        if os.environ.get("SPARK_GRAFT_RECALL_WARN"):
+            # scale harnesses (tools/scale_curve.py): banded LSH is
+            # PROBABILISTIC above driver SFs — P(miss) = (1-s^r)^b per
+            # pair (e.g. 1.5% at s=0.8 with b=8,r=4); record, don't die
+            import warnings
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+            return
+        raise AssertionError(msg)
 
 
 def _p_simhash(spark, sf_dir):
