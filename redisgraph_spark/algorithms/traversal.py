@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Safety valve for `[*]` on pathological graphs; edge-uniqueness already
 # bounds depth by |E|, this just caps runaway local tests.
@@ -230,6 +231,17 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
     if edge_struct is None:
         edge_struct = F.struct(*[F.col(c) for c in edges.columns
                                  if not c.startswith("__")])
+    if max_hops is not None and min_hops > max_hops:
+        # empty hop interval (*2..1, *1..0, *..0) matches nothing
+        # (openCypher Match5 [11]-[13]; the reference @skips these)
+        out = base.filter(F.lit(False)) \
+            .withColumn(out_id, F.lit(None).cast("long"))
+        if track:
+            elem_t = edges.select(edge_struct.alias("__e")) \
+                .schema[0].dataType
+            out = out.withColumn(
+                out_edges, F.lit(None).cast(T.ArrayType(elem_t)))
+        return out
     # Pre-project the edge side once: traversal key + edge id (+ struct).
     e = slim_projection(edges, from_col, to_col, need_uniq, track,
                         edge_struct)
@@ -255,7 +267,6 @@ def var_len_expand(base: DataFrame, start_id: Column, edges: DataFrame,
     if track:
         # cast with the DataType object — a DDL string round-trip
         # breaks on property names that need quoting
-        from pyspark.sql import types as T
         path_t = T.ArrayType(
             edges.select(edge_struct.alias("x")).schema[0].dataType)
         state.append(F.array().cast(path_t).alias("__vl_path"))

@@ -171,6 +171,22 @@ class ExprCompiler:
             return T.StringType()
         return _UNSET
 
+    def _static_is_string(self, e) -> bool:
+        """AST-level proof that an expression is string-typed — used
+        where the JVM type probe cannot run (lambda scopes)."""
+        if isinstance(e, A.Literal):
+            return isinstance(e.value, str)
+        if isinstance(e, A.Parameter):
+            return isinstance(self.params.get(e.name), str)
+        if isinstance(e, A.Binary) and e.op == "+":
+            return self._static_is_string(e.left) \
+                or self._static_is_string(e.right)
+        if isinstance(e, A.FuncCall) and e.name in (
+                "tostring", "toupper", "tolower", "trim", "ltrim",
+                "rtrim", "substring", "replace", "leftpad"):
+            return True
+        return False
+
     def _is_string(self, col: Column) -> bool:
         try:
             return isinstance(self.dtype(col), T.StringType)
@@ -475,6 +491,34 @@ class ExprCompiler:
             if e.index.value not in dt.fieldNames():
                 return F.lit(None)  # missing map key → null
             return subject.getField(e.index.value)
+        if isinstance(dt, T.StructType):
+            try:
+                idx_dt = self.dtype(idx)
+            except Exception:
+                idx_dt = None
+        else:
+            idx_dt = None
+        if isinstance(dt, T.StructType) and (
+                isinstance(idx_dt, T.StringType)
+                or self._static_is_string(e.index)
+                or isinstance(self.static_dtype(e.index), T.StringType)):
+            # dynamic STRING key into a struct-backed map (openCypher
+            # Map2 [1][2]: `$expr[$idx]`): CASE over the fields — only
+            # when the key is provably a string (a non-string key must
+            # keep raising MapElementAccessByNonString, Map2 [3][4]).
+            # Homogeneous field types keep their type; mixed demote to
+            # string.
+            fields = dt.fields
+            same = len({f.dataType.simpleString() for f in fields}) <= 1
+            out = F.lit(None).cast(
+                fields[0].dataType if same and fields else "string")
+            for f in fields:
+                v = subject.getField(f.name)
+                if not same:
+                    v = v.cast("string")
+                out = F.when(idx.cast("string") == F.lit(f.name), v) \
+                    .otherwise(out)
+            return out
         return F.try_element_at(subject, idx)
 
     def _c_Slice(self, e: A.Slice) -> Column:
@@ -585,7 +629,13 @@ class ExprCompiler:
                 if not self._is_array(r):
                     r = F.array(r)
                 return F.concat(l, r)
-            if self._is_string(l) or self._is_string(r):
+            # inside lambda scopes the type probe fails (unresolved
+            # lambda variables), so also consult the AST: a side that
+            # is STATICALLY a string ('x' + key + m[key] in a
+            # comprehension) forces concat (openCypher Merge6/7)
+            if self._is_string(l) or self._is_string(r) \
+                    or self._static_is_string(e.left) \
+                    or self._static_is_string(e.right):
                 return F.concat(l.cast("string"), r.cast("string"))
             return l + r
         if op in ("-", "*", "/", "%", "^"):

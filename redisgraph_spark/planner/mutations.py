@@ -844,6 +844,27 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
             for k, v in item.value.items:
                 expanded.append(A.SetItem(
                     A.Property(item.target, k), v, "="))
+        elif isinstance(item.target, A.Variable) and \
+                isinstance(item.value, A.Variable) and \
+                ctx.vars.get(item.value.name) is not None and \
+                ctx.vars[item.value.name].kind in ("node", "edge"):
+            # SET n = m / SET n += m copies the source ENTITY's
+            # properties (update_functions.c:167-196 — openCypher
+            # Merge6/7 "Copying properties from node"): per-row, a
+            # null source property clears/stays-absent on the target
+            src = item.value.name
+            src_fields = ctx.vars[src].fields
+            if item.op == "=":
+                tinfo = ctx.vars.get(item.target.name)
+                for k in (tinfo.fields if tinfo is not None else ()):
+                    if k not in src_fields:
+                        expanded.append(A.SetItem(
+                            A.Property(item.target, k),
+                            A.Literal(None), "="))
+            for k in src_fields:
+                expanded.append(A.SetItem(
+                    A.Property(item.target, k),
+                    A.Property(A.Variable(src), k), "="))
         else:
             expanded.append(item)
     pending_refresh: list[tuple[str, str, object]] = []
