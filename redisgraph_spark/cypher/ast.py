@@ -330,6 +330,8 @@ class CallClause(Clause):
     args: list[Expr]
     yields: list[tuple[str, str | None]]  # (column, alias)
     where: Expr | None
+    implicit: bool = False   # `CALL proc` without parens — arguments
+    #                          come from the query parameters by name
 
 
 # -------------------------------------------------------------------- query

@@ -313,12 +313,17 @@ class Parser:
         while self.opt_op("."):
             proc += "." + self.name()
         args: list[A.Expr] = []
-        self.eat_op("(")
-        if not self.at_op(")"):
-            args.append(self.parse_expr())
-            while self.opt_op(","):
+        implicit = True
+        if self.at_op("("):
+            # `CALL proc` without parens = implicit arguments (values
+            # come from the query parameters, openCypher Call1/2)
+            implicit = False
+            self.eat_op("(")
+            if not self.at_op(")"):
                 args.append(self.parse_expr())
-        self.eat_op(")")
+                while self.opt_op(","):
+                    args.append(self.parse_expr())
+            self.eat_op(")")
         yields: list[tuple[str, str | None]] = []
         where = None
         if self.opt_kw("yield"):
@@ -330,7 +335,7 @@ class Parser:
                     break
             if self.opt_kw("where"):
                 where = self.parse_expr()
-        return A.CallClause(proc.lower(), args, yields, where)
+        return A.CallClause(proc.lower(), args, yields, where, implicit)
 
     # -------------------------------------------------------------- patterns
     def parse_pattern_path(self) -> A.PatternPath:
@@ -686,6 +691,17 @@ class Parser:
             if self.peek().kind == "op" and self.peek().value == "(":
                 name = str(self.advance().value)
                 return self._call(name)
+            if self.peek().kind == "op" and self.peek().value == "." \
+                    and self.peek(2).kind == "name" \
+                    and self.peek(3).kind == "op" \
+                    and self.peek(3).value == "(":
+                # namespaced function call: date.truncate(...),
+                # duration.between(...) — only when the dotted name is
+                # directly applied; `x.prop` stays a Property access
+                first = str(self.advance().value)
+                self.advance()  # '.'
+                second = str(self.advance().value)
+                return self._call(f"{first}.{second}")
             self.advance()
             if self.at_op("{"):
                 return self.parse_map_projection(str(t.value))

@@ -45,6 +45,104 @@ PROCS = {
 WRITE_PROCS = {"db.idx.fulltext.createnodeindex", "db.idx.fulltext.drop"}
 
 
+def _cypher_type_ok(t: str, v) -> bool:
+    """Nullable openCypher procedure argument typing (Call2/3): NUMBER
+    takes int|float, FLOAT additionally coerces int, INTEGER is exact."""
+    if v is None:
+        return True
+    base = t.rstrip("?").strip().upper()
+    if base == "INTEGER":
+        return isinstance(v, int) and not isinstance(v, bool)
+    if base == "FLOAT":
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if base == "NUMBER":
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if base == "STRING":
+        return isinstance(v, str)
+    if base == "BOOLEAN":
+        return isinstance(v, bool)
+    return True   # ANY / LIST / MAP — permissive
+
+
+def _coerce(t: str, v):
+    base = t.rstrip("?").strip().upper()
+    if base == "FLOAT" and isinstance(v, int) and not isinstance(v, bool):
+        return float(v)
+    return v
+
+
+def _out_sql_type(t: str, values) -> str:
+    base = t.rstrip("?").strip().upper()
+    fixed = {"STRING": "string", "INTEGER": "bigint",
+             "FLOAT": "double", "BOOLEAN": "boolean"}
+    if base in fixed:
+        return fixed[base]
+    if base == "NUMBER":
+        return "double" if any(isinstance(v, float) for v in values) \
+            else "bigint"
+    from redisgraph_spark.session import _lit_sql_type
+    for v in values:
+        if v is not None:
+            return _lit_sql_type(v) or "string"
+    return "string"
+
+
+def _run_custom(planner, clause: A.CallClause, spec: dict
+                ) -> tuple[DataFrame, list[str]]:
+    """Execute a Graph.register_procedure lookup-table procedure."""
+    from redisgraph_spark.planner.planner import PlanError
+    from redisgraph_spark.session import inline_df
+    g = planner.graph
+    decl_args = spec["args"]
+    if clause.implicit:
+        # `CALL proc` without parens: arguments by name from the
+        # query parameters (openCypher Call1 [11], Call2 [3])
+        vals = []
+        for an, _t in decl_args:
+            if an not in planner.params:
+                raise PlanError(
+                    f"Missing parameter `{an}` for implicit call to "
+                    f"{spec['name']} (ParameterMissing)")
+            vals.append(planner.params[an])
+    else:
+        if len(clause.args) != len(decl_args):
+            raise PlanError(
+                f"Procedure {spec['name']} expects {len(decl_args)} "
+                f"arguments, got {len(clause.args)} "
+                f"(InvalidNumberOfArguments)")
+        vals = []
+        for a in clause.args:
+            if isinstance(a, A.Literal):
+                vals.append(a.value)
+            elif isinstance(a, A.Parameter):
+                vals.append(planner.params.get(a.name))
+            elif isinstance(a, A.Unary) and a.op == "-" \
+                    and isinstance(a.operand, A.Literal):
+                vals.append(-a.operand.value)
+            else:
+                raise PlanError(
+                    f"Procedure {spec['name']} arguments must be "
+                    f"constants here")
+    for (an, t), v in zip(decl_args, vals):
+        if not _cypher_type_ok(t, v):
+            raise PlanError(
+                f"Procedure {spec['name']} argument `{an}` expects "
+                f"{t}, got {type(v).__name__} (InvalidArgumentType)")
+    vals = [_coerce(t, v) for (_n, t), v in zip(decl_args, vals)]
+    n_args = len(decl_args)
+    outs = spec["outputs"]
+    matched = [r[n_args:] for r in spec["rows"]
+               if list(r[:n_args]) == list(vals)]
+    if not outs:
+        # yields-nothing procedure: standalone → empty result;
+        # in-query → pass-through (planner drops the unit column)
+        return inline_df(g.spark, [], [("__unit", "string")]), []
+    schema = [(n, _out_sql_type(t, [r[i] for r in matched]))
+              for i, (n, t) in enumerate(outs)]
+    return inline_df(g.spark, [tuple(r) for r in matched], schema), \
+        [n for n, _t in outs]
+
+
 def run_procedure(planner, clause: A.CallClause
                   ) -> tuple[DataFrame, list[str]]:
     g = planner.graph
@@ -52,6 +150,10 @@ def run_procedure(planner, clause: A.CallClause
     name = clause.proc
 
     from redisgraph_spark.session import inline_df
+
+    custom = getattr(g, "_custom_procs", {}).get(name)
+    if custom is not None:
+        return _run_custom(planner, clause, custom)
 
     if name == "db.labels":
         rows = [(l,) for l in g.labels]

@@ -547,8 +547,24 @@ _DUR_ISO_RE = re.compile(
     r")?$")
 
 
+_DUR_ALT_RE = re.compile(
+    r"(?P<sign>[+-]?)P(?P<y>\d{4})-(?P<mo>\d{2})-(?P<d>\d{2})"
+    r"T(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2}(?:[.,]\d{1,9})?)$")
+
+
 def parse_duration_str(s: str) -> KDuration:
     s = s.strip()
+    alt = _DUR_ALT_RE.match(s)
+    if alt:
+        # ISO-8601 alternative form PYYYY-MM-DDTHH:MM:SS
+        sec = float(alt.group("s").replace(",", "."))
+        dur = KDuration(
+            int(alt.group("y")) * 12 + int(alt.group("mo")),
+            int(alt.group("d")),
+            int(alt.group("h")) * NS_PER_HOUR
+            + int(alt.group("mi")) * NS_PER_MIN
+            + int(round(sec * NS_PER_SEC)))
+        return dur if alt.group("sign") != "-" else dur_neg(dur)
     m = _DUR_ISO_RE.match(s)
     if not m or not any(m.group(k)
                         for k in ("y", "mo", "w", "d", "h", "mi", "s")):
@@ -943,6 +959,7 @@ def duration_from_map(mp: dict) -> KDuration:
     months = 0
     days = 0
     nanos = 0
+    day_frac_ns = 0   # fractional y/m/w/d parts: whole days extract
     for key, mult in (("years", 12), ("quarters", 3), ("months", 1)):
         v = mp.get(key, 0)
         _num_check(key, v)
@@ -950,8 +967,8 @@ def duration_from_map(mp: dict) -> KDuration:
         months += whole * mult
         frac = v - whole
         if frac:
-            nanos += int(round(frac * mult * AVG_SEC_PER_MONTH
-                               * NS_PER_SEC))
+            day_frac_ns += int(round(frac * mult * AVG_SEC_PER_MONTH
+                                     * NS_PER_SEC))
     for key, mult in (("weeks", 7), ("days", 1)):
         v = mp.get(key, 0)
         _num_check(key, v)
@@ -959,8 +976,16 @@ def duration_from_map(mp: dict) -> KDuration:
         days += whole * mult
         frac = v - whole
         if frac:
-            nanos += int(round(frac * mult * AVG_SEC_PER_DAY
-                               * NS_PER_SEC))
+            day_frac_ns += int(round(frac * mult * AVG_SEC_PER_DAY
+                                     * NS_PER_SEC))
+    if day_frac_ns:
+        # a fractional month/week/day first yields whole DAYS, only
+        # the remainder lands in the time part ('P2.5W' → P17DT12H,
+        # 'P0.75M' → P22DT19H51M49.5S); time-unit fractions never
+        # promote ('PT0.75M' → PT45S)
+        extra = _trunc_div(day_frac_ns, NS_PER_DAY)
+        days += extra
+        nanos += day_frac_ns - extra * NS_PER_DAY
     for key, mult in (("hours", 3600), ("minutes", 60), ("seconds", 1)):
         v = mp.get(key, 0)
         _num_check(key, v)

@@ -220,6 +220,8 @@ class Graph:
                         ("node" if kind == "n" else "edge", nm))
         self._slow_log: list[dict] = []
         self._fulltext = None
+        # user-registered table-valued procedures (register_procedure)
+        self._custom_procs: dict[str, dict] = {}
         self._scan_cache: dict[tuple, DataFrame] = {}
         # chained-rewrite depth per (kind, name) — mutations swap in
         # un-checkpointed lazy rewrites and pin every 4th to bound
@@ -858,6 +860,31 @@ class Graph:
         else:
             tables[rel] = df
         return Graph(self.spark, self.node_tables, tables, self.name)
+
+    # ------------------------------------------------------ custom procs
+    def register_procedure(self, name: str,
+                           args: list[tuple[str, str]],
+                           outputs: list[tuple[str, str]],
+                           rows: list[tuple]) -> None:
+        """Register a table-valued procedure callable via
+        ``CALL name(...)`` — the UDTF extension point the reference
+        exposes through its C module API (``src/procedures/procedure.h``
+        Proc_Register).  ``args``/``outputs`` are (name, cypher_type)
+        pairs (types like ``'INTEGER?'``, ``'STRING?'``, ``'NUMBER?'``,
+        ``'ANY?'``); ``rows`` is the lookup table: each row has
+        ``len(args)`` argument cells followed by ``len(outputs)``
+        output cells, and a call yields the output cells of every row
+        whose argument cells equal the call's arguments.  This is also
+        the openCypher TCK's test-procedure fixture model (Call1-6)."""
+        key = name.lower()
+        for r in rows:
+            if len(r) != len(args) + len(outputs):
+                raise ValueError(
+                    f"procedure {name}: row arity {len(r)} != "
+                    f"{len(args)} args + {len(outputs)} outputs")
+        self._custom_procs[key] = {
+            "name": name, "args": list(args), "outputs": list(outputs),
+            "rows": [tuple(r) for r in rows]}
 
     # ---------------------------------------------------------------- io
     @classmethod

@@ -50,6 +50,10 @@ class VarInfo:
         # variable can live in; None = unknown (all tables). Mutations
         # use it to rewrite only the affected tables.
         self.labels: tuple[str, ...] | None = None
+        # plan-time constant value of this variable when the projection
+        # that bound it folded (temporal kernel values: WITH date(...)
+        # AS d) — lets downstream clauses keep constant-folding
+        self.const_value = None
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"VarInfo({self.kind})"
@@ -59,12 +63,45 @@ class CompileError(ValueError):
     pass
 
 
+class _NotConst(Exception):
+    """Expression is not a plan-time constant (const_eval)."""
+
+
+# the openCypher temporal function surface (beyond-reference: the
+# reference declares the types but never implements them,
+# src/value.h:28-33, docs/cypher_support.md:20-22)
+_TEMPORAL_CTORS = frozenset(
+    ["date", "time", "localtime", "datetime", "localdatetime",
+     "duration"])
+_TEMPORAL_TRUNCATES = frozenset(
+    f"{k}.truncate" for k in _TEMPORAL_CTORS if k != "duration")
+_TEMPORAL_BETWEENS = frozenset(
+    ["duration.between", "duration.inmonths", "duration.indays",
+     "duration.inseconds"])
+_TEMPORAL_FNS = (_TEMPORAL_CTORS | _TEMPORAL_TRUNCATES
+                 | _TEMPORAL_BETWEENS
+                 | {"datetime.fromepoch", "datetime.fromepochmillis"})
+# function-style component accessors that keep working on BOTH Spark
+# native date/timestamp columns (parquet data) and temporal structs
+_TEMPORAL_ACCESSOR_FNS = frozenset(
+    ["year", "month", "day", "hour", "minute", "second", "dayofweek",
+     "epochmillis"])
+
+
 def _could_be_variant(e: A.Expr) -> bool:
     """Static pre-filter: can this AST node compile to a variant union
     column? Literals/parameters/arithmetic never can — skipping the
     dtype probe (a py4j round trip) for them keeps planning fast."""
     return isinstance(e, (A.Property, A.Variable, A.Subscript,
                           A.CaseExpr, A.FuncCall, A.ListLiteral))
+
+
+def _could_be_temporal(e: A.Expr) -> bool:
+    """Static pre-filter for temporal struct columns (same probe-saving
+    idea as _could_be_variant; temporal values additionally flow
+    through arithmetic and unary minus)."""
+    return isinstance(e, (A.Property, A.Variable, A.Subscript,
+                          A.CaseExpr, A.FuncCall, A.Unary, A.Binary))
 
 
 _PY_SQL_TYPES = {bool: "boolean", int: "bigint", float: "double",
@@ -220,12 +257,366 @@ class ExprCompiler:
         except Exception:
             return False
 
+    def _is_temporal(self, col: Column) -> bool:
+        """Column is a temporal struct (planner/temporal_cols.py)."""
+        from .temporal_cols import is_temporal_type
+        try:
+            return is_temporal_type(self.dtype(col))
+        except Exception:
+            return False
+
     # -------------------------------------------------------------- dispatch
     def compile(self, e: A.Expr) -> Column:
         m = getattr(self, "_c_" + type(e).__name__, None)
         if m is None:
             raise CompileError(f"Unsupported expression {type(e).__name__}")
         return m(e)
+
+    # -------------------------------------------------- temporal const-fold
+    def const_eval(self, e: A.Expr):
+        """Plan-time evaluation of a constant (sub)expression into a
+        Python value — the temporal constant-folding engine.  Temporal
+        constructors/arithmetic/truncation over literals, parameters,
+        and const-propagated WITH aliases evaluate exactly (nanosecond
+        precision, full zone database) in the Python kernel; the
+        result compiles to ONE struct literal, so the executed plan
+        carries no per-row work at all.  Raises _NotConst when any
+        input is a genuine per-row column (the columnar fallback in
+        temporal_cols.py takes over)."""
+        from ..functions import temporal_kernel as TK
+        if isinstance(e, A.Literal):
+            return e.value
+        if isinstance(e, A.Parameter):
+            if e.name in self.params:
+                v = self.params[e.name]
+                if isinstance(v, (type(None), bool, int, float, str,
+                                  dict, list, tuple)) \
+                        or isinstance(v, TK.TEMPORAL_CLASSES):
+                    return v
+            raise _NotConst
+        if isinstance(e, A.ListLiteral):
+            return [self.const_eval(x) for x in e.items]
+        if isinstance(e, A.MapLiteral):
+            return {k: self.const_eval(v) for k, v in e.items}
+        if isinstance(e, A.Variable):
+            info = self.vars.get(e.name)
+            cv = getattr(info, "const_value", None)
+            if cv is not None:
+                return cv
+            raise _NotConst
+        if isinstance(e, A.Property):
+            v = self.const_eval(e.subject)
+            if isinstance(v, TK.TEMPORAL_CLASSES):
+                return TK.get_component(v, e.key)
+            if isinstance(v, dict):
+                return v.get(e.key)
+            raise _NotConst
+        if isinstance(e, A.FuncCall):
+            return self._const_call(e)
+        if isinstance(e, A.Unary) and e.op == "-":
+            v = self.const_eval(e.operand)
+            if isinstance(v, TK.KDuration):
+                return TK.dur_neg(v)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return -v
+            raise _NotConst
+        if isinstance(e, A.Binary):
+            return self._const_binary(e)
+        raise _NotConst
+
+    def _const_call(self, e: A.FuncCall):
+        from ..functions import temporal_kernel as TK
+        name = e.name
+        if name in _TEMPORAL_CTORS:
+            if not e.args:
+                return TK.construct(name, None)   # clock error
+            args = [self.const_eval(a) for a in e.args]
+            if args[0] is None:
+                return None
+            return TK.construct(name, args[0])
+        if name in _TEMPORAL_TRUNCATES:
+            kind = name.split(".", 1)[0]
+            if len(e.args) < 2:
+                raise CompileError(
+                    f"{name}() expects (unit, temporal[, components])")
+            args = [self.const_eval(a) for a in e.args]
+            if args[0] is None or args[1] is None:
+                return None
+            if not isinstance(args[0], str):
+                raise TK.TemporalError(
+                    f"{name}() unit must be a string")
+            if not isinstance(args[1], TK.TEMPORAL_CLASSES):
+                raise TK.TemporalError(
+                    f"{name}() expects a temporal value")
+            ov = args[2] if len(e.args) > 2 else None
+            return TK.truncate(kind, args[0], args[1], ov)
+        if name in _TEMPORAL_BETWEENS:
+            mode = {"duration.between": None,
+                    "duration.inmonths": "months",
+                    "duration.indays": "days",
+                    "duration.inseconds": "seconds"}[name]
+            args = [self.const_eval(a) for a in e.args]
+            if len(args) != 2:
+                raise CompileError(f"{name}() expects two temporal "
+                                   f"values")
+            if args[0] is None or args[1] is None:
+                return None
+            return TK.duration_between(args[0], args[1], mode)
+        if name in ("datetime.fromepoch", "datetime.fromepochmillis"):
+            args = [self.const_eval(a) for a in e.args]
+            if any(a is None for a in args):
+                return None
+            if name.endswith("millis"):
+                return TK.datetime_from_map({"epochMillis": args[0]})
+            mp = {"epochSeconds": args[0]}
+            if len(args) > 1:
+                mp["nanosecond"] = args[1]
+            return TK.datetime_from_map(mp)
+        if name == "tostring" and len(e.args) == 1:
+            v = self.const_eval(e.args[0])
+            if isinstance(v, TK.TEMPORAL_CLASSES):
+                return str(v)
+            raise _NotConst
+        raise _NotConst
+
+    def _const_binary(self, e: A.Binary):
+        from ..functions import temporal_kernel as TK
+        op = e.op
+        if op not in ("+", "-", "*", "/"):
+            raise _NotConst
+        lv = self.const_eval(e.left)
+        rv = self.const_eval(e.right)
+        l_t = isinstance(lv, TK.TEMPORAL_CLASSES)
+        r_t = isinstance(rv, TK.TEMPORAL_CLASSES)
+        if not (l_t or r_t):
+            raise _NotConst          # plain arithmetic: Catalyst folds it
+        if lv is None or rv is None:
+            return None
+        l_dur = isinstance(lv, TK.KDuration)
+        r_dur = isinstance(rv, TK.KDuration)
+        if op == "+":
+            if l_dur and r_dur:
+                return TK.dur_add(lv, rv)
+            if l_t and r_dur:
+                return TK.add_duration(lv, rv)
+            if r_t and l_dur:
+                return TK.add_duration(rv, lv)
+            raise TK.TemporalError(
+                "Type mismatch: cannot add these temporal values")
+        if op == "-":
+            if l_dur and r_dur:
+                return TK.dur_add(lv, rv, -1)
+            if l_t and r_dur:
+                return TK.add_duration(lv, rv, -1)
+            raise TK.TemporalError(
+                "Type mismatch: cannot subtract these values "
+                "(use duration.between for instant differences)")
+        if op == "*":
+            if l_dur and isinstance(rv, (int, float)):
+                return TK.dur_scale(lv, rv)
+            if r_dur and isinstance(lv, (int, float)):
+                return TK.dur_scale(rv, lv)
+            raise TK.TemporalError(
+                "Type mismatch: a duration can only be multiplied by "
+                "a number")
+        if l_dur and isinstance(rv, (int, float)):
+            return TK.dur_divide(lv, rv)
+        raise TK.TemporalError(
+            "Type mismatch: a duration can only be divided by a number")
+
+    def _temporal_binary(self, e: A.Binary) -> Column:
+        """Columnar temporal arithmetic (raises _NotConst when neither
+        operand is actually a temporal struct column)."""
+        from . import temporal_cols as TC
+        l = self.compile(e.left)
+        r = self.compile(e.right)
+        l_ts = self._is_temporal(l)
+        r_ts = self._is_temporal(r)
+        if not (l_ts or r_ts):
+            raise _NotConst
+        op = e.op
+        null_out = F.lit(None).cast(TC.TEMPORAL_TYPE)
+        if op == "+":
+            if l_ts and r_ts:
+                # temporal + duration / duration + temporal / dur + dur
+                return F.when(TC.is_duration(r),
+                              TC.add_duration(l, r)) \
+                    .when(TC.is_duration(l), TC.add_duration(r, l)) \
+                    .otherwise(null_out)
+            raise CompileError(
+                "Type mismatch: can only add a duration to a temporal "
+                "value")
+        if op == "-":
+            if l_ts and r_ts:
+                return F.when(TC.is_duration(r),
+                              TC.add_duration(l, r, -1)) \
+                    .otherwise(null_out)
+            raise CompileError(
+                "Type mismatch: can only subtract a duration from a "
+                "temporal value")
+        if op == "*":
+            dur, num = (l, r) if l_ts else (r, l)
+            if l_ts and r_ts:
+                raise CompileError(
+                    "Type mismatch: a duration can only be multiplied "
+                    "by a number")
+            return F.when(TC.is_duration(dur),
+                          TC.dur_scale(dur, num)).otherwise(null_out)
+        if op == "/":
+            if not l_ts or r_ts:
+                raise CompileError(
+                    "Type mismatch: a duration can only be divided by "
+                    "a number")
+            return F.when(TC.is_duration(l),
+                          TC.dur_scale(l, r, divide=True)) \
+                .otherwise(null_out)
+        raise _NotConst
+
+    def _temporal_call(self, e: A.FuncCall) -> Column:
+        """Compile one of the temporal functions: constant-fold when
+        possible, else the columnar fallback."""
+        from ..functions import temporal_kernel as TK
+        from . import temporal_cols as TC
+        name = e.name
+        try:
+            v = self._const_call(e)
+            if v is None:
+                return F.lit(None).cast(TC.TEMPORAL_TYPE)
+            if isinstance(v, TK.TEMPORAL_CLASSES):
+                return TC.temporal_lit(v)
+            return F.lit(v)
+        except _NotConst:
+            pass
+        except TK.TemporalError as ex:
+            raise CompileError(str(ex))
+        # ---- columnar fallbacks (non-constant arguments) ----
+        if name in _TEMPORAL_CTORS:
+            if len(e.args) != 1:
+                raise CompileError(
+                    f"{name}() with non-constant arguments expects "
+                    f"exactly one argument")
+            col = self.compile(e.args[0])
+            if self._is_temporal(col):
+                return self._temporal_convert_col(name, col)
+            try:
+                dt = self.dtype(col)
+            except Exception:
+                dt = None
+            if isinstance(dt, T.NullType):
+                return F.lit(None).cast(TC.TEMPORAL_TYPE)
+            if isinstance(dt, T.StringType):
+                return self._temporal_parse_col(name, col)
+            raise CompileError(
+                f"{name}() over a non-constant argument of this type "
+                f"is not supported — store temporal values, not "
+                f"component maps")
+        if name in _TEMPORAL_TRUNCATES and len(e.args) >= 2:
+            # constant unit/overrides but a per-row temporal value
+            try:
+                unit = self.const_eval(e.args[0])
+                ov = self.const_eval(e.args[2]) if len(e.args) > 2 \
+                    else None
+            except _NotConst:
+                raise CompileError(
+                    f"{name}() unit and components must be constants")
+            col = self.compile(e.args[1])
+            if not self._is_temporal(col):
+                raise CompileError(f"{name}() expects a temporal value")
+            if ov:
+                raise CompileError(
+                    f"{name}() with component overrides requires a "
+                    f"constant temporal value")
+            kind = name.split(".", 1)[0]
+            return TC.truncate_col(kind, str(unit), col)
+        if name in _TEMPORAL_BETWEENS and len(e.args) == 2:
+            mode = {"duration.between": None,
+                    "duration.inmonths": "months",
+                    "duration.indays": "days",
+                    "duration.inseconds": "seconds"}[name]
+            l = self.compile(e.args[0])
+            r = self.compile(e.args[1])
+            if not (self._is_temporal(l) and self._is_temporal(r)):
+                raise CompileError(
+                    f"{name}() expects two temporal values")
+            return TC.between_col(l, r, mode)
+        if name == "datetime.fromepoch":
+            sec = self.compile(e.args[0]).cast("long")
+            ns = self.compile(e.args[1]).cast("long") if len(e.args) > 1 \
+                else F.lit(0)
+            return TC.from_epoch_col(sec, ns)
+        if name == "datetime.fromepochmillis":
+            ms = self.compile(e.args[0]).cast("long")
+            return TC.from_epoch_col(F.floor(ms / 1000).cast("long"),
+                                     F.pmod(ms, F.lit(1000)) * 1_000_000)
+        raise CompileError(f"Unknown temporal function {name}()")
+
+    @staticmethod
+    def _temporal_convert_col(kind: str, col: Column) -> Column:
+        """date(x) / localtime(x) / … over a temporal struct column —
+        runtime-tag-dispatched projection (Temporal3 [1]-[5])."""
+        from ..functions import temporal_kernel as TK
+        from . import temporal_cols as TC
+        tt = col.getField("_tt")
+        days, nanos = col.getField("_days"), col.getField("_nanos")
+        offset, zone = col.getField("_offset"), col.getField("_zone")
+        zero = F.lit(0)
+        inull = F.lit(None).cast("int")
+        snull = F.lit(None).cast("string")
+        null_out = F.lit(None).cast(TC.TEMPORAL_TYPE)
+        has_date = tt.isin(TK.TT_DATE, TK.TT_LOCALDATETIME,
+                           TK.TT_DATETIME)
+        has_time = tt.isin(TK.TT_LOCALTIME, TK.TT_TIME,
+                           TK.TT_LOCALDATETIME, TK.TT_DATETIME)
+        if kind == "date":
+            out = TC.pack(F.lit(TK.TT_DATE), days, zero, zero, inull,
+                          snull)
+            return F.when(col.isNull() | ~has_date, null_out) \
+                .otherwise(out)
+        if kind == "localtime":
+            out = TC.pack(F.lit(TK.TT_LOCALTIME), zero, nanos, zero,
+                          inull, snull)
+            return F.when(col.isNull() | ~has_time, null_out) \
+                .otherwise(out)
+        if kind == "time":
+            out = TC.pack(F.lit(TK.TT_TIME), zero, nanos, zero,
+                          F.coalesce(offset, F.lit(0)), snull)
+            return F.when(col.isNull() | ~has_time, null_out) \
+                .otherwise(out)
+        if kind == "localdatetime":
+            ok = tt.isin(TK.TT_LOCALDATETIME, TK.TT_DATETIME)
+            out = TC.pack(F.lit(TK.TT_LOCALDATETIME), days, nanos, zero,
+                          inull, snull)
+            return F.when(col.isNull() | ~ok, null_out).otherwise(out)
+        if kind == "datetime":
+            out = F.when(tt == TK.TT_DATETIME, col).otherwise(
+                TC.pack(F.lit(TK.TT_DATETIME), days, nanos, zero,
+                        F.coalesce(offset, F.lit(0)), snull))
+            ok = tt.isin(TK.TT_LOCALDATETIME, TK.TT_DATETIME)
+            return F.when(col.isNull() | ~ok, null_out).otherwise(out)
+        # duration(x)
+        return F.when(col.isNull() | (tt != TK.TT_DURATION),
+                      F.lit(None).cast(TC.TEMPORAL_TYPE)) \
+            .otherwise(col)
+
+    @staticmethod
+    def _temporal_parse_col(kind: str, col: Column) -> Column:
+        """Constructor over a per-row STRING column — full-ISO forms
+        only (the truncated/exotic forms are literal territory and
+        constant-fold through the kernel)."""
+        from ..functions import temporal_kernel as TK
+        from . import temporal_cols as TC
+        if kind == "date":
+            d = F.to_date(col, "yyyy-MM-dd")
+            return F.when(col.isNull(),
+                          F.lit(None).cast(TC.TEMPORAL_TYPE)) \
+                .otherwise(TC.pack(
+                    F.lit(TK.TT_DATE),
+                    F.datediff(d, F.lit("1970-01-01")).cast("long"),
+                    F.lit(0), F.lit(0), F.lit(None).cast("int"),
+                    F.lit(None).cast("string")))
+        raise CompileError(
+            f"{kind}() over a non-constant string column is not "
+            f"supported (store temporal values instead)")
 
     # ---------------------------------------------------------------- leaves
     def _c_Literal(self, e: A.Literal) -> Column:
@@ -369,6 +760,13 @@ class ExprCompiler:
             dt = self.dtype(subject)
         except Exception:  # unprobe-able (e.g. lambda var) → plain access
             dt = None
+        from .temporal_cols import component, is_temporal_type
+        if dt is not None and is_temporal_type(dt):
+            c = component(subject, e.key)
+            if c is None:
+                raise CompileError(
+                    f"unknown temporal component: {e.key}")
+            return c
         if isinstance(dt, T.StructType) and e.key not in dt.fieldNames():
             return F.lit(None)  # missing map key → null (schemaless)
         if isinstance(dt, T.MapType):
@@ -556,11 +954,17 @@ class ExprCompiler:
                     .when(operand.getField("_vt") == TAG_FLOAT,
                           _pack(TAG_FLOAT, d=-operand.getField("_d"))) \
                     .otherwise(F.lit(None))
+            cls = self._cmp_class(operand)
+            if cls == "tstruct":
+                # -duration negates; minus on other temporals → null
+                from . import temporal_cols as TC
+                return F.when(TC.is_duration(operand),
+                              TC.dur_neg(operand)) \
+                    .otherwise(F.lit(None).cast(TC.TEMPORAL_TYPE))
             # statically non-numeric operand: clean type-mismatch like
             # the reference (AR_EXP type checking), not a runtime
             # Spark cast failure (fuzz finding)
-            if self._cmp_class(operand) in ("str", "array", "map",
-                                            "bool", "temporal"):
+            if cls in ("str", "array", "map", "bool", "temporal"):
                 raise CompileError(
                     "Type mismatch: expected Integer or Float for "
                     "unary minus")
@@ -570,7 +974,8 @@ class ExprCompiler:
                 from .variant import bool_view
                 return ~bool_view(operand)
             if self._cmp_class(operand) in ("num", "str", "array",
-                                            "map", "temporal"):
+                                            "map", "temporal",
+                                            "tstruct"):
                 raise CompileError("NOT expects a boolean")
             return ~operand.cast("boolean")
         return operand
@@ -583,7 +988,7 @@ class ExprCompiler:
                 if self._is_variant(side):
                     continue      # bool payloads view below
                 if self._cmp_class(side) in ("str", "array", "map",
-                                             "temporal"):
+                                             "temporal", "tstruct"):
                     raise CompileError(
                         f"Type mismatch: expected Boolean as operand "
                         f"of {op}")
@@ -599,6 +1004,16 @@ class ExprCompiler:
             if op == "OR":
                 return l | r
             return (l & ~r) | (~l & r)
+        # temporal arithmetic first: date/time ± duration, duration
+        # scaling — constant operands were already folded by
+        # const_eval; here at least one side is a per-row column
+        if op in ("+", "-", "*", "/") and (
+                _could_be_temporal(e.left)
+                or _could_be_temporal(e.right)):
+            try:
+                return self._temporal_binary(e)
+            except _NotConst:
+                pass
         l = self.compile(e.left)
         r = self.compile(e.right)
         lv = _could_be_variant(e.left) and self._is_variant(l)
@@ -645,7 +1060,8 @@ class ExprCompiler:
             # Spark cast failure at runtime — fuzz finding)
             for side in (l, r):
                 if self._cmp_class(side) in ("str", "bool", "array",
-                                             "map", "temporal"):
+                                             "map", "temporal",
+                                             "tstruct"):
                     raise CompileError(
                         f"Type mismatch: expected Integer or Float as "
                         f"operand of '{op}'")
@@ -720,6 +1136,9 @@ class ExprCompiler:
         if isinstance(dt, (T.DateType, T.TimestampType,
                            T.TimestampNTZType)):
             return "temporal"
+        from .temporal_cols import is_temporal_type
+        if is_temporal_type(dt):
+            return "tstruct"   # openCypher temporal struct values
         if isinstance(dt, T.StructType):
             return "map"       # map literals / entities compile to structs
         return None
@@ -932,6 +1351,9 @@ class ExprCompiler:
                         .otherwise(F.lit(True))
             raise CompileError(
                 f"Type mismatch: cannot compare {lc} with {rc}")
+        if lc == "tstruct" and rc == "tstruct":
+            from .temporal_cols import cmp as _tcmp
+            return _tcmp(left, right, op)
         if lc == "array" and rc == "array" and op in ("=", "<>"):
             try:
                 eq = self._array_eq_typed(
@@ -1361,6 +1783,14 @@ class ExprCompiler:
 
     def _c_FuncCall(self, e: A.FuncCall) -> Column:
         name = e.name
+        if name in _TEMPORAL_FNS:
+            return self._temporal_call(e)
+        if name in _TEMPORAL_ACCESSOR_FNS and len(e.args) == 1:
+            arg = self.compile(e.args[0])
+            if self._is_temporal(arg):
+                from .temporal_cols import component
+                return component(arg, name)
+            # fall through: Spark-native date/timestamp accessor
         fn = getattr(self, "_fn_" + name, None)
         if fn is not None:
             self._check_arity(name, len(e.args), _FN_ARITY.get(name))
@@ -1769,7 +2199,7 @@ class ExprCompiler:
                     F.lit("toBoolean(): invalid argument type")
                 ).cast("boolean")).otherwise(ok)
         cls = self._cmp_class(c)
-        if cls in ("num", "array", "map", "temporal"):
+        if cls in ("num", "array", "map", "temporal", "tstruct"):
             raise CompileError(
                 "toBoolean() expects a boolean or string")
         return c.try_cast("boolean")
@@ -1788,6 +2218,9 @@ class ExprCompiler:
                     "toString(): invalid argument type"
                 )).cast("string")).otherwise(render(c))
         cls = self._cmp_class(c)
+        if cls == "tstruct":
+            from .temporal_cols import render
+            return render(c)
         if cls in ("array", "map"):
             raise CompileError("toString(): invalid argument type")
         return c.cast("string")
@@ -1885,13 +2318,12 @@ _SIMPLE_FUNCS = {
     # engine extension: deterministic list ordering (for stable collect()
     # results in distributed execution; not in the reference registry)
     "sort": F.sort_array,
-    # temporal functions — the reference declares temporal types but
-    # never implements them (docs/cypher_support.md:20-22, value.h:28-33
-    # 'declared but NOT implemented'); we support them natively on
-    # Spark's TimestampType/DateType
-    "date": lambda *a: F.to_date(a[0]) if a else F.current_date(),
-    "datetime": lambda *a: F.to_timestamp(a[0]) if a else
-        F.current_timestamp(),
+    # temporal COMPONENT accessors on Spark-native date/timestamp
+    # columns (parquet data); the full openCypher temporal API (date()
+    # etc. constructors and struct values) lives in _temporal_call /
+    # functions/temporal_kernel.py — the reference declares temporal
+    # types but never implements them (docs/cypher_support.md:20-22,
+    # value.h:28-33 'declared but NOT implemented')
     "year": F.year,
     "month": F.month,
     "day": F.dayofmonth,

@@ -232,6 +232,17 @@ def _const_eval(planner, e: A.Expr, pending: dict | None = None):
             and isinstance(e.subject, A.Variable) \
             and e.subject.name in pending:
         return pending[e.subject.name][1].get(e.key)
+    # temporal constructors/arithmetic fold through the expression
+    # compiler's kernel-backed const_eval (CREATE ({d: date('…')}))
+    from .expressions import ExprCompiler, _NotConst
+    from ..functions.temporal_kernel import TemporalError
+    try:
+        comp = ExprCompiler(None, {}, planner.params)
+        return comp.const_eval(e)
+    except TemporalError:
+        raise
+    except (_NotConst, Exception):
+        pass
     raise ValueError(
         "CREATE property values must be constant (literals, parameters, "
         "lists) when creating outside a MATCH context")

@@ -444,7 +444,12 @@ class CypherPlanner:
             elif isinstance(clause, A.ReturnClause):
                 result = self._clause_return(ctx, clause)
             elif isinstance(clause, A.CallClause):
-                self._clause_call(ctx, clause)
+                self._clause_call(ctx, clause,
+                                  standalone=(len(merged) == 1))
+                if ci == len(merged) - 1:
+                    # standalone CALL (no RETURN): the procedure's
+                    # yielded columns ARE the result set
+                    result = ctx.df
             elif isinstance(clause, (A.CreateClause, A.MergeClause,
                                      A.SetClause, A.DeleteClause,
                                      A.RemoveClause)):
@@ -1810,7 +1815,8 @@ class CypherPlanner:
             ctx.vars[alias] = VarInfo("scalar")
 
     # ------------------------------------------------------------------ CALL
-    def _clause_call(self, ctx: Ctx, clause: A.CallClause) -> None:
+    def _clause_call(self, ctx: Ctx, clause: A.CallClause,
+                     standalone: bool = True) -> None:
         from redisgraph_spark.functions.procedures import run_procedure
         if clause.proc == "algo.bfs":
             # correlated procedure: consumes the bound source variable per
@@ -1868,7 +1874,33 @@ class CypherPlanner:
             # per-record semantics without a per-row driver loop
             self._correlated_call(ctx, clause)
             return
+        custom = getattr(self.graph, "_custom_procs", {}) \
+            .get(clause.proc)
+        if custom is not None:
+            for a in clause.args:
+                if _has_agg(a):
+                    raise PlanError(
+                        f"Invalid use of aggregating function in "
+                        f"procedure argument (InvalidAggregation)")
+            if not standalone and custom["outputs"] and \
+                    not clause.yields:
+                raise PlanError(
+                    f"In-query call to {clause.proc} requires YIELD "
+                    f"(explicit output binding)")
+            for col_name, alias in clause.yields or []:
+                bound = alias or col_name
+                if bound in ctx.vars:
+                    raise PlanError(
+                        f"Variable `{bound}` already declared "
+                        f"(VariableAlreadyBound)")
         proc_df, default_cols = run_procedure(self, clause)
+        if custom is not None and not default_cols:
+            # yields-nothing procedure: in-query is a pass-through,
+            # standalone returns the empty result
+            if ctx.df is None and standalone:
+                ctx.df = proc_df     # zero rows: the empty result
+                ctx.vars.clear()
+            return
         if clause.yields:
             sel = []
             for col_name, alias in clause.yields:
@@ -2077,21 +2109,32 @@ class CypherPlanner:
         strings (a result column must have ONE type; WHERE/ORDER BY have
         already used the typed payloads)."""
         import pyspark.sql.types as T
+        from .temporal_cols import (is_temporal_array_type,
+                                    is_temporal_type)
+        from .temporal_cols import render as trender
         from .variant import is_variant_type, render
         out_cols = []
         changed = False
         for f in df.schema.fields:
             if is_variant_type(f.dataType):
-                out_cols.append(render(F.col(f.name)).alias(f.name))
+                out_cols.append(render(_colref(f.name)).alias(f.name))
+                changed = True
+            elif is_temporal_type(f.dataType):
+                # user surface: temporal values read as ISO strings
+                out_cols.append(trender(_colref(f.name)).alias(f.name))
+                changed = True
+            elif is_temporal_array_type(f.dataType):
+                out_cols.append(F.transform(
+                    _colref(f.name), trender).alias(f.name))
                 changed = True
             elif isinstance(f.dataType, T.StructType) \
                     and "__maplit" in f.dataType.fieldNames():
                 # internal literal-map marker never reaches users
                 out_cols.append(
-                    F.col(f.name).dropFields("__maplit").alias(f.name))
+                    _colref(f.name).dropFields("__maplit").alias(f.name))
                 changed = True
             else:
-                out_cols.append(F.col(f.name))
+                out_cols.append(_colref(f.name))
         return df.select(out_cols) if changed else df
 
     def _project(self, ctx: Ctx, items: list[A.ProjectionItem], star: bool,
@@ -2139,6 +2182,25 @@ class CypherPlanner:
         out_vars: dict[str, VarInfo] = {}
         for it, alias in zip(all_items, aliases):
             out_vars[alias] = self._infer_kind(ctx, it.expr)
+
+        # temporal constant propagation: a projection that folds to a
+        # temporal constant (WITH date({...}) AS d) records its value
+        # so downstream clauses keep constant-folding through the
+        # Python kernel instead of emitting columnar when-cascades
+        from ..functions.temporal_kernel import TEMPORAL_CLASSES
+        for it, alias in zip(all_items, aliases):
+            try:
+                v = comp.const_eval(it.expr)
+            except Exception:
+                continue
+            if isinstance(v, TEMPORAL_CLASSES):
+                info = out_vars[alias]
+                if info.const_value is not v:
+                    # never mutate a VarInfo shared with the inbound
+                    # scope — rebind a fresh scalar-kind info
+                    fresh = VarInfo("scalar")
+                    fresh.const_value = v
+                    out_vars[alias] = fresh
 
         if not has_agg:
             cols = []
@@ -2403,6 +2465,9 @@ class CypherPlanner:
                 if post._is_variant(matched):
                     from .variant import sort_key
                     matched = sort_key(matched)  # global type order
+                elif post._is_temporal(matched):
+                    from .temporal_cols import sort_key as tkey
+                    matched = tkey(matched)      # per-kind timeline
                 sort_cols.append(matched.asc_nulls_last() if oi.ascending
                                  else matched.desc_nulls_first())
                 continue
@@ -2411,6 +2476,9 @@ class CypherPlanner:
                 if post._is_variant(c):
                     from .variant import sort_key
                     c = sort_key(c)  # global type order (src/value.h:19-21)
+                elif post._is_temporal(c):
+                    from .temporal_cols import sort_key as tkey
+                    c = tkey(c)      # timeline order within one kind
                 # Cypher null ordering: nulls sort last ascending
                 sort_cols.append(c.asc_nulls_last() if oi.ascending
                                  else c.desc_nulls_first())

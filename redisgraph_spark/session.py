@@ -34,7 +34,7 @@ def inline_df(spark: SparkSession, rows: list[tuple],
         # small key sets per query
         return spark.sql(sql)
     structs = [
-        F.struct(*[F.lit(v).cast(t).alias(n)
+        F.struct(*[_cell_lit(v, t).alias(n)
                    for v, (n, t) in zip(row, schema)])
         for row in rows]
     return (spark.range(0, 1, 1, 1)
@@ -64,6 +64,24 @@ def _escaped_literals(spark: SparkSession) -> bool:
         except Exception:
             pass
     return cached
+
+
+def _cell_lit(v, t: str):
+    """Literal Column for one inline cell — temporal kernel values
+    become typed struct literals (planner/temporal_cols)."""
+    from pyspark.sql import functions as F
+
+    from .functions.temporal_kernel import TEMPORAL_CLASSES
+    if isinstance(v, TEMPORAL_CLASSES):
+        from .planner.temporal_cols import temporal_lit
+        return temporal_lit(v)
+    if isinstance(v, (list, tuple)) and any(
+            isinstance(x, TEMPORAL_CLASSES) for x in v):
+        from .planner.temporal_cols import TEMPORAL_TYPE, temporal_lit
+        return F.array(*[
+            temporal_lit(x) if x is not None
+            else F.lit(None).cast(TEMPORAL_TYPE) for x in v])
+    return F.lit(v).cast(t)
 
 
 def _values_sql(rows: list[tuple],
@@ -117,10 +135,17 @@ def _values_sql(rows: list[tuple],
     return f"SELECT * FROM VALUES {', '.join(out)} AS __v({cols})"
 
 
+TEMPORAL_DDL = ("struct<_tt:tinyint,_days:bigint,_nanos:bigint,"
+                "_months:bigint,_offset:int,_zone:string>")
+
+
 def _lit_sql_type(v) -> str | None:
     """SQL type for a python literal, mirroring createDataFrame's
     inference; None = unsupported here (caller falls back)."""
     import datetime
+    from .functions.temporal_kernel import TEMPORAL_CLASSES
+    if isinstance(v, TEMPORAL_CLASSES):
+        return TEMPORAL_DDL
     if isinstance(v, bool):
         return "boolean"
     if isinstance(v, int):
@@ -137,6 +162,9 @@ def _lit_sql_type(v) -> str | None:
         inner = None
         for x in v:
             t = _lit_sql_type(x) if x is not None else None
+            if isinstance(x, TEMPORAL_CLASSES):
+                inner = t
+                continue
             if isinstance(x, (list, dict)):
                 return None
             if t is not None:

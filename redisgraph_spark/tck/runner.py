@@ -94,6 +94,48 @@ def _binary_tree_cypher(variant: int) -> str:
     return "CREATE " + ", ".join(nodes + edges)
 
 
+_PROC_SIG_RE = None
+
+
+def _register_fixture_proc(g, step_text: str, table) -> None:
+    """'there exists a procedure test.my.proc(name :: STRING?, id ::
+    INTEGER?) :: (city :: STRING?):' + a lookup table → register it on
+    the Graph (Graph.register_procedure, the reference's Proc_Register
+    analog) so the Call1-6 scenarios run for real."""
+    import re
+    global _PROC_SIG_RE
+    if _PROC_SIG_RE is None:
+        _PROC_SIG_RE = re.compile(
+            r"there exists a procedure\s+([\w.]+)\s*\(([^)]*)\)\s*"
+            r"::\s*\(([^)]*)\)\s*:?\s*$")
+    m = _PROC_SIG_RE.match(step_text.strip())
+    if not m:
+        raise _Skip(f"unparsable procedure signature: {step_text[:60]}")
+    name, args_s, outs_s = m.group(1), m.group(2), m.group(3)
+
+    def decls(s: str) -> list[tuple[str, str]]:
+        out = []
+        for part in s.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            dn, _, dt = part.partition("::")
+            out.append((dn.strip(), dt.strip()))
+        return out
+
+    args, outs = decls(args_s), decls(outs_s)
+    rows = []
+    body = table or []
+    if body and body[0] and all(
+            any(c == n for n, _t in args + outs) for c in body[0]):
+        body = body[1:]           # header row
+    for r in body:
+        if not r:
+            continue
+        rows.append(tuple(_cell_to_python(c) for c in r))
+    g.register_procedure(name, args, outs, rows)
+
+
 def run_scenario(spark, sc: Scenario) -> Outcome:
     from redisgraph_spark import Graph
     name = f"{sc.feature}::{sc.name}"
@@ -127,8 +169,9 @@ def run_scenario(spark, sc: Scenario) -> Outcome:
                 g = fresh_graph()
                 g.query(_binary_tree_cypher(
                     2 if "binary-tree-2" in t else 1))
-            elif t.startswith("there exists a procedure") or \
-                    t.startswith("there exists a CSV file"):
+            elif t.startswith("there exists a procedure"):
+                _register_fixture_proc(ensure_graph(), t, st.table)
+            elif t.startswith("there exists a CSV file"):
                 raise _Skip("fixture registration")
             elif t == "having executed:" or t == "having executed":
                 ensure_graph().query(st.doc or "")

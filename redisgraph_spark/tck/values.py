@@ -362,6 +362,12 @@ def spark_to_canon(v):
         if tuple(d)[:5] == _VARIANT_FIELDS and \
                 set(d) <= set(_VARIANT_FIELDS) | {"_a"}:
             return _variant_decode(d)
+        if tuple(d) == ("_tt", "_days", "_nanos", "_months", "_offset",
+                        "_zone"):
+            # temporal struct → its ISO string (the TCK's expected form)
+            from ..functions.temporal_kernel import from_row
+            return str(from_row(d["_tt"], d["_days"], d["_nanos"],
+                                d["_months"], d["_offset"], d["_zone"]))
         if set(d) == {"nodes", "edges"}:
             return path_canon(d)
         if _is_rel_row(d):
