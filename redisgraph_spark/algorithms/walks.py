@@ -35,11 +35,12 @@ def _choice(walk: F.Column, step: int, node: F.Column,
     return F.pmod(h, deg)
 
 
-def random_walks(edges: DataFrame, start_ids: list[int],
-                 length: int = 5, seed: int = 7) -> DataFrame:
-    """One walk per start id. Returns ``(walk, step, node)`` rows,
-    step 0 = the start node; a walk stops early at a sink (node with
-    no out-edges)."""
+def random_walks(edges: DataFrame, start_ids, length: int = 5,
+                 seed: int = 7) -> DataFrame:
+    """One walk per start id (a list, or a one-column DataFrame of ids
+    for the correlated-CALL path — starts stay distributed). Returns
+    ``(walk, step, node)`` rows, step 0 = the start node; a walk stops
+    early at a sink (node with no out-edges)."""
     spark = edges.sparkSession
     adj = edges.select(F.col("_src").alias("__n"),
                        F.col("_dst").alias("__m")).distinct()
@@ -48,9 +49,16 @@ def random_walks(edges: DataFrame, start_ids: list[int],
                      (F.row_number().over(w) - 1).alias("__idx"))
     deg = adj.groupBy("__n").agg(F.count(F.lit(1)).alias("__deg"))
     adj = adj.join(deg, "__n").localCheckpoint(eager=True)
-    frontier = spark.createDataFrame(
-        [(int(s), int(s)) for s in start_ids],
-        "__walk long, __node long").dropDuplicates(["__walk"])
+    if isinstance(start_ids, DataFrame):
+        frontier = start_ids.select(
+            F.col(start_ids.columns[0]).cast("long").alias("__walk"),
+            F.col(start_ids.columns[0]).cast("long").alias("__node")) \
+            .filter(F.col("__walk").isNotNull()) \
+            .dropDuplicates(["__walk"]).localCheckpoint(eager=True)
+    else:
+        frontier = spark.createDataFrame(
+            [(int(s), int(s)) for s in start_ids],
+            "__walk long, __node long").dropDuplicates(["__walk"])
     out = frontier.select("__walk", F.lit(0).alias("__step"),
                           F.col("__node"))
     steps = [out]
@@ -73,3 +81,49 @@ def random_walks(edges: DataFrame, start_ids: list[int],
     return allsteps.select(F.col("__walk").alias("walk"),
                            F.col("__step").alias("step"),
                            F.col("__node").alias("node"))
+
+
+def walks_call(planner, ctx, clause):
+    """Correlated ``CALL algo.randomWalk(n[, reltype[, length[,
+    seed]]])`` with a bound node-variable start: the per-row starts
+    feed ONE walk-keyed stepper (cost ∝ starts × length), joined back
+    on the start id — no driver loop."""
+    from redisgraph_spark.cypher import ast as A
+    from redisgraph_spark.planner.planner import PlanError
+
+    src_e = clause.args[0]
+
+    def _lit(e, what):
+        if isinstance(e, A.Literal):
+            return e.value
+        if isinstance(e, A.Parameter):
+            return planner.params[e.name]
+        raise PlanError(f"algo.randomWalk {what} must be a literal or "
+                        f"parameter")
+
+    rel = None
+    length, seed = 5, 7
+    ints = []
+    for a in clause.args[1:]:
+        v = _lit(a, "option")
+        if isinstance(v, str):
+            rel = v
+        elif isinstance(v, int) and not isinstance(v, bool):
+            ints.append(v)
+        elif v is not None:
+            raise PlanError("algo.randomWalk options are an optional "
+                            "reltype, walk length, and seed")
+    if ints:
+        length = ints[0]
+    if len(ints) > 1:
+        seed = ints[1]
+    if length < 1:
+        raise PlanError("algo.randomWalk length must be >= 1")
+    g = planner.graph
+    starts = ctx.df.select(F.col(f"{src_e.name}._id").alias("__walk"))
+    wk = random_walks(g.edges([rel] if rel else None)
+                      .select("_src", "_dst"), starts,
+                      length=length, seed=seed)
+    out = ctx.df.join(
+        wk, F.col(f"{src_e.name}._id") == wk["walk"], "inner")
+    return out, ["walk", "step", "node"]

@@ -1864,6 +1864,53 @@ class CypherPlanner:
             if clause.where is not None:
                 self._apply_where(ctx, clause.where)
             return
+        if clause.proc in ("algo.closeness", "algo.randomwalk") \
+                and ctx.df is not None and clause.args \
+                and isinstance(clause.args[0], A.Variable) \
+                and ctx.vars.get(clause.args[0].name) is not None \
+                and ctx.vars[clause.args[0].name].kind == "node":
+            # correlated closeness / randomWalk: per-row node sources
+            # feed ONE root-keyed multi-source job (the algo.BFS /
+            # algo.SSSP vectorized shape — never a driver loop)
+            if clause.proc == "algo.closeness":
+                from redisgraph_spark.algorithms.centrality import \
+                    closeness_call
+                proc_df, default_cols = closeness_call(self, ctx, clause)
+            else:
+                from redisgraph_spark.algorithms.walks import walks_call
+                proc_df, default_cols = walks_call(self, ctx, clause)
+            sel = clause.yields or [(c, None) for c in default_cols]
+            for col_name, alias in sel:
+                if col_name not in default_cols:
+                    raise PlanError(
+                        f"Procedure {clause.proc} has no column "
+                        f"{col_name}")
+                name = alias or col_name
+                if name != col_name:
+                    proc_df = proc_df.withColumnRenamed(col_name, name)
+                ctx.vars[name] = VarInfo("scalar")
+            drop = [c for c in default_cols
+                    if c not in {a or c for c, a in sel}]
+            ctx.df = proc_df.drop(*drop) if drop else proc_df
+            if clause.where is not None:
+                self._apply_where(ctx, clause.where)
+            return
+        if clause.proc == "algo.pagerank" and ctx.df is not None \
+                and clause.args and any(
+                    not isinstance(a, (A.Literal, A.Parameter,
+                                       A.ListLiteral))
+                    for a in clause.args):
+            # personalized pageRank restarts over a SET — a per-row
+            # bound source would silently mean N separate power
+            # iterations. Reject statically and name the vectorized
+            # form (one personalized run over the collected set).
+            raise PlanError(
+                "algo.pageRank: per-row bound sources are not "
+                "supported — pass an explicit source-id list "
+                "(CALL algo.pageRank(20, 0.85, [id1, id2, …])) for one "
+                "personalized run over the set, or use algo.SSSP / "
+                "algo.BFS / algo.closeness for per-source reachability "
+                "(those vectorize as one keyed multi-source job)")
         if ctx.df is not None and clause.args and any(
                 not isinstance(a, (A.Literal, A.Parameter))
                 for a in clause.args):
