@@ -46,7 +46,55 @@ _INTERNAL_EDGE = {EDGE_ID, EDGE_SRC, EDGE_DST}
 # Process-unique plan-cache epochs (see Graph._invalidate_plans); starts
 # at 1 so a fresh instance's epoch 0 is never produced by a bump.
 import itertools as _itertools
+import threading
+from contextlib import contextmanager
+
 _EPOCH_COUNTER = _itertools.count(1)
+
+
+class _RWLock:
+    """Readers-writer lock: N concurrent readers XOR 1 writer — the
+    reference's per-graph locking discipline (``src/graph/graph.h:
+    85-101``, tested by ``tests/flow/test_concurrent_query.py``).
+    Writer-preferring: a waiting writer blocks new readers, so a
+    mutation stream cannot be starved by a read stream."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    @contextmanager
+    def read(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if self._readers == 0:
+                    self._cond.notify_all()
+
+    @contextmanager
+    def write(self):
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+                self._writer = True
+            finally:
+                self._writers_waiting -= 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writer = False
+                self._cond.notify_all()
 
 
 class QueryTimeoutError(RuntimeError):
@@ -222,6 +270,13 @@ class Graph:
         self._fulltext = None
         # user-registered table-valued procedures (register_procedure)
         self._custom_procs: dict[str, dict] = {}
+        # N-readers / 1-writer discipline per graph (reference acquires
+        # _Graph_AcquireWriteLock around mutations, src/graph/graph.h:
+        # 85-101): writes plan+commit exclusively, reads run
+        # concurrently; the snapshot/restore undo window in
+        # _plan_with_timeout is therefore single-writer-atomic
+        self._rw = _RWLock()
+        self._cache_mu = threading.Lock()   # LRU bookkeeping only
         self._scan_cache: dict[tuple, DataFrame] = {}
         # chained-rewrite depth per (kind, name) — mutations swap in
         # un-checkpointed lazy rewrites and pin every 4th to bound
@@ -567,41 +622,53 @@ class Graph:
                self._version, self._epoch)
         cached = self._plan_cache.get(key)
         if cached is not None:
-            self._plan_cache.move_to_end(key)
+            with self._cache_mu:
+                if key in self._plan_cache:
+                    self._plan_cache.move_to_end(key)
             self._log_query(cypher, _time.time() - t0, cache_hit=True)
             return cached
         ast = parse(cypher)
         planner = CypherPlanner(self, params or {})
-        # TIMEOUT (reference Config_TIMEOUT, src/configuration/config.h:
-        # 14-18; drain cmd_query.c:100-118): bound the engine-side work
-        # that runs INSIDE query() — planning plus every eager
-        # materialization (var-len frontier loops, mutation rewrites,
-        # iterative algorithms). A runaway [*] traversal otherwise has
-        # no kill switch. Jobs the USER later triggers on the returned
-        # (lazy) DataFrame are outside this bound, like any Spark job.
-        timeout_ms = self.config_get("TIMEOUT")
-        if isinstance(timeout_ms, int) and timeout_ms > 0:
-            df = self._plan_with_timeout(planner, ast, cypher, timeout_ms)
-        else:
-            df = planner.plan(ast)
-        # RESULTSET_MAX_SIZE: truncate emitted rows when configured ≥ 0
-        # (reference enforces in ops/op_results.c:32-47)
-        max_rows = self.config_get("RESULTSET_MAX_SIZE")
-        if isinstance(max_rows, int) and max_rows >= 0:
-            df = df.limit(max_rows)
-        # mutation statistics for the last executed query
-        # (≈ resultset_statistics.h:12-20, returned out-of-band)
-        self.last_stats = dict(planner.stats)
-        # write CALLs (fulltext DDL) count: they must bump the version
-        # so cached queryNodes plans built on the old index invalidate
+        # write CALLs (fulltext DDL) count as writes: they must bump the
+        # version so cached queryNodes plans on the old index invalidate
         is_write = is_write_ast(ast)
-        if is_write:
-            self._version += 1
-            self._invalidate_plans()
-        else:
-            self._plan_cache[key] = df
-            if len(self._plan_cache) > self.PLAN_CACHE_SIZE:
-                self._plan_cache.popitem(last=False)
+        # N-readers/1-writer per graph (reference
+        # _Graph_AcquireWriteLock, src/graph/graph.h:85-101): planning
+        # IS commit for mutations (table swaps + snapshot/restore on
+        # abort), so the whole plan runs under the write lock; reads
+        # plan concurrently under the shared lock
+        lock = self._rw.write() if is_write else self._rw.read()
+        with lock:
+            # TIMEOUT (reference Config_TIMEOUT, src/configuration/
+            # config.h:14-18; drain cmd_query.c:100-118): bound the
+            # engine-side work that runs INSIDE query() — planning plus
+            # every eager materialization (var-len frontier loops,
+            # mutation rewrites, iterative algorithms). A runaway [*]
+            # traversal otherwise has no kill switch. Jobs the USER
+            # later triggers on the returned (lazy) DataFrame are
+            # outside this bound, like any Spark job.
+            timeout_ms = self.config_get("TIMEOUT")
+            if isinstance(timeout_ms, int) and timeout_ms > 0:
+                df = self._plan_with_timeout(planner, ast, cypher,
+                                             timeout_ms)
+            else:
+                df = planner.plan(ast)
+            # RESULTSET_MAX_SIZE: truncate emitted rows when configured
+            # ≥ 0 (reference enforces in ops/op_results.c:32-47)
+            max_rows = self.config_get("RESULTSET_MAX_SIZE")
+            if isinstance(max_rows, int) and max_rows >= 0:
+                df = df.limit(max_rows)
+            # mutation statistics for the last executed query
+            # (≈ resultset_statistics.h:12-20, returned out-of-band)
+            self.last_stats = dict(planner.stats)
+            if is_write:
+                self._version += 1
+                self._invalidate_plans()
+        if not is_write:
+            with self._cache_mu:
+                self._plan_cache[key] = df
+                if len(self._plan_cache) > self.PLAN_CACHE_SIZE:
+                    self._plan_cache.popitem(last=False)
         self._log_query(cypher, _time.time() - t0, cache_hit=False)
         return df
 
