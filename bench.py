@@ -136,31 +136,66 @@ def main() -> None:
         fresh.toPandas()
         return planned + (time.time() - t0)
 
+    def measure_floor() -> float:
+        probe = 9e9
+        probe_df = spark.range(1).coalesce(1)
+        for _ in range(3):
+            t0 = time.time()
+            probe_df.toPandas()
+            probe = min(probe, time.time() - t0)
+        return round(probe, 4)
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     steady: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        try:
-            cold[name] = round(run_once(fn), 3)
-            best = cold[name]
-            for _ in range(WARM_RUNS):
-                best = min(best, run_once(fn))
-            warm[name] = round(best, 3)
-            # steady-state service latency: repeated toPandas on the
-            # SAME cached handle — plan-cache hit plus Spark's
-            # broadcast/shuffle-output reuse on the live plan object.
-            # Reported separately because it reuses prior data-path
-            # work; `queries` above is full re-execution per run.
-            sbest = 9e9
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, sf_dir).toPandas()
-                sbest = min(sbest, time.time() - t0)
-            steady[name] = round(sbest, 3)
-        except Exception as exc:  # one broken entry must not lose the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    def warm_pass() -> None:
+        for name in HEADLINE:
+            fn = qs[name]
+            try:
+                c = round(run_once(fn), 3)
+                if name not in cold:
+                    cold[name] = c
+                best = c
+                for _ in range(WARM_RUNS):
+                    best = min(best, run_once(fn))
+                best = round(best, 3)
+                if name not in warm or best < warm[name]:
+                    warm[name] = best
+                # steady-state service latency: repeated toPandas on
+                # the SAME cached handle — plan-cache hit plus Spark's
+                # broadcast/shuffle-output reuse on the live plan
+                # object. Reported separately because it reuses prior
+                # data-path work; `queries` is full re-execution.
+                sbest = 9e9
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf_dir).toPandas()
+                    sbest = min(sbest, time.time() - t0)
+                sbest = round(sbest, 3)
+                if name not in steady or sbest < steady[name]:
+                    steady[name] = sbest
+            except Exception as exc:  # one broken entry ≠ a lost run
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # load-robust measurement (VERDICT r8 #4: BENCH_r08 was taken on a
+    # contended box and its warm total missed the idle number by 40%):
+    # when the scheduling-floor probe says the box is loaded (> ~2× the
+    # recorded idle floor), run the whole warm pass again and keep the
+    # per-query minima — min-of-N across passes is robust to load
+    # spikes that hit one pass
+    nominal_floor = float(os.environ.get("SPARK_GRAFT_IDLE_FLOOR",
+                                         "0.021"))
+    floors = [measure_floor()]
+    warm_pass()
+    floors.append(measure_floor())
+    attempts = 1
+    while attempts < 3 and not errors and \
+            min(floors[-2:]) > 2 * nominal_floor:
+        warm_pass()
+        floors.append(measure_floor())
+        attempts += 1
     # a broken entry must NOT make the total look faster — null the
     # headline totals when any entry failed (per-query times still
     # reported so the regression is localizable)
@@ -171,12 +206,7 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = None
-    probe = 9e9
-    probe_df = spark.range(1).coalesce(1)
-    for _ in range(3):
-        t0 = time.time()
-        probe_df.toPandas()
-        probe = min(probe, time.time() - t0)
+    probe = min(floors)
     out = {
         "metric": "headline_total_wall",
         "value": total,
@@ -188,6 +218,8 @@ def main() -> None:
         "steady_queries": steady,
         "steady_value": None if errors else round(sum(steady.values()), 3),
         "floor_probe": round(probe, 4),
+        "floor_probes": floors,
+        "warm_passes": attempts,
     }
     if errors:
         out["errors"] = errors

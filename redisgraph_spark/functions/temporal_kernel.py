@@ -1311,7 +1311,10 @@ def _as_ldt_pair(a, b):
 def _between_zoned(a, b):
     """Both operands as effective zoned datetimes when either side
     carries an offset — returns (a', b') as KDateTime with offsets, or
-    None when neither side is zoned."""
+    None when neither side is zoned.  A LOCAL operand paired with a
+    zone-NAMED operand resolves in that zone at its own wall time
+    (Temporal10 [8]: local 04:00 on the Stockholm fall-back day is
+    +01:00 even though the zoned side reads +02:00)."""
     aoff = getattr(a, "offset", None)
     boff = getattr(b, "offset", None)
     if aoff is None and boff is None:
@@ -1319,9 +1322,16 @@ def _between_zoned(a, b):
     (da, na), (db, nb) = _as_ldt_pair(a, b)
     az = getattr(a, "zone", None)
     bz = getattr(b, "zone", None)
-    ao = aoff if aoff is not None else (boff or 0)
-    bo = boff if boff is not None else (aoff or 0)
-    return (KDateTime(da, na, ao, az), KDateTime(db, nb, bo, bz))
+
+    def borrowed(days, nanos, other_zone, other_off):
+        if other_zone is not None:
+            return zone_offset_for_local(other_zone, days, nanos)
+        return other_off or 0
+
+    ao = aoff if aoff is not None else borrowed(da, na, bz, boff)
+    bo = boff if boff is not None else borrowed(db, nb, az, aoff)
+    return (KDateTime(da, na, ao, az if aoff is not None else None),
+            KDateTime(db, nb, bo, bz if boff is not None else None))
 
 
 def duration_between(a, b, mode: str | None = None) -> KDuration:
@@ -1368,7 +1378,12 @@ def duration_between(a, b, mode: str | None = None) -> KDuration:
             return (add_months_clamped(da, months) + days) \
                 * NS_PER_DAY + na
 
-        month_guess = (db - da) // 28
+        # civil-calendar guess (error ≤ 1 month even over
+        # billion-year spans — a ratio-based guess would step the
+        # monotone search millions of times)
+        ya, ma, _da_ = civil_from_days(da)
+        yb, mb, _db_ = civil_from_days(db)
+        month_guess = (yb * 12 + mb) - (ya * 12 + ma)
     if mode == "seconds":
         return KDuration(0, 0, target - shift(0, 0))
     if mode == "days":
