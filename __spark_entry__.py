@@ -602,6 +602,51 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
         "AS total FROM orders GROUP BY 1, 2 ORDER BY y, m"),
 
+    # full openCypher temporal API (r9; the reference declares the
+    # types but never implements them — src/value.h:28-33). Columnar
+    # paths: date() over a native timestamp column, date.truncate,
+    # duration.inDays, temporal + duration comparison — all
+    # whole-stage-codegen Column math (planner/temporal_cols.py);
+    # literal temporals constant-fold through the Python kernel.
+    "q_temporal_truncate": (
+        "MATCH (o:Order) "
+        "RETURN toString(date.truncate('quarter', date(o.o_orderdate)))"
+        " AS q, count(*) AS n ORDER BY q",
+        "SELECT strftime(date_trunc('quarter', o_orderdate), "
+        "'%Y-%m-%d') AS q, count(*) AS n FROM orders "
+        "GROUP BY 1 ORDER BY q"),
+    "q_temporal_between": (
+        "MATCH (o:Order)-[l:CONTAINS]->() "
+        "RETURN l.l_returnflag AS flag, "
+        "sum(duration.inDays(date(o.o_orderdate), date(l.l_shipdate))"
+        ".days) AS total_days, count(*) AS n ORDER BY flag",
+        "SELECT l_returnflag AS flag, "
+        "sum(date_diff('day', o_orderdate, l_shipdate)) AS total_days, "
+        "count(*) AS n FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY flag"),
+    "q_temporal_arith": (
+        "MATCH (o:Order) "
+        "WHERE date(o.o_orderdate) + duration('P1M') > "
+        "date('1998-06-01') "
+        "RETURN count(*) AS n, min(toString(date(o.o_orderdate))) "
+        "AS first",
+        "SELECT count(*) AS n, strftime(min(o_orderdate),'%Y-%m-%d') "
+        "AS first FROM orders "
+        "WHERE o_orderdate + INTERVAL 1 MONTH > TIMESTAMP '1998-06-01'"),
+    # timezone-aware semantics pinned against independently-derived
+    # constants: DST spring-forward arithmetic (zone database), cross-
+    # offset instant ordering, and the fall-back-hour instant gap
+    "q_temporal_tz": (
+        "RETURN toString(datetime('2024-03-10T01:30-05:00"
+        "[America/New_York]') + duration('PT1H')) AS spring, "
+        "datetime('2015-07-21T21:40+01:00') < "
+        "datetime('2015-07-21T20:41Z') AS lt, "
+        "duration.inSeconds(datetime('2017-10-29T00:00+02:00"
+        "[Europe/Stockholm]'), datetime('2017-10-29T04:00+01:00"
+        "[Europe/Stockholm]')).seconds AS dst_secs",
+        "SELECT '2024-03-10T03:30-04:00[America/New_York]' AS spring, "
+        "TRUE AS lt, CAST(18000 AS BIGINT) AS dst_secs"),
+
     # procedure call surface
     # additive analytics procedures (reference ships only BFS/pageRank,
     # src/procedures/procedure.c:27-42)

@@ -427,7 +427,22 @@ class ExprCompiler:
     def _temporal_binary(self, e: A.Binary) -> Column:
         """Columnar temporal arithmetic (raises _NotConst when neither
         operand is actually a temporal struct column)."""
+        from ..functions import temporal_kernel as TK
         from . import temporal_cols as TC
+        # whole-subtree constant fold first: literal temporal
+        # arithmetic becomes ONE struct literal through the kernel
+        # (exact zone-database semantics), never a when-cascade
+        try:
+            v = self._const_binary(e)
+            if v is None:
+                return F.lit(None).cast(TC.TEMPORAL_TYPE)
+            if isinstance(v, TK.TEMPORAL_CLASSES):
+                return TC.temporal_lit(v)
+            return F.lit(v)
+        except _NotConst:
+            pass
+        except TK.TemporalError as ex:
+            raise CompileError(str(ex))
         l = self.compile(e.left)
         r = self.compile(e.right)
         l_ts = self._is_temporal(l)
@@ -506,6 +521,12 @@ class ExprCompiler:
                 return F.lit(None).cast(TC.TEMPORAL_TYPE)
             if isinstance(dt, T.StringType):
                 return self._temporal_parse_col(name, col)
+            if isinstance(dt, (T.DateType, T.TimestampType,
+                               T.TimestampNTZType)):
+                # native parquet date/timestamp column → temporal
+                # struct (pure column arithmetic, stays in codegen)
+                return self._temporal_convert_col(
+                    name, TC.from_native(col, dt))
             raise CompileError(
                 f"{name}() over a non-constant argument of this type "
                 f"is not supported — store temporal values, not "

@@ -79,6 +79,29 @@ def temporal_lit(v) -> Column:
          else n).cast("string").alias("_zone"))
 
 
+def from_native(col: Column, dt: T.DataType) -> Column:
+    """Spark-native DATE/TIMESTAMP column → temporal struct (date /
+    localdatetime at microsecond precision)."""
+    inull = F.lit(None).cast("int")
+    snull = F.lit(None).cast("string")
+    if isinstance(dt, T.DateType):
+        out = pack(F.lit(TK.TT_DATE),
+                   F.datediff(col, F.lit(_EPOCH)).cast("long"),
+                   F.lit(0), F.lit(0), inull, snull)
+        return F.when(col.isNull(),
+                      F.lit(None).cast(TEMPORAL_TYPE)).otherwise(out)
+    d = F.to_date(col)
+    nanos = ((F.hour(col).cast("long") * 3600
+              + F.minute(col).cast("long") * 60
+              + F.second(col).cast("long")) * F.lit(NS_SEC)
+             + F.date_format(col, "SSSSSS").cast("long") * 1000)
+    out = pack(F.lit(TK.TT_LOCALDATETIME),
+               F.datediff(d, F.lit(_EPOCH)).cast("long"),
+               nanos, F.lit(0), inull, snull)
+    return F.when(col.isNull(),
+                  F.lit(None).cast(TEMPORAL_TYPE)).otherwise(out)
+
+
 def pack(tt: Column, days: Column, nanos: Column, months: Column,
          offset: Column, zone: Column) -> Column:
     return F.struct(tt.cast("tinyint").alias("_tt"),
