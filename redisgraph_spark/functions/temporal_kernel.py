@@ -735,9 +735,12 @@ def _time_from_map(mp: dict, base_nanos: int | None) -> int:
         sec = _int_comp(mp, "second", sec)
         if any(k in mp for k in ("millisecond", "microsecond",
                                  "nanosecond")):
-            ms = _int_comp(mp, "millisecond", 0)
-            us = _int_comp(mp, "microsecond", 0)
-            ns = _int_comp(mp, "nanosecond", 0)
+            # sub-second components override INDIVIDUALLY against the
+            # base's remainders (Temporal9: truncate('millisecond',
+            # …, {nanosecond: 2}) keeps .645 and sets ns → .645000002)
+            ms = _int_comp(mp, "millisecond", ms)
+            us = _int_comp(mp, "microsecond", us)
+            ns = _int_comp(mp, "nanosecond", ns)
         else:
             # keep the base's sub-second part intact
             return (h * NS_PER_HOUR + mi * NS_PER_MIN
@@ -900,46 +903,45 @@ def datetime_from_map(mp: dict) -> KDateTime:
     bad = [k for k in mp2 if k not in _ALL_DATE_KEYS | set(_TIME_KEYS)]
     _check(not bad, f"invalid datetime component(s): {bad}")
     time_keys = set(mp2) & set(_TIME_KEYS)
-    bzone = boffset = None
-    if dtbase is not None:
-        bd, (bt, boffset) = dtbase.days, _base_time_part(dtbase)
-        if isinstance(dtbase, KDateTime):
-            bzone = dtbase.zone
-        if tzspec is not None and boffset is not None:
-            # convert instant to the new zone first (Temporal3 [3])
-            noffset, nzone = _resolve_timezone(str(tzspec), bd, bt)
-            esec, ens = KDateTime(bd, bt, boffset, None).instant()
+    # the date part comes from the date: base (or the datetime: base),
+    # the time part — offset and zone included — from the time: base
+    # (or the datetime: base); explicit components override; a
+    # timezone: with an offset-carrying base CONVERTS the instant, and
+    # with an offset-less base ATTACHES (Temporal3 [8]-[11])
+    date_src = dbase if dbase is not None else dtbase
+    time_src = tbase if tbase is not None else dtbase
+    bd = _base_date_part(date_src) if date_src is not None else None
+    if time_src is not None:
+        bt, boffset = _base_time_part(time_src)
+    else:
+        bt = boffset = None
+    bzone = time_src.zone if isinstance(time_src, KDateTime) else None
+    if bd is None and not (set(mp2) & _ALL_DATE_KEYS):
+        raise TemporalError("no date components given")
+    if bd is None:
+        _check("year" in mp2, "year must be specified")
+    days = _date_from_map(mp2, bd)
+    if bt is not None or time_keys:
+        nanos = _time_from_map(mp2, bt)
+    else:
+        nanos = 0
+    offset, zone = boffset, bzone
+    if zone is not None:
+        # a named zone re-resolves its offset at the combined local
+        # wall time ([10] #31: March dates flip Stockholm to +02:00)
+        offset = zone_offset_for_local(zone, days, nanos)
+    if tzspec is not None:
+        noffset, nzone = _resolve_timezone(str(tzspec), days, nanos)
+        if offset is not None:
+            esec, ens = KDateTime(days, nanos, offset, None).instant()
             if nzone is not None:
                 noffset = zone_offset_for_instant(nzone, esec)
             lsec = esec + noffset
-            bd, sod = divmod(lsec, SEC_PER_DAY)
-            bt = sod * NS_PER_SEC + ens
-            boffset, bzone = noffset, nzone
-            tzspec = None
-        days = _date_from_map(mp2, bd)
-        nanos = _time_from_map(mp2, bt)
-    else:
-        bd = _base_date_part(dbase) if dbase is not None else None
-        bt = boffset = None
-        if tbase is not None:
-            bt, boffset = _base_time_part(tbase)
-        if bd is None and not (set(mp2) & _ALL_DATE_KEYS):
-            raise TemporalError("no date components given")
-        if bd is None:
-            _check("year" in mp2, "year must be specified")
-        days = _date_from_map(mp2, bd)
-        if bt is not None or time_keys:
-            nanos = _time_from_map(mp2, bt)
-        else:
-            nanos = 0
-    if tzspec is not None:
-        offset, zone = _resolve_timezone(str(tzspec), days, nanos)
-    elif boffset is not None:
-        offset, zone = boffset, bzone
-    else:
-        offset, zone = 0, None
-    if zone is not None:
-        offset = zone_offset_for_local(zone, days, nanos)
+            days, sod = divmod(lsec, SEC_PER_DAY)
+            nanos = sod * NS_PER_SEC + ens
+        offset, zone = noffset, nzone
+    if offset is None:
+        offset = 0
     return KDateTime(days, nanos, offset, zone)
 
 
@@ -956,43 +958,47 @@ _DUR_KEYS = {"years": 12 * AVG_SEC_PER_MONTH,
 def duration_from_map(mp: dict) -> KDuration:
     bad = [k for k in mp if k not in _DUR_KEYS]
     _check(not bad, f"invalid duration component(s): {bad}")
-    months = 0
-    days = 0
     nanos = 0
-    day_frac_ns = 0   # fractional y/m/w/d parts: whole days extract
+    # fractional years/quarters flow into MONTHS exactly (12.5y = 150
+    # months); only the fractional remainder of the month total leaves
+    # the calendar (avg-month seconds). Same for weeks → days.
+    months_f = 0.0
     for key, mult in (("years", 12), ("quarters", 3), ("months", 1)):
         v = mp.get(key, 0)
         _num_check(key, v)
-        whole = int(v)
-        months += whole * mult
-        frac = v - whole
-        if frac:
-            day_frac_ns += int(round(frac * mult * AVG_SEC_PER_MONTH
-                                     * NS_PER_SEC))
+        months_f += v * mult
+    months = int(months_f)
+    day_frac_ns = int(round((months_f - months) * AVG_SEC_PER_MONTH
+                            * NS_PER_SEC))
+    days_f = 0.0
     for key, mult in (("weeks", 7), ("days", 1)):
         v = mp.get(key, 0)
         _num_check(key, v)
-        whole = int(v)
-        days += whole * mult
-        frac = v - whole
-        if frac:
-            day_frac_ns += int(round(frac * mult * AVG_SEC_PER_DAY
-                                     * NS_PER_SEC))
-    if day_frac_ns:
-        # a fractional month/week/day first yields whole DAYS, only
-        # the remainder lands in the time part ('P2.5W' → P17DT12H,
-        # 'P0.75M' → P22DT19H51M49.5S); time-unit fractions never
-        # promote ('PT0.75M' → PT45S)
-        extra = _trunc_div(day_frac_ns, NS_PER_DAY)
-        days += extra
-        nanos += day_frac_ns - extra * NS_PER_DAY
+        days_f += v * mult
+    days = int(days_f)
+    day_frac_ns += int(round((days_f - days) * AVG_SEC_PER_DAY
+                             * NS_PER_SEC))
+    time_ns = 0
     for key, mult in (("hours", 3600), ("minutes", 60), ("seconds", 1)):
         v = mp.get(key, 0)
         _num_check(key, v)
-        nanos += int(round(v * mult * NS_PER_SEC))
-    nanos += int(round(mp.get("milliseconds", 0) * 1_000_000))
-    nanos += int(round(mp.get("microseconds", 0) * 1000))
-    nanos += int(round(mp.get("nanoseconds", 0)))
+        time_ns += int(round(v * mult * NS_PER_SEC))
+    time_ns += int(round(mp.get("milliseconds", 0) * 1_000_000))
+    time_ns += int(round(mp.get("microseconds", 0) * 1000))
+    time_ns += int(round(mp.get("nanoseconds", 0)))
+    if day_frac_ns:
+        # a fractional month/week/day normalizes the WHOLE sub-day
+        # pool: the fraction-derived seconds join the time part and
+        # whole days extract from the combined pool ('P2.5W' →
+        # P17DT12H, 'P0.75M' → P22DT19H51M49.5S, Temporal8 [1] #3);
+        # without such a fraction the time part is verbatim — hours
+        # never fold into days ('PT32H' stays, Temporal6 [6])
+        pool = day_frac_ns + time_ns
+        extra = _trunc_div(pool, NS_PER_DAY)
+        days += extra
+        nanos += pool - extra * NS_PER_DAY
+    else:
+        nanos += time_ns
     return KDuration(months, days, nanos)
 
 
@@ -1002,6 +1008,19 @@ def _num_check(key: str, v) -> None:
 
 
 # ------------------------------------------------------------ constructors
+
+def now_value(kind: str, epoch_ms: int, tzspec=None):
+    """Statement-clock constructors: date() / datetime.statement() /
+    time.realtime([tz]) … — one fixed clock per statement (the
+    compiler's query_time_ms), so duration.between(date(), date()) is
+    exactly PT0S within a query."""
+    if kind == "duration":
+        raise TemporalError("duration() requires an argument")
+    mp = {"epochMillis": int(epoch_ms)}
+    if tzspec is not None:
+        mp["timezone"] = str(tzspec)
+    return _convert(kind, datetime_from_map(mp))
+
 
 def construct(kind: str, arg=None):
     """The six temporal constructor functions.  `arg` is None (= now —

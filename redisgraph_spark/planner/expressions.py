@@ -78,8 +78,14 @@ _TEMPORAL_TRUNCATES = frozenset(
 _TEMPORAL_BETWEENS = frozenset(
     ["duration.between", "duration.inmonths", "duration.indays",
      "duration.inseconds"])
+# clock constructors: statement/transaction are one statement-fixed
+# clock here (single-statement transactions); realtime is the same
+# wall clock read
+_TEMPORAL_CLOCKS = frozenset(
+    f"{k}.{v}" for k in _TEMPORAL_CTORS if k != "duration"
+    for v in ("statement", "transaction", "realtime"))
 _TEMPORAL_FNS = (_TEMPORAL_CTORS | _TEMPORAL_TRUNCATES
-                 | _TEMPORAL_BETWEENS
+                 | _TEMPORAL_BETWEENS | _TEMPORAL_CLOCKS
                  | {"datetime.fromepoch", "datetime.fromepochmillis"})
 # function-style component accessors that keep working on BOTH Spark
 # native date/timestamp columns (parquet data) and temporal structs
@@ -327,9 +333,15 @@ class ExprCompiler:
     def _const_call(self, e: A.FuncCall):
         from ..functions import temporal_kernel as TK
         name = e.name
+        if name in _TEMPORAL_CLOCKS or \
+                (name in _TEMPORAL_CTORS and not e.args):
+            kind = name.split(".", 1)[0]
+            args = [self.const_eval(a) for a in e.args]
+            if args and args[0] is None:
+                return None
+            return TK.now_value(kind, self.query_time_ms,
+                                args[0] if args else None)
         if name in _TEMPORAL_CTORS:
-            if not e.args:
-                return TK.construct(name, None)   # clock error
             args = [self.const_eval(a) for a in e.args]
             if args[0] is None:
                 return None
