@@ -958,26 +958,19 @@ _DUR_KEYS = {"years": 12 * AVG_SEC_PER_MONTH,
 def duration_from_map(mp: dict) -> KDuration:
     bad = [k for k in mp if k not in _DUR_KEYS]
     _check(not bad, f"invalid duration component(s): {bad}")
-    nanos = 0
     # fractional years/quarters flow into MONTHS exactly (12.5y = 150
-    # months); only the fractional remainder of the month total leaves
-    # the calendar (avg-month seconds). Same for weeks → days.
+    # months), weeks into days (2.5w = 17.5d); see _dur_normalize for
+    # where the remaining fractions land
     months_f = 0.0
     for key, mult in (("years", 12), ("quarters", 3), ("months", 1)):
         v = mp.get(key, 0)
         _num_check(key, v)
         months_f += v * mult
-    months = int(months_f)
-    day_frac_ns = int(round((months_f - months) * AVG_SEC_PER_MONTH
-                            * NS_PER_SEC))
     days_f = 0.0
     for key, mult in (("weeks", 7), ("days", 1)):
         v = mp.get(key, 0)
         _num_check(key, v)
         days_f += v * mult
-    days = int(days_f)
-    day_frac_ns += int(round((days_f - days) * AVG_SEC_PER_DAY
-                             * NS_PER_SEC))
     time_ns = 0
     for key, mult in (("hours", 3600), ("minutes", 60), ("seconds", 1)):
         v = mp.get(key, 0)
@@ -986,20 +979,32 @@ def duration_from_map(mp: dict) -> KDuration:
     time_ns += int(round(mp.get("milliseconds", 0) * 1_000_000))
     time_ns += int(round(mp.get("microseconds", 0) * 1000))
     time_ns += int(round(mp.get("nanoseconds", 0)))
-    if day_frac_ns:
-        # a fractional month/week/day normalizes the WHOLE sub-day
-        # pool: the fraction-derived seconds join the time part and
-        # whole days extract from the combined pool ('P2.5W' →
-        # P17DT12H, 'P0.75M' → P22DT19H51M49.5S, Temporal8 [1] #3);
-        # without such a fraction the time part is verbatim — hours
-        # never fold into days ('PT32H' stays, Temporal6 [6])
-        pool = day_frac_ns + time_ns
-        extra = _trunc_div(pool, NS_PER_DAY)
-        days += extra
-        nanos += pool - extra * NS_PER_DAY
-    else:
-        nanos += time_ns
-    return KDuration(months, days, nanos)
+    return _dur_normalize(months_f, days_f, time_ns)
+
+
+def _trunc_f(v) -> int:
+    """float/int → int truncated toward zero."""
+    return int(v)
+
+
+def _dur_normalize(months_f, days_f, time_ns: int) -> KDuration:
+    """(possibly fractional months, possibly fractional days, exact
+    time nanos) → canonical duration.  The month-total's fractional
+    remainder becomes avg-month seconds of which whole DAYS extract
+    into the day component ('P0.75M' → P22DT19H51M49.5S, Temporal8
+    [1]/[6]/[7]); the day-total's fraction goes straight to seconds
+    ('P2.5W' = 17.5d → P17DT12H); the integer time part is verbatim —
+    hours never fold into days ('PT32H' stays, Temporal6 [6])."""
+    months = _trunc_f(months_f)
+    sec_m_ns = int(round((months_f - months) * AVG_SEC_PER_MONTH
+                         * NS_PER_SEC))
+    d_extra = _trunc_div(sec_m_ns, NS_PER_DAY) if sec_m_ns else 0
+    days_w = _trunc_f(days_f)
+    nanos = (sec_m_ns - d_extra * NS_PER_DAY
+             + int(round((days_f - days_w) * AVG_SEC_PER_DAY
+                         * NS_PER_SEC))
+             + time_ns)
+    return KDuration(months, days_w + d_extra, nanos)
 
 
 def _num_check(key: str, v) -> None:
@@ -1233,9 +1238,12 @@ def add_duration(v, dur: KDuration, sign: int = 1):
     instant-based for zoned datetimes (java.time semantics)."""
     mo, dd, nn = sign * dur.months, sign * dur.days, sign * dur.nanos
     if isinstance(v, KDate):
-        # the duration's time part is DROPPED for dates (openCypher:
-        # date + duration uses months and days only)
-        return KDate(add_months_clamped(v.days, mo) + dd)
+        # dates take months, days, and the WHOLE days inside the time
+        # part (date + PT25H = date + 1 day; Temporal8 [1] #3 — the
+        # sub-day remainder is dropped, truncating toward zero so
+        # subtraction mirrors addition)
+        return KDate(add_months_clamped(v.days, mo) + dd
+                     + _trunc_div(nn, NS_PER_DAY))
     if isinstance(v, KLocalTime):
         return KLocalTime((v.nanos + nn) % NS_PER_DAY)
     if isinstance(v, KTime):
@@ -1278,14 +1286,10 @@ def dur_scale(a: KDuration, k) -> KDuration:
                             "number")
     if isinstance(k, int):
         return KDuration(a.months * k, a.days * k, a.nanos * k)
-    months_f = a.months * k
-    months = int(months_f)
-    days_f = a.days * k + 0.0
-    days = int(days_f)
-    nanos = (a.nanos * k
-             + (months_f - months) * AVG_SEC_PER_MONTH * NS_PER_SEC
-             + (days_f - days) * AVG_SEC_PER_DAY * NS_PER_SEC)
-    return KDuration(months, days, int(round(nanos)))
+    # fractional factor: same normalization as map construction
+    # (month remainder → whole days + seconds, Temporal8 [7])
+    return _dur_normalize(a.months * k, a.days * k,
+                          int(round(a.nanos * k)))
 
 
 def dur_divide(a: KDuration, k) -> KDuration:

@@ -67,6 +67,12 @@ def is_temporal_array_type(dt: T.DataType) -> bool:
 def temporal_lit(v) -> Column:
     """Kernel value → struct literal Column."""
     tt, days, nanos, months, offset, zone = TK.to_row(v)
+    for field, val in (("days", days), ("nanos", nanos),
+                       ("months", months)):
+        if not -(2**63) <= val < 2**63:
+            raise TK.TemporalError(
+                f"temporal {field} component {val} exceeds the 64-bit "
+                f"storage range (±292 years of nanoseconds)")
     n = F.lit(None)
     return F.struct(
         F.lit(tt).cast("tinyint").alias("_tt"),
@@ -465,8 +471,8 @@ def add_duration(v: Column, dur: Column, sign: int = 1) -> Column:
     months = v.getField("_months")
     offset = v.getField("_offset")
     zone = v.getField("_zone")
-    # date: months+days only
-    date_days = add_months_clamped(days, mo) + dd
+    # date: months + days + whole days inside the time part
+    date_days = add_months_clamped(days, mo) + dd + _tdiv(nn, NS_DAY)
     # time kinds: nanos wrap within the day
     wrapped = F.pmod(nanos + nn, F.lit(NS_DAY))
     # datetime kinds: full carry
@@ -500,8 +506,10 @@ def dur_add(a: Column, b: Column, sign: int = 1) -> Column:
 
 
 def dur_scale(a: Column, k: Column, divide: bool = False) -> Column:
-    """duration * number / duration ÷ number — fractional components
-    cascade into nanos via average month/day lengths (kernel rule)."""
+    """duration * number / duration ÷ number — the kernel's
+    normalization: the month remainder becomes avg-month seconds of
+    which whole days extract into the day component; the day remainder
+    goes to seconds (Temporal8 [7])."""
     am, ad, an = _dur_fields(a)
     kd = k.cast("double")
     if divide:
@@ -510,10 +518,13 @@ def dur_scale(a: Column, k: Column, divide: bool = False) -> Column:
     df_ = ad * kd
     m2 = mf.cast("long")
     d2 = df_.cast("long")
-    n2 = (an * kd
-          + (mf - m2) * F.lit(TK.AVG_SEC_PER_MONTH * NS_SEC)
-          + (df_ - d2) * F.lit(86400 * NS_SEC))
-    out = pack(F.lit(TK.TT_DURATION), d2, F.round(n2).cast("long"), m2,
+    sec_m_ns = F.round((mf - m2) * F.lit(TK.AVG_SEC_PER_MONTH * NS_SEC)
+                       ).cast("long")
+    d_extra = _tdiv(sec_m_ns, NS_DAY)
+    n2 = (F.round(an * kd).cast("long")
+          + sec_m_ns - d_extra * F.lit(NS_DAY)
+          + F.round((df_ - d2) * F.lit(86400 * NS_SEC)).cast("long"))
+    out = pack(F.lit(TK.TT_DURATION), d2 + d_extra, n2, m2,
                F.lit(None).cast("int"), F.lit(None).cast("string"))
     return F.when(a.isNull() | k.isNull(),
                   F.lit(None).cast(TEMPORAL_TYPE)).otherwise(out)

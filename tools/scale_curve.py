@@ -8,7 +8,9 @@ times the contract entries at sf0.1 and at the replicated scale.
 Sub-linear wall growth at 10× the rows is the pass criterion recorded
 in docs/SCALE.md.
 
-Usage: python tools/scale_curve.py [entry ...]
+Usage: python tools/scale_curve.py [--replicas N] [entry ...]
+(default N=10; N=100 gives the second decade — the r8 verdict asked
+for proof that no entry turns super-linear across 10×→100×)
 """
 
 from __future__ import annotations
@@ -26,12 +28,13 @@ sys.path.insert(0, "/root/repo")
 os.environ.setdefault("SPARK_GRAFT_RECALL_WARN", "1")
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/scale_sf1"
 REPLICAS = 10
+DST = "/tmp/scale_sf1"
 # one consonant rotation per replica: bijective translates, so shingle
 # sets across replicas are disjoint but every intra-replica duplicate
 # relationship is preserved verbatim
 ALPHA = "bcdfghjklmnpqrstvwz"
+VOWELS = "aeiou"
 
 DEFAULT = ["p_dedup_exact", "p_minhash_lsh", "p_minhash_verified",
            "p_decontaminate", "p_paragraph_dedup", "p_winnow",
@@ -57,8 +60,23 @@ def build_corpus(spark) -> None:
         rep = docs.withColumn(
             "doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
         if i:
-            rot = ALPHA[i:] + ALPHA[:i]
+            # distinct bijective translate per replica (consonant
+            # rotation × vowel rotation → 19×5 = 95 distinct combos;
+            # beyond that a digit rotation adds a third axis), so
+            # replicas stay DISTINCT texts and near-dup pair density
+            # is constant at any replica count
+            rot = ALPHA[i % 19:] + ALPHA[:i % 19]
             rep = rep.withColumn("text", F.translate("text", ALPHA, rot))
+            j = (i // 19) % 5
+            if j:
+                vrot = VOWELS[j:] + VOWELS[:j]
+                rep = rep.withColumn("text",
+                                     F.translate("text", VOWELS, vrot))
+            k = (i // 95) % 10
+            if k:
+                drot = "0123456789"[k:] + "0123456789"[:k]
+                rep = rep.withColumn(
+                    "text", F.translate("text", "0123456789", drot))
         parts.append(rep)
     big = parts[0]
     for p in parts[1:]:
@@ -78,7 +96,14 @@ def build_corpus(spark) -> None:
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    global REPLICAS, DST
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--replicas":
+        REPLICAS = int(argv[1])
+        argv = argv[2:]
+    if REPLICAS != 10:
+        DST = f"/tmp/scale_x{REPLICAS}"
+    names = argv or DEFAULT
     import __spark_entry__ as em
     from redisgraph_spark import get_spark
     spark = get_spark("scale-curve")
@@ -116,10 +141,11 @@ def main() -> None:
             print(f"{name:22s} ASSERT: {exc}")
             continue
         ratio = round(w_big / w_small, 2) if w_small else None
-        out[name] = {"sf0.1_warm": w_small, "sf1_warm": w_big,
-                     "ratio_at_10x_rows": ratio}
-        print(f"{name:22s} sf0.1 {w_small:7.3f}s   sf~1 {w_big:7.3f}s  "
-              f"ratio {ratio}")
+        out[name] = {"sf0.1_warm": w_small,
+                     f"x{REPLICAS}_warm": w_big,
+                     f"ratio_at_{REPLICAS}x_rows": ratio}
+        print(f"{name:22s} sf0.1 {w_small:7.3f}s   x{REPLICAS} "
+              f"{w_big:7.3f}s  ratio {ratio}")
     print(json.dumps(out))
 
 

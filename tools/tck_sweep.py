@@ -21,6 +21,10 @@ def main() -> None:
                     help="run untagged scenarios too")
     ap.add_argument("-v", "--verbose", type=int, default=12,
                     help="number of failures to print")
+    ap.add_argument("--write-extended", action="store_true",
+                    help="rewrite tests/tck_passing_extended.txt with "
+                         "every TAGGED scenario that passes (the "
+                         "beyond-reference ratchet)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -44,14 +48,23 @@ def main() -> None:
         scs = [s for s in scs if s.feature.startswith(args.prefix)]
     counts = Counter()
     fails = []
+    passing = []
     for i, sc in enumerate(scs):
         o = run_scenario(spark, sc)
         counts[o.status] += 1
         if o.status in ("FAIL", "ERROR"):
             fails.append(o)
+        elif o.status == "PASS":
+            passing.append(o.scenario)
         if (i + 1) % 100 == 0:
             print(f"  …{i + 1}/{len(scs)} {dict(counts)}",
                   file=sys.stderr)
+    if args.write_extended and not args.prefix and not args.all:
+        path = "tests/tck_passing_extended.txt"
+        with open(path, "w") as f:
+            for name in sorted(passing):
+                f.write(name + "\n")
+        print(f"wrote {len(passing)} scenarios to {path}")
     print(f"{len(scs)} scenarios: {dict(counts)}")
     for o in fails[:args.verbose]:
         print(f"  {o.status}: {o.scenario}\n      {o.detail[:200]}")
