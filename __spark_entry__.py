@@ -621,8 +621,8 @@ GRAPH_QUERIES: dict[str, tuple[str, str]] = {
         "sum(duration.inDays(date(o.o_orderdate), date(l.l_shipdate))"
         ".days) AS total_days, count(*) AS n ORDER BY flag",
         "SELECT l_returnflag AS flag, "
-        "sum(date_diff('day', o_orderdate, l_shipdate)) AS total_days, "
-        "count(*) AS n FROM lineitem JOIN orders "
+        "CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)"
+        " AS total_days, count(*) AS n FROM lineitem JOIN orders "
         "ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY flag"),
     "q_temporal_arith": (
         "MATCH (o:Order) "
