@@ -197,6 +197,9 @@ class NodePattern:
     var: str | None
     labels: list[str]
     props: list[tuple[str, Expr]]
+    has_props: bool = False   # a `{...}` was written, even if empty —
+    #                           `CREATE (n {})` of a bound var is a
+    #                           redeclaration (openCypher Create1[17])
 
 
 @dataclass

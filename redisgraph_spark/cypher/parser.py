@@ -379,10 +379,12 @@ class Parser:
             var = self.name()
         while self.opt_op(":"):
             labels.append(self.name())
+        has_props = False
         if self.at_op("{"):
+            has_props = True
             props = self.parse_map_entries()
         self.eat_op(")")
-        return A.NodePattern(var, labels, props)
+        return A.NodePattern(var, labels, props, has_props)
 
     def parse_rel_pattern(self) -> A.RelPattern:
         if self.at_op("<-"):

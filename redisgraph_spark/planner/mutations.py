@@ -450,7 +450,9 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
             # of a bound variable is a redeclaration too
             # (VariableAlreadyBound, Create1[11])
             if el.var and el.var in ctx.vars and (
-                    el.labels or el.props or len(path.elements) == 1):
+                    el.labels or el.props
+                    or getattr(el, "has_props", False)
+                    or len(path.elements) == 1):
                 raise PlanError(f"Variable `{el.var}` already bound")
     _invalidate_rels(g, {(els[i].types[0] if els[i].types else "RELATED")
                          for path in clause.paths
@@ -480,7 +482,8 @@ def _create(planner, ctx, clause: A.CreateClause) -> DataFrame | None:
                 pending_nodes[var] = (
                     labels,
                     _eval_props(planner, ctx, el.props, pending_nodes))
-            elif el.labels or el.props:
+            elif el.labels or el.props or getattr(el, "has_props",
+                                                  False):
                 # later occurrences must be bare references
                 raise PlanError(f"Variable `{var}` already declared")
         path_vars.append(vars_)
