@@ -782,6 +782,12 @@ class ExprCompiler:
     def _c_Property(self, e: A.Property) -> Column:
         if isinstance(e.subject, A.Variable) and e.subject.name in self.vars:
             info = self.vars[e.subject.name]
+            if info.kind == "path":
+                # property access on a PATH is a type error
+                # (openCypher MatchWhere1[14] InvalidArgumentType)
+                raise CompileError(
+                    f"Type mismatch: `{e.subject.name}` is a path — "
+                    f"expected a node, relationship, or map")
             if info.kind in ("node", "edge"):
                 if e.key in info.fields:
                     return F.col(e.subject.name).getField(e.key)
@@ -2276,6 +2282,7 @@ class _LambdaCompiler(ExprCompiler):
         super().__init__(parent.df, parent.vars, parent.params,
                          parent.query_time_ms)
         self.variants_possible = parent.variants_possible
+        self._made_variant = getattr(parent, "_made_variant", False)
         self._planner = getattr(parent, "_planner", None)
         self.bindings = dict(bindings)
         self._binding_types: dict[str, T.DataType] = {}

@@ -890,6 +890,13 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
         key = item.target.key
         if var not in ctx.vars:
             raise ValueError(f"'{var}' not defined")
+        if isinstance(item.value, A.ListLiteral) and any(
+                isinstance(x, A.MapLiteral) for x in item.value.items):
+            # a list of maps is not a storable property type
+            # (openCypher Set1[10] InvalidPropertyType)
+            raise ValueError(
+                "Cannot set a list containing maps as a property "
+                "(InvalidPropertyType)")
         info = ctx.vars[var]
         pending_refresh.append((var, key, comp.compile(item.value)))
         # updates keyed by entity id

@@ -60,6 +60,10 @@ class Ctx:
     # edge reuse inside one clause is VariableAlreadyBound, reuse of an
     # earlier-clause binding is an identity constraint
     clause_bound: frozenset = frozenset()
+    # variables whose entities a DELETE clause removed — later property
+    # or labels() access errors (openCypher Return2[15-17]; type() and
+    # the bare variable remain legal, Return2[14])
+    deleted_vars: set = field(default_factory=set)
     # statistics breadcrumbs, both keyed by id(df) so ANY later operator
     # that replaces df invalidates them automatically:
     # (id(df), metadata row count) when df is a pristine label scan —
@@ -115,6 +119,26 @@ def _tail_ref_names(clauses) -> set | None:
             if isinstance(acc, str):
                 refs.add(acc)
     return refs
+
+
+def _check_deleted_access(e: A.Expr, deleted: set) -> None:
+    """Property / labels() / properties() access on a DELETE-d variable
+    is an error (openCypher Return2[15-17]); type(), id(), and the
+    bare variable remain legal (Return2[14])."""
+    for n in _walk(e):
+        if isinstance(n, A.Property) \
+                and isinstance(n.subject, A.Variable) \
+                and n.subject.name in deleted:
+            raise PlanError(
+                f"Cannot access property `{n.key}` of a deleted "
+                f"entity `{n.subject.name}` (EntityDeleted)")
+        if isinstance(n, A.FuncCall) \
+                and n.name in ("labels", "properties") and n.args \
+                and isinstance(n.args[0], A.Variable) \
+                and n.args[0].name in deleted:
+            raise PlanError(
+                f"Cannot access {n.name}() of a deleted entity "
+                f"(EntityDeleted)")
 
 
 def _has_agg(e: A.Expr) -> bool:
@@ -455,6 +479,10 @@ class CypherPlanner:
                                      A.RemoveClause)):
                 from redisgraph_spark.planner.mutations import apply_mutation
                 result = apply_mutation(self, ctx, clause)
+                if isinstance(clause, A.DeleteClause):
+                    for de in clause.exprs:
+                        if isinstance(de, A.Variable):
+                            ctx.deleted_vars.add(de.name)
             elif isinstance(clause, A.IndexDDL):
                 g = self.graph
                 if clause.create:
@@ -2212,6 +2240,9 @@ class CypherPlanner:
                              it.alias, it.text)
             for it in all_items]
 
+        if ctx.deleted_vars:
+            for it in all_items:
+                _check_deleted_access(it.expr, ctx.deleted_vars)
         aliases: list[str] = []
         for it in all_items:
             aliases.append(it.alias or it.text or _deparse(it.expr))

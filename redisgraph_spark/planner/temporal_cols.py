@@ -518,12 +518,12 @@ def dur_scale(a: Column, k: Column, divide: bool = False) -> Column:
     df_ = ad * kd
     m2 = mf.cast("long")
     d2 = df_.cast("long")
-    sec_m_ns = F.round((mf - m2) * F.lit(TK.AVG_SEC_PER_MONTH * NS_SEC)
-                       ).cast("long")
+    sec_m_ns = F.bround((mf - m2) * F.lit(TK.AVG_SEC_PER_MONTH
+                                          * NS_SEC)).cast("long")
     d_extra = _tdiv(sec_m_ns, NS_DAY)
-    n2 = (F.round(an * kd).cast("long")
+    n2 = (F.bround(an * kd).cast("long")
           + sec_m_ns - d_extra * F.lit(NS_DAY)
-          + F.round((df_ - d2) * F.lit(86400 * NS_SEC)).cast("long"))
+          + F.bround((df_ - d2) * F.lit(86400 * NS_SEC)).cast("long"))
     out = pack(F.lit(TK.TT_DURATION), d2 + d_extra, n2, m2,
                F.lit(None).cast("int"), F.lit(None).cast("string"))
     return F.when(a.isNull() | k.isNull(),
