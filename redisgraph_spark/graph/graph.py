@@ -457,17 +457,25 @@ class Graph:
         for p in parts[1:]:
             out = out.unionByName(p)
         if self._multilabel:
-            # id → sorted label array over ALL tables (a node may carry
-            # labels outside the scanned subset); broadcast — label
-            # mutations are interactive-scale, never the 100 TB path
+            # id → label array over ALL tables (a node may carry labels
+            # outside the scanned subset) in DECLARATION order — label
+            # tables are created in first-CREATE order, which is the
+            # order openCypher's labels() reports (Merge1[10]:
+            # MERGE (:L:B) yields ['L', 'B'], not alphabetical);
+            # broadcast — label mutations are interactive-scale, never
+            # the 100 TB path
             pairs = [t.select(F.col(NODE_ID).cast("long").alias(NODE_ID),
+                              F.lit(i).alias("__lpos"),
                               F.lit(l).alias(LABEL_COL))
-                     for l, t in self.node_tables.items()]
+                     for i, (l, t) in enumerate(self.node_tables.items())]
             idx = pairs[0]
             for p in pairs[1:]:
                 idx = idx.unionByName(p)
             idx = idx.groupBy(NODE_ID).agg(
-                F.sort_array(F.collect_set(LABEL_COL)).alias("_labels"))
+                F.transform(
+                    F.array_sort(F.collect_set(
+                        F.struct(F.col("__lpos"), F.col(LABEL_COL)))),
+                    lambda s: s.getField(LABEL_COL)).alias("_labels"))
             out = out.join(F.broadcast(idx), NODE_ID, "left")
             if len(parts) > 1:
                 out = out.dropDuplicates([NODE_ID])
