@@ -141,6 +141,43 @@ def _check_deleted_access(e: A.Expr, deleted: set) -> None:
                 f"(EntityDeleted)")
 
 
+def _outside_agg_var_exprs(e: A.Expr) -> list:
+    """Maximal variable-referencing subtrees OUTSIDE any aggregate —
+    the implicit grouping keys of a mixed expression."""
+    out: list[A.Expr] = []
+
+    def go(n) -> None:
+        if isinstance(n, A.CountStar):
+            return
+        if isinstance(n, A.FuncCall) and n.name in AGG_FUNCS:
+            return
+        if isinstance(n, A.Variable):
+            out.append(n)
+            return
+        if isinstance(n, A.Property) \
+                and isinstance(n.subject, A.Variable):
+            out.append(n)
+            return
+        if not hasattr(n, "__dataclass_fields__"):
+            return
+        import dataclasses
+        for f in dataclasses.fields(n):
+            v = getattr(n, f.name)
+            if isinstance(v, A.Expr):
+                go(v)
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if isinstance(x, A.Expr):
+                        go(x)
+                    elif isinstance(x, tuple):
+                        for y in x:
+                            if isinstance(y, A.Expr):
+                                go(y)
+
+    go(e)
+    return out
+
+
 def _has_agg(e: A.Expr) -> bool:
     for n in _walk(e):
         if isinstance(n, A.CountStar):
@@ -2373,6 +2410,27 @@ class CypherPlanner:
 
         key_cols = [comp.compile(it.expr).alias(a) for it, a in key_items]
 
+        # implicit grouping keys hiding INSIDE mixed expressions:
+        # non-aggregate variable/property subtrees of an item that also
+        # contains an aggregate group implicitly (openCypher Return6[6]
+        # `{foo: a.name, kids: collect(…)}`, Match4[4]
+        # `[a] + collect(n) + [b]`) — projected as hidden key columns
+        # the post-aggregation compiler maps those subtrees onto
+        hidden_keys: list[tuple[A.Expr, Column]] = []
+        cand: list[A.Expr] = []
+        for it, _a in agg_items:
+            cand.extend(_outside_agg_var_exprs(it.expr))
+        uniq: list[A.Expr] = []
+        for c in cand:
+            if any(c == u for u in uniq) \
+                    or any(c == it.expr for it, _a in key_items):
+                continue
+            uniq.append(c)
+        for i, cexp in enumerate(uniq):
+            name = f"__gk{i}"
+            key_cols.append(comp.compile(cexp).alias(name))
+            hidden_keys.append((cexp, _colref(name)))
+
         # collect distinct aggregate subexpressions
         agg_nodes: list[A.Expr] = []
         for it, _ in agg_items:
@@ -2401,7 +2459,7 @@ class CypherPlanner:
         agg_input = ctx.df
         count_star_col = None
         if ctx.vl_bind is not None and ctx.vl_bind[0] == id(ctx.df) \
-                and agg_nodes \
+                and agg_nodes and not hidden_keys \
                 and all(isinstance(n, A.CountStar) for n in agg_nodes):
             _, paths_df, end_id, n_sel, nid, tgt = ctx.vl_bind
             refs_ok = all(
@@ -2427,7 +2485,8 @@ class CypherPlanner:
         post = _PostAggCompiler(
             gdf, {a: VarInfo("scalar") for _, a in key_items},
             self.params, key_exprs=[(it.expr, _colref(a))
-                                    for it, a in key_items],
+                                    for it, a in key_items]
+            + hidden_keys,
             agg_map=agg_aliases, agg_pairs=agg_pairs)
         post.variants_possible = self._variants_possible()
         out_cols: list[Column] = []
