@@ -2209,10 +2209,19 @@ class ExprCompiler:
     def _fn_tointeger(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])
         if self._is_variant(c):
-            from .variant import num_view, str_view
-            return F.coalesce(num_view(c).cast("long"),
-                              str_view(c).try_cast("long"),
-                              str_view(c).try_cast("double").cast("long"))
+            # bool/list payloads raise like the reference
+            # (InvalidArgumentValue, TypeConversion2[8])
+            from .variant import TAG_ARRAY, TAG_BOOL, num_view, str_view
+            tag = c.getField("_vt")
+            ok = F.coalesce(
+                num_view(c).cast("long"),
+                str_view(c).try_cast("long"),
+                str_view(c).try_cast("double").cast("long"))
+            return F.when(
+                tag.isin(TAG_BOOL, TAG_ARRAY),
+                F.raise_error(F.lit(
+                    "toInteger(): invalid argument type"
+                )).cast("long")).otherwise(ok)
         # unparseable → null, not ANSI error; toInteger('2.9')
         # truncates through the float parse
         return F.coalesce(c.try_cast("long"),
@@ -2221,9 +2230,15 @@ class ExprCompiler:
     def _fn_tofloat(self, e: A.FuncCall) -> Column:
         c = self.compile(e.args[0])
         if self._is_variant(c):
-            from .variant import num_view, str_view
-            return F.coalesce(num_view(c),
-                              str_view(c).try_cast("double"))
+            from .variant import TAG_ARRAY, TAG_BOOL, num_view, str_view
+            tag = c.getField("_vt")
+            ok = F.coalesce(num_view(c),
+                            str_view(c).try_cast("double"))
+            return F.when(
+                tag.isin(TAG_BOOL, TAG_ARRAY),
+                F.raise_error(F.lit(
+                    "toFloat(): invalid argument type"
+                )).cast("double")).otherwise(ok)
         return c.try_cast("double")
 
     def _fn_toboolean(self, e: A.FuncCall) -> Column:
