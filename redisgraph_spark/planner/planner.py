@@ -143,38 +143,48 @@ def _check_deleted_access(e: A.Expr, deleted: set) -> None:
 
 def _outside_agg_var_exprs(e: A.Expr) -> list:
     """Maximal variable-referencing subtrees OUTSIDE any aggregate —
-    the implicit grouping keys of a mixed expression."""
+    the implicit grouping keys of a mixed expression.  Lambda-scoped
+    variables (comprehensions, quantifiers, reduce) are NOT grouping
+    keys — they bind per element."""
     out: list[A.Expr] = []
 
-    def go(n) -> None:
+    def go(n, bound: frozenset) -> None:
         if isinstance(n, A.CountStar):
             return
         if isinstance(n, A.FuncCall) and n.name in AGG_FUNCS:
             return
         if isinstance(n, A.Variable):
-            out.append(n)
+            if n.name not in bound:
+                out.append(n)
             return
         if isinstance(n, A.Property) \
                 and isinstance(n.subject, A.Variable):
-            out.append(n)
+            if n.subject.name not in bound:
+                out.append(n)
             return
+        scope_var = getattr(n, "var", None)
+        if isinstance(n, (A.ListComprehension, A.Quantifier)) \
+                and isinstance(scope_var, str):
+            bound = bound | {scope_var}
+        if isinstance(n, A.Reduce):
+            bound = bound | {n.acc, n.var}
         if not hasattr(n, "__dataclass_fields__"):
             return
         import dataclasses
         for f in dataclasses.fields(n):
             v = getattr(n, f.name)
             if isinstance(v, A.Expr):
-                go(v)
+                go(v, bound)
             elif isinstance(v, (list, tuple)):
                 for x in v:
                     if isinstance(x, A.Expr):
-                        go(x)
+                        go(x, bound)
                     elif isinstance(x, tuple):
                         for y in x:
                             if isinstance(y, A.Expr):
-                                go(y)
+                                go(y, bound)
 
-    go(e)
+    go(e, frozenset())
     return out
 
 

@@ -130,7 +130,9 @@ def test_set_label_labels_fn(g):
     g.query("MATCH (n:L {name: 'a'}) SET n:Extra:More")
     got = dict(rows(g.query(
         "MATCH (n) RETURN n.name AS n, labels(n) AS ls")))
-    assert got["a"] == ["Extra", "L", "More"]
+    # labels() reports DECLARATION order (original label first, then
+    # SET-added ones — openCypher Merge1[10] semantics)
+    assert got["a"] == ["L", "Extra", "More"]
     assert got["b"] == ["L"]
 
 
