@@ -269,7 +269,10 @@ def _num_loose(v):
     """int/float-insensitive canonical form — the reference's TCK
     assertions coerce numerics through float() before comparing
     (tests/tck/utils/assertions.py:28-29,131), so 12/4 = 3.0 matches
-    an expected integer 3."""
+    an expected integer 3.  Sets canonicalize to SORTED tuples: two
+    equal frozensets can iterate (and therefore repr) in different
+    orders when their hash tables grew through different insertion
+    histories, and ``_key`` compares reprs."""
     if isinstance(v, bool):
         return v
     if isinstance(v, (int, float)):
@@ -277,7 +280,8 @@ def _num_loose(v):
     if isinstance(v, tuple):
         return tuple(_num_loose(x) for x in v)
     if isinstance(v, frozenset):
-        return frozenset(_num_loose(x) for x in v)
+        return ("__set__",
+                tuple(sorted((_num_loose(x) for x in v), key=repr)))
     return v
 
 
