@@ -691,16 +691,29 @@ class ExprCompiler:
             return "?"
 
         cats = []
+        inner_union: set = set()
+        inner_mixed = False
         for x in e.items:
             if isinstance(x, A.ListLiteral):
                 # nested list of scalar literals: encodable one level
                 # deep as an array payload element
                 inner = {scalar_cat(y) for y in x.items}
                 cats.append("a" if "?" not in inner else "?")
+                inner_known = {c for c in inner if c}
+                inner_union |= inner_known
+                if len(inner_known) > 1:
+                    inner_mixed = True
             else:
                 cats.append(scalar_cat(x))
         known = {c for c in cats if c in ("b", "n", "s", "a")}
-        if "?" not in cats and len(known) > 1:
+        # variant-encode when the top level mixes categories, OR when
+        # every item is a list but their element types differ (a plain
+        # array<array<T>> has no single T — openCypher
+        # ReturnOrderBy1[9]: [[], ['a'], ['a', 1], [1], [1, null]])
+        if "?" not in cats and (
+                len(known) > 1
+                or (known == {"a"}
+                    and (inner_mixed or len(inner_union) > 1))):
             from . import variant as V
             dts = {"b": T.BooleanType(), "n": None, "s": T.StringType()}
             elems = []

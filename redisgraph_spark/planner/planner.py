@@ -2597,6 +2597,12 @@ class CypherPlanner:
                has_agg: bool, items, aliases, distinct: bool) -> DataFrame:
         post = ExprCompiler(out_df, out_vars, self.params)
         post.variants_possible = self._variants_possible()
+        # literal-made variants (heterogeneous list literals) exist in
+        # the projected schema even on graphs with no variant table
+        # columns — let the probes see them
+        from .variant import is_variant_type as _ivt
+        post._made_variant = any(_ivt(f.dataType)
+                                 for f in out_df.schema.fields)
         sort_cols: list[Column] = []
         pre_needed: list[A.OrderItem] = []
         for oi in order_by:

@@ -155,11 +155,11 @@ def elem_to_variant(e: Column) -> Column:
         e["_s"].alias("_s"), e["_b"].alias("_b"),
         F.transform(
             e["_a"],
-            lambda x: F.struct(
+            lambda x: F.when(x.isNotNull(), F.struct(
                 x["_vt"].alias("_vt"), x["_i"].alias("_i"),
                 x["_d"].alias("_d"), x["_s"].alias("_s"),
                 x["_b"].alias("_b"),
-                F.lit(None).cast(T.ArrayType(ELEM_TYPE)).alias("_a"))
+                F.lit(None).cast(T.ArrayType(ELEM_TYPE)).alias("_a")))
         ).alias("_a"))
     return F.when(e.isNotNull(), widened)
 
@@ -174,10 +174,10 @@ def elem_of(v: Column) -> Column:
         v["_d"].alias("_d"), v["_s"].alias("_s"), v["_b"].alias("_b"),
         F.transform(
             v["_a"],
-            lambda x: F.struct(
+            lambda x: F.when(x.isNotNull(), F.struct(
                 x["_vt"].alias("_vt"), x["_i"].alias("_i"),
                 x["_d"].alias("_d"), x["_s"].alias("_s"),
-                x["_b"].alias("_b"))).alias("_a"))
+                x["_b"].alias("_b")))).alias("_a"))
     return F.when(v.isNotNull(), mid)
 
 
@@ -301,7 +301,17 @@ def _scalar_canon(e: Column) -> Column:
            .when(e["_vt"] == TAG_FLOAT, e["_d"])
     key = F.struct(rank.alias("r"), e["_s"].alias("s"),
                    e["_b"].alias("b"), num.alias("n"))
-    return F.when(e.isNotNull(), key)
+    # null elements carry an explicit max rank so they sort LAST in
+    # ascending array order (openCypher null ordering; Spark's native
+    # null-element handling in array comparison is nulls-first)
+    null_key = F.struct(F.lit(9).cast("tinyint").alias("r"),
+                        F.lit(None).cast("string").alias("s"),
+                        F.lit(None).cast("boolean").alias("b"),
+                        F.lit(None).cast("double").alias("n"))
+    # a degraded null element (struct of nulls after an array widening
+    # round-trip) canonicalizes like a true NULL element
+    return F.when(e.isNotNull() & e["_vt"].isNotNull(),
+                  key).otherwise(null_key)
 
 
 def _elem_canon(e: Column) -> Column:
@@ -317,7 +327,23 @@ def _elem_canon(e: Column) -> Column:
                  F.transform(e["_a"], _scalar_canon))
     key = F.struct(rank.alias("r"), arr.alias("a"), e["_s"].alias("s"),
                    e["_b"].alias("b"), num.alias("n"))
-    return F.when(e.isNotNull(), key)
+    null_key = F.struct(
+        F.lit(9).cast("tinyint").alias("r"),
+        F.lit(None).cast(
+            T.ArrayType(_scalar_canon_type())).alias("a"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("boolean").alias("b"),
+        F.lit(None).cast("double").alias("n"))
+    return F.when(e.isNotNull() & e["_vt"].isNotNull(),
+                  key).otherwise(null_key)
+
+
+def _scalar_canon_type() -> T.StructType:
+    return T.StructType([
+        T.StructField("r", T.ByteType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("n", T.DoubleType())])
 
 
 def arr_canon(v: Column) -> Column:
