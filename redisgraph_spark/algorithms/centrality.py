@@ -67,11 +67,17 @@ def closeness(edges: DataFrame, source_ids, max_hops: int = MAX_HOPS,
     stats = visited.filter(F.col("__d") > 0).groupBy("__root").agg(
         F.count(F.lit(1)).alias("reached"),
         F.sum("__d").alias("__sumd"),
-        F.sum(F.lit(1.0) / F.col("__d")).alias("__harm"))
+        F.sum(F.try_divide(F.lit(1.0), F.col("__d"))).alias("__harm"))
+    # try_divide everywhere: when no source reaches anything the stats
+    # side is EMPTY and AQE's empty-relation propagation constant-folds
+    # the joined columns — under ANSI mode a folded 0-divisor then
+    # throws where per-row null/null would not (found driving
+    # correlated closeness on a zero-out-degree source)
     return roots.join(stats, "__root", "left").select(
         F.col("__root").alias("node"),
         F.coalesce("reached", F.lit(0)).cast("long").alias("reached"),
-        F.coalesce(F.round(F.col("reached") / F.col("__sumd") * grid)
+        F.coalesce(F.round(F.try_divide(F.col("reached"),
+                                        F.col("__sumd")) * grid)
                    / grid, F.lit(0.0)).alias("closeness"),
         F.coalesce(F.round(F.col("__harm") * grid) / grid, F.lit(0.0))
         .alias("harmonic"))
