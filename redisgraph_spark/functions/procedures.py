@@ -115,7 +115,11 @@ def _run_custom(planner, clause: A.CallClause, spec: dict
             if isinstance(a, A.Literal):
                 vals.append(a.value)
             elif isinstance(a, A.Parameter):
-                vals.append(planner.params.get(a.name))
+                if a.name not in planner.params:
+                    raise PlanError(
+                        f"Missing parameter `{a.name}` for call to "
+                        f"{spec['name']} (ParameterMissing)")
+                vals.append(planner.params[a.name])
             elif isinstance(a, A.Unary) and a.op == "-" \
                     and isinstance(a.operand, A.Literal):
                 vals.append(-a.operand.value)

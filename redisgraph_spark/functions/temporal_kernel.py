@@ -994,15 +994,21 @@ def _dur_normalize(months_f, days_f, time_ns: int) -> KDuration:
     into the day component ('P0.75M' → P22DT19H51M49.5S, Temporal8
     [1]/[6]/[7]); the day-total's fraction goes straight to seconds
     ('P2.5W' = 17.5d → P17DT12H); the integer time part is verbatim —
-    hours never fold into days ('PT32H' stays, Temporal6 [6])."""
-    months = _trunc_f(months_f)
-    sec_m_ns = int(round((months_f - months) * AVG_SEC_PER_MONTH
-                         * NS_PER_SEC))
+    hours never fold into days ('PT32H' stays, Temporal6 [6]).
+
+    The fraction arithmetic runs in exact rationals (Fraction): the
+    former float path lost low bits in ``months_f - months`` etc. and
+    drifted results by ~1ns (r9 Temporal8 duration-scaling carry)."""
+    from fractions import Fraction
+    mf = Fraction(months_f)
+    dfr = Fraction(days_f)
+    months = _trunc_f(mf)
+    sec_m_ns = round((mf - months) * (AVG_SEC_PER_MONTH * NS_PER_SEC)) \
+        if mf != months else 0
     d_extra = _trunc_div(sec_m_ns, NS_PER_DAY) if sec_m_ns else 0
-    days_w = _trunc_f(days_f)
+    days_w = _trunc_f(dfr)
     nanos = (sec_m_ns - d_extra * NS_PER_DAY
-             + int(round((days_f - days_w) * AVG_SEC_PER_DAY
-                         * NS_PER_SEC))
+             + round((dfr - days_w) * (AVG_SEC_PER_DAY * NS_PER_SEC))
              + time_ns)
     return KDuration(months, days_w + d_extra, nanos)
 
@@ -1287,9 +1293,13 @@ def dur_scale(a: KDuration, k) -> KDuration:
     if isinstance(k, int):
         return KDuration(a.months * k, a.days * k, a.nanos * k)
     # fractional factor: same normalization as map construction
-    # (month remainder → whole days + seconds, Temporal8 [7])
-    return _dur_normalize(a.months * k, a.days * k,
-                          int(round(a.nanos * k)))
+    # (month remainder → whole days + seconds, Temporal8 [7]);
+    # exact-rational scaling so per-component float rounding can't
+    # drift the total by 1ns (r9 Temporal8 carry)
+    from fractions import Fraction
+    kf = Fraction(k)
+    return _dur_normalize(a.months * kf, a.days * kf,
+                          round(a.nanos * kf))
 
 
 def dur_divide(a: KDuration, k) -> KDuration:
@@ -1298,7 +1308,10 @@ def dur_divide(a: KDuration, k) -> KDuration:
                             "number")
     if k == 0:
         raise TemporalError("duration division by zero")
-    return dur_scale(a, 1.0 / k)
+    from fractions import Fraction
+    kf = 1 / Fraction(k)
+    return _dur_normalize(a.months * kf, a.days * kf,
+                          round(a.nanos * kf))
 
 
 def dur_neg(a: KDuration) -> KDuration:

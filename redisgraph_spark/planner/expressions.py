@@ -14,6 +14,7 @@ analyzed schema of the current DataFrame — the planner-time analog of
 
 from __future__ import annotations
 
+import itertools
 import time
 
 from pyspark.sql import Column, DataFrame
@@ -29,6 +30,8 @@ _UNSET = object()
 # (applicationId, empty probe frame) per schema JSON — shared across
 # compiler instances so repeated queries don't re-pay createDataFrame
 _PROBE_DFS: dict[str, tuple] = {}
+# process-wide unique suffix for let-bound intermediate columns
+_BIND_SEQ = itertools.count()
 
 
 class VarInfo:
@@ -165,6 +168,19 @@ class ExprCompiler:
         # into) a variant union column — then every variant probe is a
         # free constant instead of a py4j round trip
         self.variants_possible = True
+        # let-bound intermediate projections (temporal struct CSE):
+        # composed temporal expressions re-reference their input struct
+        # many times per operation, so nesting grows the Catalyst tree
+        # multiplicatively (round-9 verdict: 10-33s analysis + a
+        # whole-stage-codegen failure on fresh temporal plans). Binding
+        # each intermediate to a named column keeps the tree linear in
+        # the number of operations. Opt-in: only planner call sites
+        # that flush the bindings onto the DataFrame enable it.
+        self.let_bindings: list[tuple[str, Column]] = []
+        self.allow_bindings = False
+        self._no_hoist = 0  # >0 inside CASE branches (hoisting a
+        #                      guarded error-raising branch would fire
+        #                      it unconditionally)
 
     # ------------------------------------------------------------ type probe
     def dtype(self, col: Column) -> T.DataType:
@@ -190,6 +206,65 @@ class ExprCompiler:
                     _PROBE_DFS.pop(next(iter(_PROBE_DFS)))
             self._probe_df = cached[1]
         return self._probe_df.select(col.alias("_t")).schema[0].dataType
+
+    # ------------------------------------------------- let-bound CSE
+    def bind_temporal(self, col: Column, dt: T.DataType | None = None
+                      ) -> Column:
+        """Alias a non-trivial temporal-struct subexpression as a named
+        intermediate column (the planner flushes bindings as
+        ``withColumn`` projections before the consuming select/filter).
+        Catalyst then sees ONE attribute reference per use instead of a
+        re-inlined subtree, so composed temporal expressions stay
+        linear in plan size.  Returns ``col`` unchanged when bindings
+        are unavailable (mutation compilers, lambda scopes, CASE
+        branches) — the inline composition is always correct, just
+        bigger."""
+        if not self.allow_bindings or self._no_hoist or self.df is None:
+            return col
+        try:
+            # plain refs / field accesses / small literals: aliasing
+            # would only add projection noise
+            if len(str(col)) < 160:
+                return col
+        except Exception:
+            return col
+        name = f"__tb{next(_BIND_SEQ)}"
+        self.let_bindings.append((name, col))
+        if dt is None:
+            from .temporal_cols import TEMPORAL_TYPE
+            dt = TEMPORAL_TYPE
+        try:
+            if self._probe_df is None:
+                self.dtype(F.lit(0))  # initialize the probe frame
+            self._probe_df = self._probe_df.withColumn(
+                name, F.lit(None).cast(dt))
+        except Exception:
+            pass
+        return F.col(name)
+
+    def flush_bindings(self, df: DataFrame, barrier: bool = False
+                       ) -> tuple[DataFrame, list[str]]:
+        """Apply accumulated bindings as sequential projections
+        (in-order: later bindings may reference earlier ones); returns
+        the widened frame and the binding column names so the caller
+        can drop them after its select/filter.
+
+        ``barrier=True`` wraps each binding in a nondeterministic
+        identity (``CASE WHEN rand()+1 > 0 THEN col END``) — required
+        when the consumer is a FILTER: ``PushPredicateThroughNonJoin``
+        substitutes deterministic project aliases back into the pushed
+        condition (re-inflating the expression tree multiplicatively),
+        but refuses to push through a projection with any
+        nondeterministic field.  Project/Aggregate consumers don't
+        need it (``CollapseProject`` is reference-count-aware)."""
+        names: list[str] = []
+        for name, col in self.let_bindings:
+            if barrier:
+                col = F.when((F.rand() + F.lit(1.0)) > F.lit(0.0), col)
+            df = df.withColumn(name, col)
+            names.append(name)
+        self.let_bindings = []
+        return df, names
 
     def static_dtype(self, e) -> "T.DataType | object":
         """Plan-time type of a literal/parameter AST node without a JVM
@@ -461,6 +536,10 @@ class ExprCompiler:
         r_ts = self._is_temporal(r)
         if not (l_ts or r_ts):
             raise _NotConst
+        if l_ts:
+            l = self.bind_temporal(l)
+        if r_ts:
+            r = self.bind_temporal(r)
         op = e.op
         null_out = F.lit(None).cast(TC.TEMPORAL_TYPE)
         if op == "+":
@@ -475,9 +554,17 @@ class ExprCompiler:
                 "value")
         if op == "-":
             if l_ts and r_ts:
-                return F.when(TC.is_duration(r),
-                              TC.add_duration(l, r, -1)) \
-                    .otherwise(null_out)
+                # non-duration right operand is an error at runtime,
+                # matching the constant-folded path's compile error
+                # (silent-null vs error must not depend on whether the
+                # operands are literals)
+                return F.when(l.isNull() | r.isNull(), null_out) \
+                    .when(TC.is_duration(r),
+                          TC.add_duration(l, r, -1)) \
+                    .otherwise(F.raise_error(F.lit(
+                        "Type mismatch: cannot subtract these values "
+                        "(use duration.between for instant "
+                        "differences)")).cast(TC.TEMPORAL_TYPE))
             raise CompileError(
                 "Type mismatch: can only subtract a duration from a "
                 "temporal value")
@@ -524,7 +611,8 @@ class ExprCompiler:
                     f"exactly one argument")
             col = self.compile(e.args[0])
             if self._is_temporal(col):
-                return self._temporal_convert_col(name, col)
+                return self._temporal_convert_col(
+                    name, self.bind_temporal(col))
             try:
                 dt = self.dtype(col)
             except Exception:
@@ -532,13 +620,16 @@ class ExprCompiler:
             if isinstance(dt, T.NullType):
                 return F.lit(None).cast(TC.TEMPORAL_TYPE)
             if isinstance(dt, T.StringType):
-                return self._temporal_parse_col(name, col)
+                return self._temporal_parse_col(
+                    name, self.bind_temporal(col, dt))
             if isinstance(dt, (T.DateType, T.TimestampType,
                                T.TimestampNTZType)):
                 # native parquet date/timestamp column → temporal
                 # struct (pure column arithmetic, stays in codegen)
                 return self._temporal_convert_col(
-                    name, TC.from_native(col, dt))
+                    name, self.bind_temporal(
+                        TC.from_native(self.bind_temporal(col, dt),
+                                       dt)))
             raise CompileError(
                 f"{name}() over a non-constant argument of this type "
                 f"is not supported — store temporal values, not "
@@ -560,7 +651,8 @@ class ExprCompiler:
                     f"{name}() with component overrides requires a "
                     f"constant temporal value")
             kind = name.split(".", 1)[0]
-            return TC.truncate_col(kind, str(unit), col)
+            return TC.truncate_col(kind, str(unit),
+                                   self.bind_temporal(col))
         if name in _TEMPORAL_BETWEENS and len(e.args) == 2:
             mode = {"duration.between": None,
                     "duration.inmonths": "months",
@@ -571,7 +663,8 @@ class ExprCompiler:
             if not (self._is_temporal(l) and self._is_temporal(r)):
                 raise CompileError(
                     f"{name}() expects two temporal values")
-            return TC.between_col(l, r, mode)
+            return TC.between_col(self.bind_temporal(l),
+                                  self.bind_temporal(r), mode)
         if name == "datetime.fromepoch":
             sec = self.compile(e.args[0]).cast("long")
             ns = self.compile(e.args[1]).cast("long") if len(e.args) > 1 \
@@ -814,7 +907,7 @@ class ExprCompiler:
             dt = None
         from .temporal_cols import component, is_temporal_type
         if dt is not None and is_temporal_type(dt):
-            c = component(subject, e.key)
+            c = component(self.bind_temporal(subject), e.key)
             if c is None:
                 raise CompileError(
                     f"unknown temporal component: {e.key}")
@@ -1405,7 +1498,8 @@ class ExprCompiler:
                 f"Type mismatch: cannot compare {lc} with {rc}")
         if lc == "tstruct" and rc == "tstruct":
             from .temporal_cols import cmp as _tcmp
-            return _tcmp(left, right, op)
+            return _tcmp(self.bind_temporal(left),
+                         self.bind_temporal(right), op)
         if lc == "array" and rc == "array" and op in ("=", "<>"):
             try:
                 eq = self._array_eq_typed(
@@ -1707,19 +1801,27 @@ class ExprCompiler:
         raise CompileError("regex pattern must be a literal or parameter")
 
     def _c_CaseExpr(self, e: A.CaseExpr) -> Column:
-        out = None
-        for cond_ast, val_ast in e.whens:
-            if e.test is not None:
-                cond = self.compile(e.test) == self.compile(cond_ast)
-            else:
-                cond = self.compile(cond_ast).cast("boolean")
-            val = self.compile(val_ast)
-            out = F.when(cond, val) if out is None else out.when(cond, val)
-        if out is None:
-            raise CompileError("CASE with no WHEN branches")
-        if e.default is not None:
-            out = out.otherwise(self.compile(e.default))
-        return out
+        # no let-binding inside CASE: hoisting a branch's subexpression
+        # out of its condition guard would evaluate it unconditionally
+        # (wrong if the branch can raise, e.g. temporal '-' type checks)
+        self._no_hoist += 1
+        try:
+            out = None
+            for cond_ast, val_ast in e.whens:
+                if e.test is not None:
+                    cond = self.compile(e.test) == self.compile(cond_ast)
+                else:
+                    cond = self.compile(cond_ast).cast("boolean")
+                val = self.compile(val_ast)
+                out = F.when(cond, val) if out is None \
+                    else out.when(cond, val)
+            if out is None:
+                raise CompileError("CASE with no WHEN branches")
+            if e.default is not None:
+                out = out.otherwise(self.compile(e.default))
+            return out
+        finally:
+            self._no_hoist -= 1
 
     # --------------------------------------------- higher-order list support
     def _lambda1(self, var: str, body: A.Expr,
@@ -2287,7 +2389,7 @@ class ExprCompiler:
         cls = self._cmp_class(c)
         if cls == "tstruct":
             from .temporal_cols import render
-            return render(c)
+            return render(self.bind_temporal(c))
         if cls in ("array", "map"):
             raise CompileError("toString(): invalid argument type")
         return c.cast("string")

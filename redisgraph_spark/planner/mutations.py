@@ -237,7 +237,8 @@ def _const_eval(planner, e: A.Expr, pending: dict | None = None):
     from .expressions import ExprCompiler, _NotConst
     from ..functions.temporal_kernel import TemporalError
     try:
-        comp = ExprCompiler(None, {}, planner.params)
+        comp = ExprCompiler(None, {}, planner.params,
+                            getattr(planner, "query_time_ms", None))
         return comp.const_eval(e)
     except TemporalError:
         raise

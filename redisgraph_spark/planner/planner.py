@@ -28,6 +28,7 @@ parquet pushdown, join selection, limit pushdown, top-k sort).
 from __future__ import annotations
 
 import itertools
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -230,6 +231,10 @@ class CypherPlanner:
         self.graph = graph
         self.params = dict(params or {})
         self._gensym = itertools.count()
+        # ONE statement clock per query: every compiler this planner
+        # creates shares it, so datetime.statement()/date() evaluated
+        # in different clauses of one statement agree exactly
+        self.query_time_ms = int(time.time() * 1000)
         self.stats: dict[str, int] = {}
         # conservative defaults for _compile_path calls outside
         # plan_single: everything counts as referenced, no light paths
@@ -277,7 +282,7 @@ class CypherPlanner:
 
     def compiler(self, ctx: Ctx) -> ExprCompiler:
         df = ctx.df if ctx.df is not None else self._unit_df()
-        c = ExprCompiler(df, ctx.vars, self.params)
+        c = ExprCompiler(df, ctx.vars, self.params, self.query_time_ms)
         c.variants_possible = self._variants_possible() \
             or getattr(self, "_variant_made", False)
         c._planner = self   # lets literal-built variants flip the flag
@@ -345,7 +350,8 @@ class CypherPlanner:
         # evaluated ONCE at plan time over the unit row — referencing
         # a variable fails compile and stays an error
         try:
-            comp = ExprCompiler(self._unit_df(), {}, self.params)
+            comp = ExprCompiler(self._unit_df(), {}, self.params,
+                                self.query_time_ms)
             val = self._unit_df().select(
                 comp.compile(e).alias("__v")).take(1)[0]["__v"]
         except PlanError:
@@ -752,8 +758,11 @@ class CypherPlanner:
                     ctx, self._rewrite_pattern_flags(ctx, r))
                 for r in residual]
             comp = self.compiler(ctx)
-            cond = None
+            comp.allow_bindings = True
+            cond = None        # conjuncts without let-bound temporals
+            bcond = None       # conjuncts referencing let bindings
             for r in rewritten:
+                n_binds = len(comp.let_bindings)
                 col = comp.compile(r)
                 if comp._is_variant(col):
                     from redisgraph_spark.planner.variant import bool_view
@@ -769,8 +778,20 @@ class CypherPlanner:
                             "Type mismatch: WHERE expects a Boolean "
                             "predicate")
                     col = col.cast("boolean")
-                cond = col if cond is None else (cond & col)
-            ctx.df = ctx.df.filter(cond)
+                if len(comp.let_bindings) > n_binds:
+                    bcond = col if bcond is None else (bcond & col)
+                else:
+                    cond = col if cond is None else (cond & col)
+            if cond is not None:
+                ctx.df = ctx.df.filter(cond)
+            if bcond is not None:
+                # barrier=True: a deterministic binding projection
+                # under a Filter would be substituted back into the
+                # pushed-down condition, re-inflating the temporal
+                # expression tree multiplicatively (the round-9
+                # codegen blowup)
+                base, names = comp.flush_bindings(ctx.df, barrier=True)
+                ctx.df = base.filter(bcond).drop(*names)
 
     def _split_and(self, e: A.Expr) -> list[A.Expr]:
         if isinstance(e, A.Binary) and e.op == "AND":
@@ -2303,6 +2324,7 @@ class CypherPlanner:
 
         has_agg = any(_has_agg(it.expr) for it in all_items)
         comp = self.compiler(ctx)
+        comp.allow_bindings = True
 
         out_vars: dict[str, VarInfo] = {}
         for it, alias in zip(all_items, aliases):
@@ -2349,7 +2371,10 @@ class CypherPlanner:
                     out_vars[a] = info
                     continue
                 cols.append(comp.compile(it.expr).alias(a))
-            out_df = ctx.df.select(cols)
+            base = ctx.df
+            if comp.let_bindings:
+                base, _ = comp.flush_bindings(base)
+            out_df = base.select(cols)
         else:
             out_df = self._project_agg(ctx, all_items, aliases, comp)
 
@@ -2467,8 +2492,14 @@ class CypherPlanner:
         # (a frontier vector of multiplicities); in Spark it turns a
         # |paths|-row join probe into a ≤|V|-row one.
         agg_input = ctx.df
+        bound_names: list[str] = []
+        if comp.let_bindings:
+            # temporal let-bound intermediates referenced by the key /
+            # aggregate expressions must exist on the aggregation input
+            agg_input, bound_names = comp.flush_bindings(agg_input)
         count_star_col = None
         if ctx.vl_bind is not None and ctx.vl_bind[0] == id(ctx.df) \
+                and not bound_names \
                 and agg_nodes and not hidden_keys \
                 and all(isinstance(n, A.CountStar) for n in agg_nodes):
             _, paths_df, end_id, n_sel, nid, tgt = ctx.vl_bind
@@ -2499,12 +2530,16 @@ class CypherPlanner:
             + hidden_keys,
             agg_map=agg_aliases, agg_pairs=agg_pairs)
         post.variants_possible = self._variants_possible()
+        post.query_time_ms = comp.query_time_ms
+        post.allow_bindings = True
         out_cols: list[Column] = []
         for it, a in zip(items, aliases):
             if (it, a) in key_items:
                 out_cols.append(_colref(a))
             else:
                 out_cols.append(post.compile(it.expr).alias(a))
+        if post.let_bindings:
+            gdf, _ = post.flush_bindings(gdf)
         return gdf.select(out_cols)
 
     def _compile_agg(self, n: A.Expr, comp: ExprCompiler) -> Column:
@@ -2595,8 +2630,10 @@ class CypherPlanner:
     def _order(self, ctx: Ctx, out_df: DataFrame,
                out_vars: dict[str, VarInfo], order_by: list[A.OrderItem],
                has_agg: bool, items, aliases, distinct: bool) -> DataFrame:
-        post = ExprCompiler(out_df, out_vars, self.params)
+        post = ExprCompiler(out_df, out_vars, self.params,
+                            self.query_time_ms)
         post.variants_possible = self._variants_possible()
+        post.allow_bindings = True
         # literal-made variants (heterogeneous list literals) exist in
         # the projected schema even on graphs with no variant table
         # columns — let the probes see them
@@ -2631,20 +2668,27 @@ class CypherPlanner:
                     c = sort_key(c)  # global type order (src/value.h:19-21)
                 elif post._is_temporal(c):
                     from .temporal_cols import sort_key as tkey
-                    c = tkey(c)      # timeline order within one kind
+                    c = tkey(post.bind_temporal(c))  # timeline order
                 # Cypher null ordering: nulls sort last ascending
                 sort_cols.append(c.asc_nulls_last() if oi.ascending
                                  else c.desc_nulls_first())
             except CompileError:
                 pre_needed.append(oi)
         if not pre_needed:
+            if post.let_bindings:
+                keep = out_df.columns
+                wide, _ = post.flush_bindings(out_df)
+                return wide.orderBy(sort_cols).select(keep)
             return out_df.orderBy(sort_cols)
         if has_agg or distinct:
             raise PlanError(
                 "ORDER BY references non-projected variables after "
                 "aggregation/DISTINCT")
         # recompute projection carrying hidden sort columns
+        post.let_bindings = []      # branch-1 attempts are discarded
+        post.allow_bindings = False
         comp = self.compiler(ctx)
+        comp.allow_bindings = True
         hidden = []
         sort_cols = []
         for k, oi in enumerate(order_by):
@@ -2667,7 +2711,10 @@ class CypherPlanner:
                              else c.desc_nulls_first())
         cols = [comp.compile(it.expr).alias(a)
                 for it, a in zip(items, aliases)]
-        wide = ctx.df.select(cols + hidden)
+        base = ctx.df
+        if comp.let_bindings:
+            base, _ = comp.flush_bindings(base)
+        wide = base.select(cols + hidden)
         return wide.orderBy(sort_cols).select([_colref(a) for a in aliases])
 
 
