@@ -52,6 +52,11 @@ HEADLINE = [
     "q_anti_semi_apply",
     "q_with_having",
     "q_var_len",
+    # r10: temporal columnar cost made visible in the headline (the r9
+    # verdict: plan-cache hits hid a 10-33s fresh-plan blowup); the
+    # entry exercises date() over native columns, duration.inDays and
+    # a duration-component aggregate through a join
+    "q_temporal_between",
     "q_mutation_roundtrip",
     "p_dedup_exact",
     "p_minhash_lsh",

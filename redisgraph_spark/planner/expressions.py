@@ -530,6 +530,38 @@ class ExprCompiler:
             pass
         except TK.TemporalError as ex:
             raise CompileError(str(ex))
+        op = e.op
+        # one-side-constant fast paths: when an operand const-folds to
+        # a kernel duration, the runtime tag dispatch (and its second
+        # full add_duration tree) is unnecessary — and a native DATE
+        # column ± a literal duration compiles to add_months/date_add
+        # directly (plan stays in a handful of Catalyst nodes)
+        lv = rv = None
+        try:
+            lv = self.const_eval(e.left)
+        except Exception:
+            lv = None
+        try:
+            rv = self.const_eval(e.right)
+        except Exception:
+            rv = None
+        if op in ("+", "-") and isinstance(rv, TK.KDuration):
+            sign = 1 if op == "+" else -1
+            native = self._native_date_plus_dur(e.left, rv, sign)
+            if native is not None:
+                return native
+            l = self.compile(e.left)
+            if self._is_temporal(l):
+                return TC.add_duration(self.bind_temporal(l),
+                                       TC.temporal_lit(rv), sign)
+        if op == "+" and isinstance(lv, TK.KDuration):
+            native = self._native_date_plus_dur(e.right, lv, 1)
+            if native is not None:
+                return native
+            r = self.compile(e.right)
+            if self._is_temporal(r):
+                return TC.add_duration(self.bind_temporal(r),
+                                       TC.temporal_lit(lv))
         l = self.compile(e.left)
         r = self.compile(e.right)
         l_ts = self._is_temporal(l)
@@ -540,7 +572,6 @@ class ExprCompiler:
             l = self.bind_temporal(l)
         if r_ts:
             r = self.bind_temporal(r)
-        op = e.op
         null_out = F.lit(None).cast(TC.TEMPORAL_TYPE)
         if op == "+":
             if l_ts and r_ts:
@@ -586,6 +617,39 @@ class ExprCompiler:
                 .otherwise(null_out)
         raise _NotConst
 
+    def _native_date_plus_dur(self, node, dur, sign: int
+                              ) -> "Column | None":
+        """``date(<native DATE/TIMESTAMP column>) ± <literal duration>``
+        → ``add_months``/``date_add`` directly on the native column
+        (typed fast path: a handful of Catalyst nodes instead of the
+        generic packed-struct arithmetic).  The duration's sub-day
+        nanos contribute whole days truncated toward zero, exactly like
+        ``add_duration``'s date branch.  None = shape doesn't match."""
+        from ..functions import temporal_kernel as TK
+        from . import temporal_cols as TC
+        if not (isinstance(node, A.FuncCall) and node.name == "date"
+                and len(node.args) == 1):
+            return None
+        try:
+            col = self.compile(node.args[0])
+            dt = self.dtype(col)
+        except Exception:
+            return None
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            col = F.to_date(col)
+        elif not isinstance(dt, T.DateType):
+            return None
+        months = sign * dur.months
+        nn = sign * dur.nanos
+        days = sign * dur.days \
+            + (abs(nn) // TK.NS_PER_DAY) * (1 if nn >= 0 else -1)
+        out = col
+        if months:
+            out = F.add_months(out, months)
+        if days:
+            out = F.date_add(out, days)
+        return TC.from_native(out, T.DateType())
+
     def _temporal_call(self, e: A.FuncCall) -> Column:
         """Compile one of the temporal functions: constant-fold when
         possible, else the columnar fallback."""
@@ -625,7 +689,19 @@ class ExprCompiler:
             if isinstance(dt, (T.DateType, T.TimestampType,
                                T.TimestampNTZType)):
                 # native parquet date/timestamp column → temporal
-                # struct (pure column arithmetic, stays in codegen)
+                # struct (pure column arithmetic, stays in codegen).
+                # Typed fast paths (r10): the ctor's kind is already
+                # what from_native produces, so the runtime tag
+                # dispatch of _temporal_convert_col is redundant
+                if name == "date":
+                    d = col if isinstance(dt, T.DateType) \
+                        else F.to_date(col)
+                    return TC.from_native(self.bind_temporal(
+                        d, T.DateType()), T.DateType())
+                if name == "localdatetime" and not isinstance(
+                        dt, T.DateType):
+                    return TC.from_native(
+                        self.bind_temporal(col, dt), dt)
                 return self._temporal_convert_col(
                     name, self.bind_temporal(
                         TC.from_native(self.bind_temporal(col, dt),
@@ -663,8 +739,10 @@ class ExprCompiler:
             if not (self._is_temporal(l) and self._is_temporal(r)):
                 raise CompileError(
                     f"{name}() expects two temporal values")
-            return TC.between_col(self.bind_temporal(l),
-                                  self.bind_temporal(r), mode)
+            return TC.between_col(
+                self.bind_temporal(l), self.bind_temporal(r), mode,
+                binder=lambda c, dts: self.bind_temporal(
+                    c, T.LongType()))
         if name == "datetime.fromepoch":
             sec = self.compile(e.args[0]).cast("long")
             ns = self.compile(e.args[1]).cast("long") if len(e.args) > 1 \

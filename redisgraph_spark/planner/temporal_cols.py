@@ -627,13 +627,22 @@ def from_epoch_col(sec: Column, ns: Column) -> Column:
                   F.lit(None).cast(TEMPORAL_TYPE)).otherwise(out)
 
 
-def between_col(l: Column, r: Column, mode: str | None) -> Column:
+def between_col(l: Column, r: Column, mode: str | None,
+                binder=None) -> Column:
     """duration.between / inMonths / inDays / inSeconds over per-row
     temporal columns — full calendar months first (add_months clamp
     semantics), then full days, then the exact nanosecond remainder.
     Zone-named datetimes use their stored offsets (fixed-offset
     semantics at the column level; constant operands fold through the
-    kernel with full DST handling)."""
+    kernel with full DST handling).
+
+    ``binder(col, dtype_str)`` (optional) aliases an intermediate to a
+    named projection column — the month/day guess-and-adjust stages
+    otherwise re-reference each other and grow the full-mode
+    expression to ~150KB of plan text."""
+    if binder is None:
+        def binder(c, _dt):
+            return c
     lt, rt = l.getField("_tt"), r.getField("_tt")
 
     def eff_days(a, b):
@@ -677,8 +686,8 @@ def between_col(l: Column, r: Column, mode: str | None) -> Column:
         return ((days2 * 86400 + F.floor(ln / F.lit(NS_SEC)) - loff)
                 * F.lit(NS_SEC) + lns)
 
-    target = rsec * F.lit(NS_SEC) + rns
-    start = lsec * F.lit(NS_SEC) + lns
+    target = binder(rsec * F.lit(NS_SEC) + rns, "long")
+    start = binder(lsec * F.lit(NS_SEC) + lns, "long")
     fwd = target >= start
     if mode == "days":
         d_guess = F.floor((target - start) / F.lit(NS_DAY)).cast("long")
@@ -694,8 +703,9 @@ def between_col(l: Column, r: Column, mode: str | None) -> Column:
             .otherwise(out)
     # full months: calendar guess, adjust by one
     ldt_, rdt_ = _as_date(ld), _as_date(rd)
-    m_guess = ((F.year(rdt_) * 12 + F.month(rdt_))
-               - (F.year(ldt_) * 12 + F.month(ldt_))).cast("long")
+    m_guess = binder(((F.year(rdt_) * 12 + F.month(rdt_))
+                      - (F.year(ldt_) * 12 + F.month(ldt_)))
+                     .cast("long"), "long")
 
     def pos_after_m(m: Column) -> Column:
         return pos_after(add_months_clamped(ld, m))
@@ -703,20 +713,23 @@ def between_col(l: Column, r: Column, mode: str | None) -> Column:
     m_adj = F.when(fwd & (pos_after_m(m_guess) > target), m_guess - 1) \
         .when(~fwd & (pos_after_m(m_guess) < target), m_guess + 1) \
         .otherwise(m_guess)
-    m_adj = F.when(time_only, F.lit(0)).otherwise(m_adj)
+    m_adj = binder(F.when(time_only, F.lit(0)).otherwise(m_adj), "long")
     if mode == "months":
         out = pack(F.lit(TK.TT_DURATION), F.lit(0), F.lit(0), m_adj,
                    inull, snull)
         return F.when(l.isNull() | r.isNull() | ~valid, null_out) \
             .otherwise(out)
-    md = add_months_clamped(ld, m_adj)
+    md = binder(add_months_clamped(ld, m_adj), "long")
     after_m = pos_after(md)
-    d_guess = F.floor((target - after_m) / F.lit(NS_DAY)).cast("long")
+    d_guess = binder(
+        F.floor((target - after_m) / F.lit(NS_DAY)).cast("long"),
+        "long")
     d_adj = F.when(fwd & (pos_after(md + d_guess) > target),
                    d_guess - 1) \
         .when(~fwd & (pos_after(md + d_guess) < target),
               d_guess + 1).otherwise(d_guess)
-    d_adj = F.when(time_only, F.lit(0)).otherwise(d_adj)
+    d_adj = binder(F.when(time_only, F.lit(0)).otherwise(d_adj),
+                   "long")
     rem = target - pos_after(md + d_adj)
     rem = F.when(time_only, target - start).otherwise(rem)
     out = pack(F.lit(TK.TT_DURATION), d_adj, rem, m_adj, inull, snull)
