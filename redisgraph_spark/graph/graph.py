@@ -849,14 +849,26 @@ class Graph:
         ``Records produced / Execution time`` per op (``ops/op.h:
         75-78``) read out of Spark's SQLMetrics on the executed plan.
 
-        Returns ``{rows, wall_sec, ops: [{op, depth, rows, time_ms,
-        metrics}], plan}`` — ``ops`` in pre-order (parents first), so
-        indentation by depth reproduces the reference's profile tree."""
+        Returns ``{rows, wall_sec, planning_ms, plan_cached,
+        ops: [{op, depth, rows, time_ms, metrics}], plan}`` — ``ops``
+        in pre-order (parents first), so indentation by depth
+        reproduces the reference's profile tree.  ``planning_ms`` is
+        the driver-side plan-construction wall (parse + Cypher planner
+        + Catalyst analysis); the round-9 temporal blowup hid exactly
+        there, invisible to executor-side metrics."""
         import time as _time
+        c_key, inline = _parse_cypher_prefix(cypher)
+        merged = {**(inline or {}), **(params or {})}
+        key = (c_key, repr(sorted(merged.items())),
+               self._version, self._epoch)
+        was_cached = key in self._plan_cache
+        t0 = _time.time()
+        built = self.query(cypher, params)
+        planning_ms = (_time.time() - t0) * 1000.0
         # .select("*") forces a FRESH physical plan: SQLMetrics are
         # accumulators per plan instance, so profiling a plan-cached
         # DataFrame twice would otherwise double-count
-        df = self.query(cypher, params).select("*")
+        df = built.select("*")
         t0 = _time.time()
         # drain through toLocalIterator: executes df's OWN plan (the
         # one whose metrics we read — count() would build a different
@@ -864,6 +876,8 @@ class Graph:
         n = sum(1 for _ in df.toLocalIterator())
         wall = _time.time() - t0
         return {"rows": n, "wall_sec": round(wall, 4),
+                "planning_ms": round(planning_ms, 1),
+                "plan_cached": was_cached,
                 "ops": self._executed_plan_metrics(df),
                 "plan": self.explain(cypher, params)}
 

@@ -14,6 +14,7 @@ analyzed schema of the current DataFrame — the planner-time analog of
 
 from __future__ import annotations
 
+import datetime as _pydt
 import itertools
 import time
 
@@ -650,6 +651,32 @@ class ExprCompiler:
             out = F.date_add(out, days)
         return TC.from_native(out, T.DateType())
 
+    def _as_native_date(self, node) -> "Column | None":
+        """AST shape that compiles to a native DATE column: the date()
+        ctor over a native date/timestamp column, or a constant date.
+        None when the shape doesn't match (caller uses the generic
+        packed-struct path)."""
+        from ..functions import temporal_kernel as TK
+        try:
+            v = self.const_eval(node)
+        except Exception:
+            v = None
+        if isinstance(v, TK.KDate):
+            return F.lit(_pydt.date(1970, 1, 1)
+                         + _pydt.timedelta(days=v.days))
+        if isinstance(node, A.FuncCall) and node.name == "date" \
+                and len(node.args) == 1:
+            try:
+                col = self.compile(node.args[0])
+                dt = self.dtype(col)
+            except Exception:
+                return None
+            if isinstance(dt, T.DateType):
+                return col
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return F.to_date(col)
+        return None
+
     def _temporal_call(self, e: A.FuncCall) -> Column:
         """Compile one of the temporal functions: constant-fold when
         possible, else the columnar fallback."""
@@ -734,6 +761,25 @@ class ExprCompiler:
                     "duration.inmonths": "months",
                     "duration.indays": "days",
                     "duration.inseconds": "seconds"}[name]
+            if mode == "days":
+                # typed fast path: both operands are native DATE
+                # columns (date(parquet_col) / constant dates) — whole
+                # days between pure dates IS datediff, no packed-struct
+                # guess-and-adjust machinery needed
+                la = self._as_native_date(e.args[0])
+                rb = self._as_native_date(e.args[1])
+                if la is not None and rb is not None:
+                    la = self.bind_temporal(la, T.DateType())
+                    rb = self.bind_temporal(rb, T.DateType())
+                    zero = F.lit(0)
+                    out = TC.pack(
+                        F.lit(TK.TT_DURATION),
+                        F.datediff(rb, la).cast("long"), zero, zero,
+                        F.lit(None).cast("int"),
+                        F.lit(None).cast("string"))
+                    return F.when(la.isNull() | rb.isNull(),
+                                  F.lit(None).cast(TC.TEMPORAL_TYPE)) \
+                        .otherwise(out)
             l = self.compile(e.args[0])
             r = self.compile(e.args[1])
             if not (self._is_temporal(l) and self._is_temporal(r)):
@@ -1629,9 +1675,20 @@ class ExprCompiler:
                 base = {"=": left == right, "<>": left != right,
                         "<": left < right, "<=": left <= right,
                         ">": left > right, ">=": left >= right}[op]
-                return F.when(left.isNull() | right.isNull(), nullb) \
-                    .when(any_nan, F.lit(op == "<>")) \
-                    .otherwise(base)
+                # expressed as a CONJUNCTION (base AND nan-guard), not
+                # a when-cascade: Catalyst splits top-level conjuncts,
+                # so the plain base comparison reaches the parquet
+                # scan as a PushedFilter — the former CASE WHEN wrapper
+                # made every float predicate unpushable (r10 finding).
+                # Ternary semantics are preserved: isnan(null)=false in
+                # Spark, so the guard is explicitly null when either
+                # operand is null.
+                guard_null = left.isNull() | right.isNull()
+                if op == "<>":
+                    return base | F.when(guard_null, nullb) \
+                        .otherwise(any_nan)
+                return base & F.when(guard_null, nullb) \
+                    .otherwise(~any_nan)
         if op == "=":
             return left == right
         if op == "<>":

@@ -53,6 +53,13 @@ def test_explain_ddl_procedure_is_side_effect_free(social):
 def test_profile(social):
     prof = social.profile("MATCH (p:person) RETURN p.name AS n")
     assert prof["rows"] == 10 and prof["wall_sec"] >= 0
+    # r10: driver-side plan-construction wall is part of the profile
+    # (the round-9 temporal blowup lived there, invisible to
+    # executor-side metrics); second profile of the same text rides
+    # the plan cache and reports it
+    assert prof["planning_ms"] >= 0 and prof["plan_cached"] is False
+    prof2 = social.profile("MATCH (p:person) RETURN p.name AS n")
+    assert prof2["plan_cached"] is True
 
 
 def test_profile_per_op_stats(social):
