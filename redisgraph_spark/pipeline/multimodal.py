@@ -181,7 +181,11 @@ def extract_features(media: DataFrame,
                 })
             yield pd.DataFrame(rows)
 
-    return spread(media).mapInPandas(run, schema=FEATURE_SCHEMA)
+    # project BEFORE the spread exchange and the opaque function: the
+    # decoder never reads `meta`, and Spark can't prune columns it
+    # can't see through mapInPandas (guide §2.3/§4)
+    return spread(media.select("media_id", "kind", "mime", "data")) \
+        .mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -365,4 +369,7 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    return spread(media).mapInPandas(run, schema=FRAME_SCHEMA)
+    # frame sampling reads only id/kind/payload — drop mime/meta
+    # before the exchange and the Arrow boundary (guide §2.3/§4)
+    return spread(media.select("media_id", "kind", "data")) \
+        .mapInPandas(run, schema=FRAME_SCHEMA)

@@ -430,8 +430,13 @@ def cosine_topk_np(emb: DataFrame, queries: DataFrame, k: int = 5,
     # no spread() here: the BLAS batch is ~µs per row, so a one-partition
     # small corpus is fine single-task, and the repartition shuffle it
     # would add (~0.2 s) exceeds the gain; at real scale the scan is
-    # already wide and spread would be a no-op anyway
-    partial = emb.mapInPandas(score, schema=partial_schema)
+    # already wide and spread would be a no-op anyway.
+    # explicit select before the opaque function: Spark cannot see
+    # which columns `score` touches, so without it EVERY column of the
+    # corpus is read and shipped through Arrow (guide §4 — column
+    # pruning stops at mapInPandas)
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        score, schema=partial_schema)
     w = Window.partitionBy("query_id") \
         .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return partial.withColumn("rank", F.row_number().over(w)) \
