@@ -89,6 +89,16 @@ def _tiny_rows(g, kind: str, name: str, tbl: DataFrame,
         s = f.dataType.simpleString()
         if s not in _INLINE_TYPES or s in ("date", "timestamp"):
             return None
+    cached = getattr(tbl, "_rg_inline_rows", None)
+    if cached is not None and len(cached[0]) <= 512:
+        # driver-side row store (session._attach_inline_rows): the
+        # relation IS an inline VALUES literal built from exactly these
+        # rows — serve them without a py4j round trip. No swap needed:
+        # the table is already an inline relation.
+        vals, names = cached
+        from pyspark.sql import Row
+        factory = Row(*names)
+        return [factory(*r) for r in vals]
     rows = tbl.limit(513).collect()
     if len(rows) > 512:
         g._tiny_tables.discard((kind, name))
