@@ -362,6 +362,15 @@ def get_spark(app_name: str = "redisgraph-spark",
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
                 str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 wraps every DataFrame/Column API call to capture
+        # the user's call site for error query-contexts; measured on
+        # the mutation path that is 5 extra JVM round trips per call
+        # (~30% of all planner py4j traffic). This engine builds plans
+        # programmatically — the captured frames would all point at
+        # the planner itself — and maps errors through its own layer,
+        # so the context is pure overhead. Public conf, process-cached
+        # by pyspark.errors.utils.is_debugging_enabled at first use.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # limit().collect() probes (mutation key sets, merge match
         # probes) otherwise run Spark's incremental take — 1 partition,
         # then 4x more, then 16x: three scheduled jobs to read a 5-row
