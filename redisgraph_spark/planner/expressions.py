@@ -306,6 +306,31 @@ class ExprCompiler:
             return True
         return False
 
+    def _static_is_numeric(self, e) -> bool:
+        """AST-level proof that an expression is numeric-typed (or
+        null). Used to elide string-parse fallback branches from
+        numeric conversions — ``toInteger(round(x))`` must not pay a
+        second ``try_cast`` per row for a string case that cannot
+        occur. Conservative: anything unproven returns False."""
+        if isinstance(e, A.Literal):
+            return isinstance(e.value, (int, float)) \
+                and not isinstance(e.value, bool)
+        if isinstance(e, A.Parameter):
+            v = self.params.get(e.name)
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+        if isinstance(e, A.FuncCall) and e.name in (
+                "round", "floor", "ceil", "abs", "sign",
+                "tofloat", "tointeger", "size", "length", "id",
+                "timestamp", "tofloatornull", "tointegerornull"):
+            return True
+        if isinstance(e, A.Binary) and e.op in ("-", "*", "/", "%", "^"):
+            # '+' excluded: it doubles as string/list concatenation
+            return self._static_is_numeric(e.left) \
+                and self._static_is_numeric(e.right)
+        if isinstance(e, A.Unary) and e.op == "-":
+            return self._static_is_numeric(e.operand)
+        return False
+
     def _is_string(self, col: Column) -> bool:
         try:
             return isinstance(self.dtype(col), T.StringType)
@@ -2472,6 +2497,14 @@ class ExprCompiler:
                 F.raise_error(F.lit(
                     "toInteger(): invalid argument type"
                 )).cast("long")).otherwise(ok)
+        if self._static_is_numeric(e.args[0]):
+            # provably numeric input: the string-parse fallback branch
+            # can never fire — one try_cast instead of the coalesce of
+            # two (identical for every numeric: long/int pass through,
+            # float/double truncate, NaN/±inf/overflow → null either
+            # way). Halves the per-row cast work in fixed-point
+            # aggregates like tointeger(round(x*100)).
+            return c.try_cast("long")
         # unparseable → null, not ANSI error; toInteger('2.9')
         # truncates through the float parse
         return F.coalesce(c.try_cast("long"),

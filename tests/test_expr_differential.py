@@ -181,3 +181,42 @@ def test_list_expressions_match_python_oracle(spark, seed):
     for i, (t, want) in enumerate(gens):
         got = srow[f"c{i}"]
         assert got == want, f"c{i}: {t} -> {got}, want {want}"
+
+
+# ------------------------------------------- toInteger numeric fast path
+# ``toInteger(<provably numeric>)`` elides the string-parse fallback
+# branch (one try_cast instead of a coalesce of two). The elision must
+# be invisible: every numeric edge value — truncation toward zero,
+# long-overflow, NaN/±inf, null — must agree with the generic
+# string-capable path, and the compiled plan must really drop to a
+# single try_cast.
+
+def test_tointeger_numeric_fast_path_semantics(spark):
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    rows = g.query(
+        "UNWIND [2.9, -2.9, 0.0, 1e18, 9.3e18, -9.3e18, 1e40, -1e40] "
+        "AS x RETURN toInteger(toFloat(x)) AS fast, "
+        "toInteger(toString(toFloat(x))) AS generic").collect()
+    for r in rows:
+        assert r["fast"] == r["generic"], r
+    # NaN / ±inf (built via division so no literal folding) and null
+    rows = g.query(
+        "UNWIND [[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0]] AS p "
+        "RETURN toInteger(p[0] / p[1]) AS q").collect()
+    assert [r["q"] for r in rows] == [None, None, None]
+    assert g.query("RETURN toInteger(null) AS n").collect()[0]["n"] is None
+
+
+def test_tointeger_numeric_fast_path_plan(spark):
+    from redisgraph_spark import Graph
+    g = Graph(spark, {}, {})
+    df = g.query("UNWIND [1.5, 2.5] AS x "
+                 "RETURN sum(toInteger(round(x * 100))) AS s")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("try_cast") == 1, plan
+    # the generic path (string input) must keep its fallback branch
+    df = g.query("UNWIND ['1.5', '2'] AS x "
+                 "RETURN sum(toInteger(x)) AS s")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("try_cast") >= 2, plan
