@@ -337,6 +337,72 @@ class ExprCompiler:
         except Exception:
             return False
 
+    def _dtype_or_none(self, col: Column) -> "T.DataType | None":
+        """dtype probe that degrades to None instead of raising (lambda
+        scopes) — lets a call site probe an operand ONCE and derive
+        every class check from the result instead of paying one JVM
+        analysis per helper (`_is_array` + `_is_string` on both sides
+        of a '+' was up to 6 analyses per node)."""
+        try:
+            return self.dtype(col)
+        except Exception:
+            return None
+
+    _ARITH_MISMATCH = ("str", "bool", "array", "map", "temporal",
+                       "tstruct")
+
+    def _numeric_operand(self, node, col: Column, op: str,
+                         need_width: bool) -> tuple:
+        """Resolve one arithmetic operand's type with at most ONE JVM
+        probe (guide §1.2 step 2: the old path probed each side up to
+        twice per '/' node — class mismatch check, then integer-ness —
+        and re-probed subtrees the temporal trial had already probed;
+        measured 43 probes / 11 unique on q_two_hop_revenue's fresh
+        build). Constant operands resolve from their plan-time Python
+        value, statically-provable numerics skip the probe when only
+        the class is needed.
+
+        Returns (dt, probe_failed): ``dt`` None = unknown;
+        ``probe_failed`` True preserves the old "un-probe-able →
+        integer rules" default for '/' and '%'. Raises the same
+        CompileError as the old per-side check for a known
+        non-numeric class."""
+        from ..functions import temporal_kernel as TK
+
+        def _mismatch():
+            raise CompileError(
+                f"Type mismatch: expected Integer or Float as "
+                f"operand of '{op}'")
+
+        got = False
+        try:
+            v = self.const_eval(node)
+            got = True
+        except Exception:
+            v = None
+        if got:
+            if v is None:
+                return T.NullType(), False
+            if isinstance(v, bool) or isinstance(v, str) \
+                    or isinstance(v, (list, tuple)) \
+                    or isinstance(v, dict) \
+                    or isinstance(v, TK.TEMPORAL_CLASSES):
+                _mismatch()
+            if isinstance(v, int):
+                return T.LongType(), False
+            if isinstance(v, float):
+                return T.DoubleType(), False
+            # unexpected constant type — fall through to the probe
+        elif self._static_is_numeric(node) and not need_width:
+            return None, False      # provably numeric; width unneeded
+        try:
+            dt = self.dtype(col)
+        except Exception:
+            return None, True
+        if self._class_of_dt(dt) in self._ARITH_MISMATCH:
+            _mismatch()
+        return dt, False
+
     def _is_array(self, col: Column) -> bool:
         try:
             return isinstance(self.dtype(col), T.ArrayType)
@@ -590,8 +656,12 @@ class ExprCompiler:
                                        TC.temporal_lit(lv))
         l = self.compile(e.left)
         r = self.compile(e.right)
-        l_ts = self._is_temporal(l)
-        r_ts = self._is_temporal(r)
+        # a statically-numeric side can't be a temporal struct — skip
+        # its JVM type probe (fresh-plan probe dedup, guide §1.2)
+        l_ts = (not self._static_is_numeric(e.left)) \
+            and self._is_temporal(l)
+        r_ts = (not self._static_is_numeric(e.right)) \
+            and self._is_temporal(r)
         if not (l_ts or r_ts):
             raise _NotConst
         if l_ts:
@@ -1331,18 +1401,27 @@ class ExprCompiler:
                 r = V.num_view(r)
         if op == "+":
             # addition / string concat / list concat, by operand type
-            # (reference: SIValue_Add, src/value.h:176-187 + string concat)
-            if self._is_array(l) or self._is_array(r):
-                if not self._is_array(l):
+            # (reference: SIValue_Add, src/value.h:176-187 + string
+            # concat). ONE probe per operand — statically-numeric sides
+            # skip it (numeric is never array/string)
+            ldt = None if self._static_is_numeric(e.left) \
+                else self._dtype_or_none(l)
+            rdt = None if self._static_is_numeric(e.right) \
+                else self._dtype_or_none(r)
+            l_arr = isinstance(ldt, T.ArrayType)
+            r_arr = isinstance(rdt, T.ArrayType)
+            if l_arr or r_arr:
+                if not l_arr:
                     l = F.array(l)
-                if not self._is_array(r):
+                if not r_arr:
                     r = F.array(r)
                 return F.concat(l, r)
             # inside lambda scopes the type probe fails (unresolved
             # lambda variables), so also consult the AST: a side that
             # is STATICALLY a string ('x' + key + m[key] in a
             # comprehension) forces concat (openCypher Merge6/7)
-            if self._is_string(l) or self._is_string(r) \
+            if isinstance(ldt, T.StringType) \
+                    or isinstance(rdt, T.StringType) \
                     or self._static_is_string(e.left) \
                     or self._static_is_string(e.right):
                 return F.concat(l.cast("string"), r.cast("string"))
@@ -1351,14 +1430,12 @@ class ExprCompiler:
             # numeric-only operators: a statically non-numeric side is a
             # compile-time type mismatch like the reference's AR_EXP
             # checking (string * int would otherwise surface as a raw
-            # Spark cast failure at runtime — fuzz finding)
-            for side in (l, r):
-                if self._cmp_class(side) in ("str", "bool", "array",
-                                             "map", "temporal",
-                                             "tstruct"):
-                    raise CompileError(
-                        f"Type mismatch: expected Integer or Float as "
-                        f"operand of '{op}'")
+            # Spark cast failure at runtime — fuzz finding). Type
+            # resolution is ONE probe per operand at most, shared with
+            # the '/'/'%' integer-ness decision below
+            need_w = op in ("/", "%")
+            lt, lfail = self._numeric_operand(e.left, l, op, need_w)
+            rt, rfail = self._numeric_operand(e.right, r, op, need_w)
         if op == "-":
             return l - r
         if op == "*":
@@ -1370,12 +1447,11 @@ class ExprCompiler:
             # would error instead — guard the zero divisor explicitly
             # (try_divide in the live branch so constant folding of a
             # literal /0 can't throw at plan time).
-            try:
-                lt, rt = self.dtype(l), self.dtype(r)
+            if lfail or rfail:  # un-probe-able (lambda var) → int rules
+                both_int = True
+            else:
                 both_int = isinstance(lt, _NUMERIC_INT) \
                     and isinstance(rt, _NUMERIC_INT)
-            except Exception:   # un-probe-able (lambda var) → int rules
-                both_int = True
             if both_int:
                 l, r = l.cast("double"), r.cast("double")
             ieee = F.when(l > 0, F.lit(float("inf"))) \
@@ -1387,12 +1463,11 @@ class ExprCompiler:
         if op == "%":
             # int % 0 errors (the reference's machine-mod would trap,
             # value.c:444-453); float mod follows fmod → nan
-            try:
-                lt, rt = self.dtype(l), self.dtype(r)
+            if lfail or rfail:  # un-probe-able (lambda var) → int rules
+                both_int = True
+            else:
                 both_int = isinstance(lt, _NUMERIC_INT) \
                     and isinstance(rt, _NUMERIC_INT)
-            except Exception:   # un-probe-able (lambda var) → int rules
-                both_int = True
             if both_int:
                 return l % r
             return F.when(l.isNull() | r.isNull(),

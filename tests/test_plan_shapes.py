@@ -101,3 +101,71 @@ print(df._jdf.queryExecution().executedPlan().toString())
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("GreaterThan" in ln or "LessThan" in ln
                or "IsNotNull" in ln for ln in pushed), pushed
+
+
+def test_arithmetic_probe_dedup(entry_queries):
+    """Fresh-plan compilation resolves each arithmetic operand's type
+    with at most ONE JVM analysis (r10: the old path probed the same
+    subtrees repeatedly — 43 probes / 11 unique on q_two_hop_revenue's
+    build; constant operands now resolve driver-side with zero probes).
+    Guards the `_numeric_operand` / deduped '+' paths against
+    reintroducing per-helper probes."""
+    from redisgraph_spark.graph.graph import Graph
+    from redisgraph_spark.planner import expressions as EX
+    qs, spark = entry_queries
+    import __spark_entry__ as em
+    g = em._graph(spark, SF)
+    counts = {"n": 0}
+    orig = EX.ExprCompiler.dtype
+
+    def spy(self, col):
+        counts["n"] += 1
+        return orig(self, col)
+
+    EX.ExprCompiler.dtype = spy
+    try:
+        g._plan_cache.clear()
+        # the q_two_hop_revenue RETURN shape: nested arithmetic with
+        # literal operands, toInteger(round(...))/100 rounding sites
+        g.query(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE o.o_totalprice > 1000.0 "
+            "RETURN c.c_mktsegment AS seg, "
+            "tofloat(sum(tointeger(round(o.o_totalprice * 100)) "
+            "* (100 - tointeger(round(o.o_shippriority * 100))))) "
+            "/ 10000.0 AS rev ORDER BY seg")
+    finally:
+        EX.ExprCompiler.dtype = orig
+    # measured: 19 probes on this shape after the dedup (was 48 on the
+    # duplicated-probe code — one probe per helper per side per node);
+    # the bound allows slack for minor planner changes while still
+    # catching a return to per-helper probing
+    assert counts["n"] <= 24, f"type probes regressed: {counts['n']}"
+
+
+def test_arithmetic_semantics_survive_probe_dedup(entry_queries):
+    """The probe-dedup paths must not change arithmetic/type-mismatch
+    semantics: string/bool/temporal operands of numeric ops still raise
+    the reference's type mismatch, '100' = 100 stays cross-type (no
+    string-literal/int-literal type confusion), IEEE div-by-zero and
+    int-mod rules unchanged."""
+    import __spark_entry__ as em
+    from redisgraph_spark.planner.expressions import CompileError
+    qs, spark = entry_queries
+    g = em._graph(spark, SF)
+    row = g.query(
+        "RETURN '100' = 100 AS cross_type, 1/0 > 0 AS div_inf, "
+        "1.5/0 < 0 AS neg, 5 % 2 AS m, 2^3 AS p, "
+        "1 + 2 AS add_num, 'a' + 'b' AS add_str, "
+        "[1] + 2 AS add_list").collect()[0]
+    assert row.cross_type is False
+    assert row.div_inf is True or row.div_inf is None  # 1/0 -> +inf
+    assert row.m == 1 and row.p == 8.0
+    assert row.add_num == 3 and row.add_str == "ab"
+    assert list(row.add_list) == [1, 2]
+    for bad in ("'a' * 2", "true - 1", "date('2024-01-01') % 2"):
+        try:
+            g.query(f"RETURN {bad} AS x").collect()
+            assert False, f"{bad} should be a type mismatch"
+        except CompileError as exc:
+            assert "Type mismatch" in str(exc)
