@@ -409,6 +409,27 @@ class ExprCompiler:
         except Exception:
             return False
 
+    def _static_cmp_dt(self, node):
+        """Plan-time DataType of a SCALAR-constant comparison operand
+        (null literal → NullType); ``_UNSET`` when unknown — non-scalar
+        constants (lists/maps/temporals) keep the probe, whose
+        element/struct types the typed-equality paths need."""
+        try:
+            v = self.const_eval(node)
+        except Exception:
+            return _UNSET
+        if v is None:
+            return T.NullType()
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        return _UNSET
+
     @staticmethod
     def _variant_of_dt(dt) -> bool:
         """is_variant_type over a statically-known DataType (no probe)."""
@@ -1691,7 +1712,11 @@ class ExprCompiler:
                     (_could_be_variant(right_ast) and self._is_variant(right)):
                 c = self._variant_cmp(left, right, op)
             else:
-                c = self._typed_cmp(left, right, op)
+                # scalar-constant sides carry their plan-time type —
+                # skips the JVM probe for the common `prop <op> literal`
+                c = self._typed_cmp(left, right, op,
+                                    ldt=self._static_cmp_dt(left_ast),
+                                    rdt=self._static_cmp_dt(right_ast))
             out = c if out is None else (out & c)
             left = right
             left_ast = right_ast
@@ -1705,11 +1730,16 @@ class ExprCompiler:
         boolean_funcs.c:143-163) but a type-mismatch error for ordering
         (AR_LT et al., boolean_funcs.c:77-136); null operands stay
         null-propagating. ``ldt``/``rdt``: statically-known operand
-        DataTypes — each one supplied skips a JVM type probe."""
-        lc = self._class_of_dt(ldt) if ldt is not _UNSET \
-            else self._cmp_class(left)
-        rc = self._class_of_dt(rdt) if rdt is not _UNSET \
-            else self._cmp_class(right)
+        DataTypes — each one supplied skips a JVM type probe. Types not
+        supplied are probed ONCE here and reused by every later branch
+        (the num branch and the typed array/map equality used to
+        re-probe each side — 4 analyses per float comparison)."""
+        if ldt is _UNSET:
+            ldt = self._dtype_or_none(left)
+        if rdt is _UNSET:
+            rdt = self._dtype_or_none(right)
+        lc = self._class_of_dt(ldt) if ldt is not None else None
+        rc = self._class_of_dt(rdt) if rdt is not None else None
         nullb = F.lit(None).cast("boolean")
         if lc is not None and rc is not None and lc != rc:
             if op == "=":
@@ -1726,10 +1756,7 @@ class ExprCompiler:
                          self.bind_temporal(right), op)
         if lc == "array" and rc == "array" and op in ("=", "<>"):
             try:
-                eq = self._array_eq_typed(
-                    left, right,
-                    ldt if ldt is not _UNSET else self.dtype(left),
-                    rdt if rdt is not _UNSET else self.dtype(right))
+                eq = self._array_eq_typed(left, right, ldt, rdt)
             except Exception:
                 eq = self._array_eq(left, right)
             return eq if op == "=" else \
@@ -1741,10 +1768,7 @@ class ExprCompiler:
                     ">": c3 > 0, ">=": c3 >= 0}[op]
         if lc == "map" and rc == "map" and op in ("=", "<>"):
             try:
-                eq = self._map_eq_typed(
-                    left, right,
-                    ldt if ldt is not _UNSET else self.dtype(left),
-                    rdt if rdt is not _UNSET else self.dtype(right))
+                eq = self._map_eq_typed(left, right, ldt, rdt)
             except Exception:
                 eq = left == right
             return eq if op == "=" else \
@@ -1761,12 +1785,8 @@ class ExprCompiler:
             # isnan-guarded path. Null keeps ternary behavior.
             nan_terms = []
             for side, sdt in ((left, ldt), (right, rdt)):
-                try:
-                    dt = sdt if sdt is not _UNSET else self.dtype(side)
-                    if isinstance(dt, (T.DoubleType, T.FloatType)):
-                        nan_terms.append(F.isnan(side))
-                except Exception:
-                    pass
+                if isinstance(sdt, (T.DoubleType, T.FloatType)):
+                    nan_terms.append(F.isnan(side))
             if nan_terms:
                 any_nan = nan_terms[0]
                 for t in nan_terms[1:]:

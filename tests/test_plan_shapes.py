@@ -169,3 +169,40 @@ def test_arithmetic_semantics_survive_probe_dedup(entry_queries):
             assert False, f"{bad} should be a type mismatch"
         except CompileError as exc:
             assert "Type mismatch" in str(exc)
+
+
+def test_comparison_probe_dedup(entry_queries):
+    """Fresh-plan compilation of comparisons resolves each operand's
+    type with at most ONE JVM analysis, and scalar-literal operands
+    with ZERO (r10: `_typed_cmp` used to re-probe each side per helper
+    — mismatch class, typed array/map equality, float-NaN guard — 42
+    probes on a 3-query comparison battery, 17 after `_static_cmp_dt`
+    + the probe-once `_typed_cmp`). Guards against reintroducing
+    per-branch probes."""
+    from redisgraph_spark.planner import expressions as EX
+    qs, spark = entry_queries
+    import __spark_entry__ as em
+    g = em._graph(spark, SF)
+    counts = {"n": 0}
+    orig = EX.ExprCompiler.dtype
+
+    def spy(self, col):
+        counts["n"] += 1
+        return orig(self, col)
+
+    EX.ExprCompiler.dtype = spy
+    try:
+        g._plan_cache.clear()
+        # prop-vs-literal comparisons (the dominant WHERE shape): every
+        # literal side should resolve driver-side with zero probes
+        g.query(
+            "MATCH (o:Order) WHERE o.o_totalprice > 1000.0 "
+            "AND o.o_totalprice < 200000.0 AND o.o_orderstatus = 'O' "
+            "AND o.o_shippriority >= 0 "
+            "RETURN o.o_orderkey ORDER BY o.o_orderkey LIMIT 5")
+    finally:
+        EX.ExprCompiler.dtype = orig
+    # measured: 9 probes on this shape after the dedup (19 before);
+    # slack for minor planner changes without allowing per-branch
+    # probing back in
+    assert counts["n"] <= 13, f"comparison type probes regressed: {counts['n']}"
