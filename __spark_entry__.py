@@ -2106,9 +2106,10 @@ _BUCKETED_GRAPHS: dict[tuple, object] = {}
 
 def _bucketed_graph(spark, sf_dir):
     """tpch graph persisted through save_bucketed (nodes bucketed on
-    _id, edges on _src, 64 buckets) and re-loaded — the 100 TB storage
-    layout where a traversal join (edges._src = nodes._id) needs no
-    shuffle exchange on either side. Built once per (session, sf_dir);
+    _id, edges on _src, size-derived bucket count) and re-loaded — the
+    100 TB storage layout where a traversal join (edges._src =
+    nodes._id) needs no shuffle exchange on either side. Built once per
+    (session, sf_dir);
     bench.py triggers the build in its unbilled load phase, mirroring
     the reference building relation matrices at graph load."""
     from redisgraph_spark import Graph

@@ -989,7 +989,8 @@ class Graph:
         for rel, df in self.edge_tables.items():
             df.write.mode("overwrite").parquet(f"{path}/edges/{rel}")
 
-    def save_bucketed(self, database: str, buckets: int = 64) -> None:
+    def save_bucketed(self, database: str,
+                      buckets: int | None = None) -> None:
         """Persist as bucketed tables — the 100 TB layout.
 
         Nodes bucket+sort on ``_id``; edges bucket+sort on ``_src``.
@@ -999,8 +1000,18 @@ class Graph:
         adjacency matrices resident per graph. A ``_dst``-bucketed edge
         copy is the transpose analog (``graph.h:73``); write it only if
         reverse-heavy workloads show up in benchmarks.
+
+        ``buckets=None`` derives the count from the graph's
+        footer-known input bytes (one ~128 MB bucket per input
+        partition's worth of data, power-of-two, floor 8) so the layout
+        is scale-adaptive rather than a constant tuned for one
+        deployment; a single count serves every table because the
+        exchange-free join property requires both sides to agree.
+        ``SPARK_GRAFT_BUCKETS`` overrides for explicit cluster sizing.
         """
         import shutil
+        if buckets is None:
+            buckets = self._derive_bucket_count()
         self.spark.sql(f"DROP DATABASE IF EXISTS {database} CASCADE")
         # clear an orphaned location left by a previous session (managed
         # tables refuse to overwrite an unregistered directory)
@@ -1023,6 +1034,34 @@ class Graph:
         self.spark.createDataFrame(
             meta, ["kind", "table_key", "name"]) \
             .write.mode("overwrite").saveAsTable(f"{database}.graph_meta")
+
+    def _derive_bucket_count(self) -> int:
+        """Scale-adaptive bucket count: one per ~128 MB of footer-known
+        input, snapped up to a power of two, floor 8 (env
+        ``SPARK_GRAFT_BUCKETS`` wins when set). Computed over the WHOLE
+        graph so every table shares the count — a traversal join
+        between tables bucketed with different counts would reintroduce
+        the exchange this layout exists to remove."""
+        import os
+        env = os.environ.get("SPARK_GRAFT_BUCKETS")
+        if env:
+            return max(1, int(env))
+        from redisgraph_spark.session import plan_input_bytes
+        total = 0
+        known = False
+        for df in list(self.node_tables.values()) + \
+                list(self.edge_tables.values()):
+            b = plan_input_bytes(df)
+            if b < (1 << 62):       # sentinel = stats unknown (e.g.
+                total += b          # a LogicalRDD from createDataFrame)
+                known = True
+        if not known:
+            return 64               # no footer stats anywhere: the
+                                    # pre-derivation default
+        n = 8
+        while n < (1 << 20) and n * (128 << 20) < total:
+            n <<= 1
+        return n
 
     @classmethod
     def load_bucketed(cls, spark: SparkSession, database: str,

@@ -376,6 +376,39 @@ def test_bucketed_layout_exchange_free_join(spark, social):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucket_count_scale_derived(spark, social, monkeypatch):
+    """save_bucketed(buckets=None) derives ONE power-of-two count from
+    the graph's input bytes (floor 8 — a tiny graph must not write 64
+    near-empty files per table) and every table shares it so the
+    exchange-free join property survives; SPARK_GRAFT_BUCKETS
+    overrides (r10: count was a fixed 64, ~3 s of file+metastore churn
+    per table at test scale and far too few buckets at 100 TB)."""
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETS", "32")
+    assert social._derive_bucket_count() == 32
+    monkeypatch.delenv("SPARK_GRAFT_BUCKETS", raising=False)
+    # in-memory tables carry no footer stats (LogicalRDD → unknown):
+    # keep the pre-derivation default rather than guessing from 2^62
+    assert social._derive_bucket_count() == 64
+    from redisgraph_spark import Graph
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        social.save(tmp)                 # parquet → footer-known stats
+        g1 = Graph.load(spark, tmp)
+        assert g1._derive_bucket_count() == 8
+        g1.save_bucketed("rgtest_derived")
+        try:
+            g2 = Graph.load_bucketed(spark, "rgtest_derived")
+            n = g2.query("MATCH (p:person)-[:friend]->(f:person) "
+                         "RETURN count(*) AS c").collect()[0]["c"]
+            assert n == 10
+            ddl = spark.sql(
+                "SHOW CREATE TABLE rgtest_derived.nodes_person"
+            ).collect()[0][0]
+            assert "8 BUCKETS" in ddl, ddl
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS rgtest_derived CASCADE")
+
+
 def test_cypher_prefix_inline_params(social):
     got = social.query(
         "CYPHER min_age=30 nm='Roi' "
