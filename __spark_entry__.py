@@ -2327,6 +2327,16 @@ def _memory_name(prefix: str, sf_dir: str) -> str:
     return prefix + _re.sub(r"\W", "_", sf_dir)
 
 
+
+def _events_bytes(sf_dir):
+    """On-disk size of the streaming source (driver-side stat, no
+    jobs) — sizes the drain's state partitions in run_to_memory."""
+    import os as _os
+    try:
+        return _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return None
+
 def _p_stream_rollup(spark, sf_dir):
     """Hourly rollup computed INCREMENTALLY by Structured Streaming
     (windowed agg + watermark, availableNow trigger, memory sink) —
@@ -2335,7 +2345,8 @@ def _p_stream_rollup(spark, sf_dir):
                                                    windowed_rollup)
     name = _memory_name("stream_rollup_", sf_dir)
     out = windowed_rollup(_stream_events(spark, sf_dir))
-    run_to_memory(out, name, output_mode="complete")
+    run_to_memory(out, name, output_mode="complete",
+                  source_bytes=_events_bytes(sf_dir))
     return spark.table(name).select(
         "event_type",
         F.unix_micros(F.col("window_start")).alias("hour"),
@@ -2350,7 +2361,8 @@ def _p_stream_sessions(spark, sf_dir):
                                                    streaming_sessions)
     name = _memory_name("stream_sessions_", sf_dir)
     out = streaming_sessions(_stream_events(spark, sf_dir))
-    run_to_memory(out, name, output_mode="complete")
+    run_to_memory(out, name, output_mode="complete",
+                  source_bytes=_events_bytes(sf_dir))
     return spark.table(name).select(
         "user_id",
         F.unix_micros(F.col("session_start")).alias("session_start"),
@@ -2366,7 +2378,8 @@ def _p_stream_user_stats(spark, sf_dir):
                                                    running_user_stats)
     name = _memory_name("stream_ustats_", sf_dir)
     out = running_user_stats(_stream_events(spark, sf_dir))
-    run_to_memory(out, name, output_mode="update")
+    run_to_memory(out, name, output_mode="update",
+                  source_bytes=_events_bytes(sf_dir))
     t = spark.table(name)
     # update mode emits one row per user per micro-batch; the LAST row
     # per user carries the final running totals
@@ -2390,7 +2403,8 @@ def _p_stream_join(spark, sf_dir):
                                                    stream_interval_join)
     name = _memory_name("stream_join_", sf_dir)
     out = stream_interval_join(_stream_events(spark, sf_dir))
-    run_to_memory(out, name, output_mode="append")
+    run_to_memory(out, name, output_mode="append",
+                  source_bytes=_events_bytes(sf_dir))
     return spark.table(name).select(
         "user_id", "l_event", "r_event", "lag_micros") \
         .orderBy("user_id", "l_event", "r_event")
@@ -2407,7 +2421,8 @@ def _p_stream_dedup(spark, sf_dir):
     name = _memory_name("stream_dedup_", sf_dir)
     out = streaming_dedup(_stream_events(spark, sf_dir),
                           ["user_id", "event_type"])
-    run_to_memory(out, name, output_mode="append")
+    run_to_memory(out, name, output_mode="append",
+                  source_bytes=_events_bytes(sf_dir))
     return spark.table(name).groupBy("event_type") \
         .agg(F.count(F.lit(1)).alias("n_users")) \
         .orderBy("event_type")

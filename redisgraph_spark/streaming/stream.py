@@ -159,12 +159,38 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
 
 
 def run_to_memory(stream_df: DataFrame, name: str,
-                  output_mode: str = "append") -> None:
+                  output_mode: str = "append",
+                  source_bytes: int | None = None) -> None:
     """Drain all available input into an in-memory table (testing and
-    interactive inspection)."""
-    q = stream_df.writeStream.format("memory").queryName(name) \
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    q.awaitTermination()
+    interactive inspection).
+
+    ``source_bytes`` (the stream source's on-disk size) sizes the
+    STATE partition count: stateful operators fix it at query start
+    from ``spark.sql.shuffle.partitions`` and AQE never coalesces it,
+    so each state-store instance (a stream-stream join opens four per
+    partition) is pure per-batch overhead when the input is small. The
+    gate and formula are the batch path's small-input policy
+    (``session.tune_for_input``): below ``SPARK_GRAFT_ADAPTIVE_MIN_BYTES``
+    use ~1 partition per 2 MB (floor 8, never above the session
+    setting); at or above it — including the gate-open setting of 0 —
+    the session's configured partitions are kept untouched, so the
+    cluster-scale path is exactly as before."""
+    spark = stream_df.sparkSession
+    prev = None
+    if source_bytes is not None:
+        from redisgraph_spark.session import _ADAPTIVE_MIN_BYTES
+        if source_bytes < _ADAPTIVE_MIN_BYTES:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            sp = min(int(prev),
+                     max(8, int(source_bytes) // (2 * 1024 * 1024) + 1))
+            spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+    try:
+        q = stream_df.writeStream.format("memory").queryName(name) \
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_into_graph(stream: DataFrame, graph, rel: str,

@@ -66,6 +66,48 @@ def test_streaming_dedup(spark, event_dir):
     assert sorted(ids) == [1, 2, 3, 4]
 
 
+def test_run_to_memory_sizes_state_partitions(spark, event_dir):
+    """State-store partition count is fixed at query start from
+    spark.sql.shuffle.partitions (AQE never coalesces it), so
+    run_to_memory sizes it from the stream source's bytes using the
+    batch path's small-input formula — and restores the session
+    setting afterwards.  At/above the gate (incl. gate-open = 0) the
+    conf must not be touched at all."""
+    from redisgraph_spark.session import _ADAPTIVE_MIN_BYTES
+    from redisgraph_spark.streaming.stream import (read_event_stream,
+                                                   run_to_memory,
+                                                   streaming_dedup)
+    conf = spark.conf          # RuntimeConfig is cached on the session
+    calls = []
+    orig_set = conf.set
+    conf.set = lambda k, v: (calls.append((k, str(v))), orig_set(k, v))
+    try:
+        prev = conf.get("spark.sql.shuffle.partitions")
+        # small source: 5 MB → min(prev, max(8, 5MB//2MB + 1)) = 8
+        run_to_memory(streaming_dedup(read_event_stream(spark, event_dir),
+                                      ["event_id"]),
+                      "dedup_sized", source_bytes=5 * 1024 * 1024)
+        sized = [v for k, v in calls
+                 if k == "spark.sql.shuffle.partitions"]
+        expect = min(int(prev), max(8, 5 * 1024 * 1024
+                                    // (2 * 1024 * 1024) + 1))
+        assert sized == [str(expect), prev]      # applied, then restored
+        assert conf.get("spark.sql.shuffle.partitions") == prev
+        # results identical to the unsized path
+        ids = [r["event_id"] for r in
+               spark.sql("SELECT event_id FROM dedup_sized").collect()]
+        assert sorted(ids) == [1, 2, 3, 4]
+        # at/above the gate: untouched (the cluster-scale path)
+        calls.clear()
+        run_to_memory(streaming_dedup(read_event_stream(spark, event_dir),
+                                      ["event_id"]),
+                      "dedup_gate", source_bytes=_ADAPTIVE_MIN_BYTES)
+        assert not [c for c in calls
+                    if c[0] == "spark.sql.shuffle.partitions"]
+    finally:
+        conf.set = orig_set
+
+
 def test_stream_into_graph(spark, event_dir):
     from redisgraph_spark import Graph
     from redisgraph_spark.streaming.stream import (read_event_stream,
