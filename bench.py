@@ -68,6 +68,28 @@ HEADLINE = [
 WARM_RUNS = 2
 
 
+def best_committed_floor() -> float | None:
+    """Minimum floor_probe across the committed BENCH_r*.json artifacts
+    — the best scheduling floor this code has ever been measured at.
+    Used to gate the load-triggered warm re-pass (a run whose floor is
+    >2× the best-known idle floor is on a contaminated/slower box and
+    gets extra passes + an in-artifact flag)."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    floors = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed", doc) if isinstance(doc, dict) else {}
+        fp = parsed.get("floor_probe")
+        if isinstance(fp, (int, float)) and fp > 0:
+            floors.append(float(fp))
+    return min(floors) if floors else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -192,6 +214,16 @@ def main() -> None:
     # spikes that hit one pass
     nominal_floor = float(os.environ.get("SPARK_GRAFT_IDLE_FLOOR",
                                          "0.021"))
+    # r11 (VERDICT r10 #2): the 0.021 literal missed a 2.7× floor shift
+    # — the r10 driver box idled at 0.0351, below the 0.042 trigger, so
+    # a single elevated pass produced 14 spurious "regressions". Gate on
+    # the BEST floor recorded in committed BENCH artifacts instead (the
+    # true idle floor this code has ever been measured at), and emit
+    # the run's floor as a ratio of it so cross-round comparisons can
+    # normalize in-artifact. Env override still wins.
+    if "SPARK_GRAFT_IDLE_FLOOR" not in os.environ:
+        nominal_floor = min(nominal_floor,
+                            best_committed_floor() or nominal_floor)
     floors = [measure_floor()]
     warm_pass()
     floors.append(measure_floor())
@@ -224,6 +256,7 @@ def main() -> None:
         "steady_value": None if errors else round(sum(steady.values()), 3),
         "floor_probe": round(probe, 4),
         "floor_probes": floors,
+        "floor_ratio_vs_best": round(probe / nominal_floor, 2),
         "warm_passes": attempts,
     }
     if errors:
