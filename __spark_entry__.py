@@ -2330,10 +2330,22 @@ def _memory_name(prefix: str, sf_dir: str) -> str:
 
 def _events_bytes(sf_dir):
     """On-disk size of the streaming source (driver-side stat, no
-    jobs) — sizes the drain's state partitions in run_to_memory."""
+    jobs) — sizes the drain's state partitions in run_to_memory.
+    Handles directory-backed parquet datasets (sum of contained data
+    files) — getsize on a directory returns the inode size (~4 KB),
+    which would pin state partitions to the floor even for huge
+    inputs."""
     import os as _os
+    path = _os.path.join(sf_dir, "events.parquet")
     try:
-        return _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
+        if _os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in _os.walk(path):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        total += _os.path.getsize(_os.path.join(root, f))
+            return total or None
+        return _os.path.getsize(path)
     except OSError:
         return None
 

@@ -1045,19 +1045,26 @@ class Graph:
         import os
         env = os.environ.get("SPARK_GRAFT_BUCKETS")
         if env:
-            return max(1, int(env))
+            try:
+                return max(1, int(env))
+            except ValueError:
+                raise ValueError(
+                    f"SPARK_GRAFT_BUCKETS must be an integer, "
+                    f"got {env!r}") from None
         from redisgraph_spark.session import plan_input_bytes
         total = 0
-        known = False
         for df in list(self.node_tables.values()) + \
                 list(self.edge_tables.values()):
             b = plan_input_bytes(df)
-            if b < (1 << 62):       # sentinel = stats unknown (e.g.
-                total += b          # a LogicalRDD from createDataFrame)
-                known = True
-        if not known:
-            return 64               # no footer stats anywhere: the
-                                    # pre-derivation default
+            if b >= (1 << 62):      # sentinel = stats unknown (e.g. a
+                                    # LogicalRDD from createDataFrame):
+                return 64           # ANY statless table makes the byte
+                                    # total partial, so deriving from it
+                                    # would undersize the count — keep
+                                    # the pre-derivation default
+            total += b
+        if total == 0:
+            return 64               # empty graph / no tables
         n = 8
         while n < (1 << 20) and n * (128 << 20) < total:
             n <<= 1

@@ -945,6 +945,10 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
                 col_t = tbl.schema[key].dataType
                 uval = F.col("__uval")
                 cur = F.col(key)
+                from .temporal_cols import (TEMPORAL_TYPE, from_native,
+                                            is_temporal_type)
+                native_temporal = (T.DateType, T.TimestampType,
+                                   T.TimestampNTZType)
                 if col_t != val_t:
                     if isinstance(val_t, T.NullType):
                         # SET p = NULL deletes the property
@@ -955,6 +959,25 @@ def _set(planner, ctx, clause: A.SetClause) -> DataFrame | None:
                         wide = _widen_numeric(col_t, val_t)
                         uval = uval.cast(wide)
                         cur = cur.cast(wide)
+                    elif is_temporal_type(col_t) and is_temporal_type(val_t):
+                        # same logical temporal type, differing only in
+                        # nested nullability — align both to the
+                        # canonical struct instead of demoting to string
+                        uval = uval.cast(TEMPORAL_TYPE)
+                        cur = cur.cast(TEMPORAL_TYPE)
+                    elif is_temporal_type(val_t) and \
+                            isinstance(col_t, native_temporal):
+                        # storing a temporal value into a native
+                        # date/timestamp column: lift the column to the
+                        # packed temporal struct (r10 latent bug — the
+                        # string demotion below stored the struct's
+                        # rendering and later temporal ops errored)
+                        cur = from_native(cur, col_t)
+                        uval = uval.cast(TEMPORAL_TYPE)
+                    elif is_temporal_type(col_t) and \
+                            isinstance(val_t, native_temporal):
+                        uval = from_native(uval, val_t)
+                        cur = cur.cast(TEMPORAL_TYPE)
                     else:
                         # heterogeneous scalar / array-of-scalar types →
                         # per-value variant encoding (schemaless

@@ -14,9 +14,15 @@ watermarks and state.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# serializes run_to_memory drains: each drain temporarily lowers the
+# session-global shuffle-partition conf and restores it on exit
+_DRAIN_LOCK = threading.Lock()
 
 EVENT_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -174,23 +180,31 @@ def run_to_memory(stream_df: DataFrame, name: str,
     use ~1 partition per 2 MB (floor 8, never above the session
     setting); at or above it — including the gate-open setting of 0 —
     the session's configured partitions are kept untouched, so the
-    cluster-scale path is exactly as before."""
+    cluster-scale path is exactly as before.
+
+    The tuning mutates the session-global ``spark.sql.shuffle.partitions``
+    for the duration of the drain; a module lock serializes overlapping
+    drains on the same session so the restore cannot clobber another
+    drain's value. Batch queries submitted concurrently from other
+    threads can still observe the lowered value — the drain is
+    drain-to-completion (availableNow), so the window is bounded."""
     spark = stream_df.sparkSession
-    prev = None
-    if source_bytes is not None:
-        from redisgraph_spark.session import _ADAPTIVE_MIN_BYTES
-        if source_bytes < _ADAPTIVE_MIN_BYTES:
-            prev = spark.conf.get("spark.sql.shuffle.partitions")
-            sp = min(int(prev),
-                     max(8, int(source_bytes) // (2 * 1024 * 1024) + 1))
-            spark.conf.set("spark.sql.shuffle.partitions", str(sp))
-    try:
-        q = stream_df.writeStream.format("memory").queryName(name) \
-            .outputMode(output_mode).trigger(availableNow=True).start()
-        q.awaitTermination()
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _DRAIN_LOCK:
+        prev = None
+        if source_bytes is not None:
+            from redisgraph_spark.session import _ADAPTIVE_MIN_BYTES
+            if source_bytes < _ADAPTIVE_MIN_BYTES:
+                prev = spark.conf.get("spark.sql.shuffle.partitions")
+                sp = min(int(prev),
+                         max(8, int(source_bytes) // (2 * 1024 * 1024) + 1))
+                spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+        try:
+            q = stream_df.writeStream.format("memory").queryName(name) \
+                .outputMode(output_mode).trigger(availableNow=True).start()
+            q.awaitTermination()
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_into_graph(stream: DataFrame, graph, rel: str,

@@ -409,6 +409,30 @@ def test_bucket_count_scale_derived(spark, social, monkeypatch):
             spark.sql("DROP DATABASE IF EXISTS rgtest_derived CASCADE")
 
 
+def test_bucket_count_mixed_stats_and_env_validation(
+        spark, social, monkeypatch):
+    """A graph MIXING parquet-backed and statless tables falls back to
+    the default 64 — deriving from the partial byte total would
+    undersize the count (ADVICE r10). A non-numeric SPARK_GRAFT_BUCKETS
+    raises a clear error instead of an opaque int() traceback."""
+    import tempfile
+
+    from redisgraph_spark import Graph
+    monkeypatch.delenv("SPARK_GRAFT_BUCKETS", raising=False)
+    with tempfile.TemporaryDirectory() as tmp:
+        social.save(tmp)
+        g1 = Graph.load(spark, tmp)             # all footer-known
+        assert g1._derive_bucket_count() == 8
+        # swap one table for an in-memory (statless) one → mixed
+        g1.node_tables["extra"] = spark.createDataFrame(
+            [(999,)], ["_id"])
+        assert g1._derive_bucket_count() == 64
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETS", "not-a-number")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_BUCKETS"):
+        social._derive_bucket_count()
+
+
 def test_cypher_prefix_inline_params(social):
     got = social.query(
         "CYPHER min_age=30 nm='Roi' "

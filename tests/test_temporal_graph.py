@@ -86,3 +86,44 @@ def test_statement_clock_consistency(tg):
     rows = collect1(tg, "RETURN duration.between(datetime(), "
                         "datetime()) AS z, date() <= date() AS eq")
     assert rows == [("PT0S", True)]
+
+
+def test_set_temporal_on_native_column_stays_typed(spark):
+    """SET n.d = <temporal expr> over a NATIVE date/timestamp column
+    must store a typed temporal, not the struct's string rendering
+    (r10 latent bug: the heterogeneous-SET fallback demoted the column
+    to string and later temporal ops raised CompileError)."""
+    import datetime
+    ev = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 5)), (2, datetime.date(2024, 3, 1))],
+        ["_id", "d"])
+    g = Graph(spark, {"ev": ev}, {}, name="set_temporal_native")
+    g.query("MATCH (e:ev) SET e.d = date(e.d) + duration({days: 1})")
+    from redisgraph_spark.planner.temporal_cols import is_temporal_type
+    assert is_temporal_type(g.node_tables["ev"].schema["d"].dataType)
+    rows = sorted(tuple(r) for r in g.query(
+        "MATCH (e:ev) RETURN toString(e.d) AS s, "
+        "toString(e.d + duration({days: 1})) AS s2").collect())
+    assert rows == [("2024-01-06", "2024-01-07"),
+                    ("2024-03-02", "2024-03-03")]
+
+
+def test_set_temporal_partial_update_preserves_unmatched(spark):
+    """A filtered temporal SET lifts the column but unmatched rows keep
+    their exact original value; a later SET of a native value into the
+    lifted column converts instead of demoting."""
+    import datetime
+    ev = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 5)), (2, datetime.date(2024, 3, 1))],
+        ["_id", "d"])
+    g = Graph(spark, {"ev": ev}, {}, name="set_temporal_partial")
+    g.query("MATCH (e:ev) WHERE id(e) = 1 "
+            "SET e.d = date(e.d) + duration({days: 10})")
+    rows = sorted(r["s"] for r in g.query(
+        "MATCH (e:ev) RETURN toString(e.d) AS s").collect())
+    assert rows == ["2024-01-15", "2024-03-01"]
+    # native date into the now-temporal column
+    g.query("MATCH (e:ev) WHERE id(e) = 2 SET e.d = date('2030-06-01')")
+    rows = sorted(r["s"] for r in g.query(
+        "MATCH (e:ev) RETURN toString(e.d) AS s").collect())
+    assert rows == ["2024-01-15", "2030-06-01"]
