@@ -206,3 +206,64 @@ def test_comparison_probe_dedup(entry_queries):
     # slack for minor planner changes without allowing per-branch
     # probing back in
     assert counts["n"] <= 13, f"comparison type probes regressed: {counts['n']}"
+
+
+def test_pushdown_audit_only_by_design_classes():
+    """Every gate-open FileScan that filters but pushes nothing must
+    belong to one of the three by-design classes (r10 audit): vacuous
+    isnotnull over synthesized entity ids (TPC-H keys are never null —
+    pushing would skip zero row groups), canonical edge-orientation
+    predicates (least/greatest over derived ids), and md5-threshold
+    deterministic sampling. Anything else is a pushdown regression.
+    Representative sample — the full sweep is tools/pushdown_audit.py
+    with no args (recorded per round)."""
+    import re
+    sample = [
+        "q_scan_filter_sort",      # must push its float predicate
+        "q_two_hop_revenue",       # BHJ chain over synthesized ids
+        "q_var_len",               # frontier joins, many id scans
+        "q_temporal_between",      # temporal datediff at the scan
+        "q_node_sim",              # orientation predicates
+        "p_stratified_sample",     # md5 threshold sampling
+        "p_dedup_exact",           # must be clean
+    ]
+    env = dict(os.environ, SPARK_GRAFT_ADAPTIVE_MIN_BYTES="0")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pushdown_audit.py"),
+         *sample],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "audit done:" in proc.stdout, proc.stdout[-2000:]
+    allowed = re.compile(
+        r"isnotnull\(\((cast\()?\w+#\d+L?( as bigint\))? \+ \d{10,}\)\)"
+        r"|md5\(|least\(|greatest\(")
+    def conjuncts(filt):
+        """Split Spark's comma-joined filter list at paren depth 0;
+        the tool truncates long filters, so drop an unbalanced tail."""
+        parts, depth, cur = [], 0, ""
+        for ch in filt:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip() and depth == 0:
+            parts.append(cur)
+        elif cur.strip():           # truncated mid-expression: judge
+            parts.append(cur)       # the fragment by what it contains
+        return [p.strip() for p in parts if p.strip()]
+
+    bad = []
+    for ln in proc.stdout.splitlines():
+        if not ln.startswith("UNPUSHED "):
+            continue
+        filt = ln.split("filter=", 1)[1]
+        for part in conjuncts(filt):
+            if not allowed.search(part):
+                bad.append(f"{ln}\n  offending conjunct: {part}")
+                break
+    assert not bad, "\n".join(bad)

@@ -5,8 +5,11 @@ that carry DataFilters but push NOTHING to parquet.  Those scans read
 every row of the column at 100 TB even though a filter exists.
 
 Usage:  SPARK_GRAFT_ADAPTIVE_MIN_BYTES=0 python tools/pushdown_audit.py
+                                                [entry ...]
 (the env var must be set before engine import; the tool sets it
-itself when run as a script).
+itself when run as a script). With entry names, audits only those
+entries (tests/test_plan_shapes.py drives a representative sample this
+way); with none, sweeps the whole contract.
 """
 
 from __future__ import annotations
@@ -28,6 +31,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.001")
     qs = em.queries()
+    names = sys.argv[1:]
+    if names:
+        qs = {n: qs[n] for n in names}
     flagged = 0
     for name, fn in sorted(qs.items()):
         try:
