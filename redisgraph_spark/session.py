@@ -327,6 +327,99 @@ def plan_input_bytes(df) -> int:
         return 1 << 62              # unknown → assume big (keep AQE)
 
 
+def _install_jvm_function_cache() -> None:
+    """Memoize PySpark's per-call JVM function lookup (r11, guide §4:
+    shrink the Python↔JVM boundary).
+
+    Every ``F.<fn>(...)`` goes through
+    ``pyspark.sql.functions.builtin._get_jvm_function``, which does
+    ``getattr(getattr(sc._jvm, "org.apache.spark.sql.functions"), name)``
+    — py4j resolves BOTH attributes with a blocking reflection round
+    trip each time, so a fresh plan build pays 2 extra JVM round trips
+    per function call (measured: 346 of 1136 py4j messages building
+    q_two_hop_revenue's plan were reflection). The resolved JavaMember
+    handle is a stable (class, method-name) pair, so cache it per JVM
+    view; the WeakKeyDictionary drops the cache with the gateway, and
+    a restarted JVM gets a fresh view object (never a stale handle)."""
+    import weakref
+
+    try:
+        from pyspark.sql.functions import builtin as _fb
+    except ImportError:      # layout changed: keep the stock path
+        return
+    orig = getattr(_fb, "_get_jvm_function", None)
+    if orig is None or getattr(orig, "_rg_cached", False):
+        return
+    caches: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+    def cached(name, sc):
+        jvm = sc._jvm
+        try:
+            cache = caches.get(jvm)
+            if cache is None:
+                cache = caches[jvm] = {}
+        except TypeError:            # un-weakref-able view: stock path
+            return orig(name, sc)
+        jf = cache.get(name)
+        if jf is None:
+            jf = cache[name] = orig(name, sc)
+        return jf
+
+    cached._rg_cached = True
+    _fb._get_jvm_function = cached
+
+    # Same disease in the column/seq helpers: _to_seq/_to_list resolve
+    # sc._jvm.PythonUtils.<fn> per call (2 reflection round trips: an
+    # unqualified JVMView search + a member lookup) and
+    # _create_column_from_name resolves sc._jvm.functions.col per
+    # name-ref (measured: 66 + 44 reflection messages on one fresh
+    # q_two_hop_revenue build). Cache the JavaMember handles per JVM.
+    try:
+        import pyspark.sql.classic.column as _cc
+        import pyspark.sql.classic.dataframe as _cdf
+    except ImportError:
+        return
+    pu_caches: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+    def _py_utils(sc, member):
+        jvm = sc._jvm
+        try:
+            cache = pu_caches.get(jvm)
+            if cache is None:
+                cache = pu_caches[jvm] = {}
+        except TypeError:
+            return getattr(jvm.PythonUtils, member)
+        jf = cache.get(member)
+        if jf is None:
+            jf = cache[member] = getattr(jvm.PythonUtils, member)
+        return jf
+
+    def _to_seq(sc, cols, converter=None):
+        if converter:
+            cols = [converter(c) for c in cols]
+        assert sc._jvm is not None
+        return _py_utils(sc, "toSeq")(cols)
+
+    def _to_list(sc, cols, converter=None):
+        if converter:
+            cols = [converter(c) for c in cols]
+        assert sc._jvm is not None
+        return _py_utils(sc, "toList")(cols)
+
+    def _create_column_from_name(name):
+        from pyspark.sql.utils import get_active_spark_context
+        sc = get_active_spark_context()
+        return cached("col", sc)(name)
+
+    # classic.dataframe from-imports these at module load, so rebind
+    # there too; every other pyspark call site imports them lazily
+    # inside the calling function and picks up the column-module attrs
+    for _mod in (_cc, _cdf):
+        _mod._to_seq = _to_seq
+        _mod._to_list = _to_list
+    _cc._create_column_from_name = _create_column_from_name
+
+
 def get_spark(app_name: str = "redisgraph-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
@@ -391,6 +484,7 @@ def get_spark(app_name: str = "redisgraph-spark",
         .config("spark.ui.showConsoleProgress", "false")
     )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    _install_jvm_function_cache()
     active = SparkSession.getActiveSession()
     if active is not None:
         _quiet_probe_logger(active)
