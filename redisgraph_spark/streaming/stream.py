@@ -283,43 +283,69 @@ def streaming_neardup_dedup(doc_stream: DataFrame, out_path: str,
     a trillion-doc index is a few TB of bucketed parquet in production.
 
     Durability: every batch's signatures append to `sig_path` (default
-    `<out_path>.sig`) BEFORE the batch commits, and on start the index
-    reloads from that path — so after a failure-restart the stream
-    keeps deduping against every previously indexed doc instead of
-    silently forgetting them (the in-memory chain alone loses batches
-    the stream checkpoint already marked committed). A replayed batch
-    re-appends its signatures; duplicates are harmless for the drop
-    rule (identical pairs, distinct-ed) and are dropped on reload.
+    `<out_path>.sig`, one `batch=<id>` subdirectory per batch) BEFORE
+    the batch commits, and each batch probes the store's pre-append
+    file set directly — the store IS the index, so a failure-restart
+    keeps deduping against every previously indexed doc with no
+    in-memory state to rebuild. A replayed batch re-appends its
+    signatures into its own batch directory; duplicates are harmless
+    for the drop rule (identical pairs; self-pairs drop on
+    doc_a < doc_b).
     """
     from redisgraph_spark.pipeline.dedup import (minhash_lsh_incremental,
                                                  minhash_signatures)
 
+    import glob as _glob
+    import os as _os
+
     if sig_path is None:
         sig_path = out_path.rstrip("/") + ".sig"
     spark = doc_stream.sparkSession
-    boot = corpus_sig
-    try:
-        prior = spark.read.parquet(sig_path).dropDuplicates([id_col])
-        boot = prior if boot is None else \
-            boot.unionByName(prior).dropDuplicates([id_col])
-        boot = boot.localCheckpoint(eager=True)
-    except Exception:
-        pass  # no prior index — fresh start
-    state: dict[str, DataFrame | None] = {"sig": boot}
+
+    # The signature store IS the index (r11, guide §2.4/§5): batches
+    # append to per-batch subdirectories (batch=<id>) and each batch
+    # probes the store's pre-append file set directly — the r10 design
+    # additionally maintained an in-memory localCheckpoint union chain
+    # (one eager checkpoint job per batch, plus an eager checkpoint +
+    # separate write for the new signatures), which duplicated the
+    # durable store in RAM and would balloon with corpus size. Reading
+    # the parquet back is one columnar scan of ids+signatures, and the
+    # drop rule is insensitive to the duplicate signatures a replayed
+    # batch can leave (identical pairs; self-pairs drop on doc_a<doc_b).
+
+    def _prior_sig_files() -> list[str]:
+        return sorted(_glob.glob(
+            _os.path.join(sig_path, "batch=*", "*.parquet")))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        new_sig = minhash_signatures(
+        sc = batch_df.sparkSession.sparkContext
+        # pin the index file set BEFORE this batch's append so a batch
+        # can never pair against itself through the store
+        prior_files = _prior_sig_files()
+        sig = minhash_signatures(
             batch_df, num_hashes, n, text_col, id_col,
-            shingle="word", hash_fn=hash_fn).localCheckpoint(eager=True)
+            shingle="word", hash_fn=hash_fn)
         # durable FIRST: if the process dies between this append and
         # the stream-checkpoint commit, the worst case is a duplicate
-        # signature on replay, never a lost one
-        new_sig.write.mode("append").parquet(sig_path)
-        index = state["sig"]
-        if index is None:
+        # signature on replay, never a lost one. The write is also the
+        # batch's ONLY signature materialization — downstream uses
+        # re-read the written parquet instead of a localCheckpoint.
+        sc.setJobDescription(f"neardup b{batch_id}: signatures")
+        sig.write.mode("append").parquet(
+            _os.path.join(sig_path, f"batch={batch_id}"))
+        new_sig = spark.read.parquet(
+            _os.path.join(sig_path, f"batch={batch_id}")) \
+            .select(sig.columns)
+        parts = [p for p in (
+            corpus_sig,
+            spark.read.parquet(*prior_files).select(sig.columns)
+            if prior_files else None) if p is not None]
+        if not parts:
             index = new_sig.limit(0)
+        elif len(parts) == 1:
+            index = parts[0]
+        else:
+            index = parts[0].unionByName(parts[1])
         pairs = minhash_lsh_incremental(
             batch_df, index, num_hashes, bands, n,
             threshold=threshold, text_col=text_col, id_col=id_col,
@@ -330,16 +356,17 @@ def streaming_neardup_dedup(doc_stream: DataFrame, out_path: str,
                         "left").withColumnRenamed("__bid", "__ina")
         fb = fa.join(b_ids, fa["doc_b"] == b_ids["__bid"], "left") \
             .withColumnRenamed("__bid", "__inb")
+        # no distinct: the left_anti below is duplicate-insensitive
         dropped = fb.select(
             F.when(F.col("__ina").isNotNull() &
                    F.col("__inb").isNotNull(),
                    F.greatest("doc_a", "doc_b"))
             .when(F.col("__inb").isNotNull(), F.col("doc_b"))
-            .otherwise(F.col("doc_a")).alias(id_col)).distinct()
+            .otherwise(F.col("doc_a")).alias(id_col))
+        sc.setJobDescription(f"neardup b{batch_id}: survivor write")
         batch_df.join(dropped, id_col, "left_anti") \
             .write.mode("append").parquet(out_path)
-        state["sig"] = index.unionByName(new_sig) \
-            .localCheckpoint(eager=True)
+        sc.setJobDescription(None)
 
     q = doc_stream.writeStream.foreachBatch(handle) \
         .option("checkpointLocation", checkpoint) \
