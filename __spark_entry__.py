@@ -2328,15 +2328,15 @@ def _memory_name(prefix: str, sf_dir: str) -> str:
 
 
 
-def _events_bytes(sf_dir):
-    """On-disk size of the streaming source (driver-side stat, no
-    jobs) — sizes the drain's state partitions in run_to_memory.
+def _source_bytes(sf_dir, table):
+    """On-disk size of a streaming source table (driver-side stat, no
+    jobs) — gates the small-input policy for streaming drains.
     Handles directory-backed parquet datasets (sum of contained data
     files) — getsize on a directory returns the inode size (~4 KB),
     which would pin state partitions to the floor even for huge
     inputs."""
     import os as _os
-    path = _os.path.join(sf_dir, "events.parquet")
+    path = _os.path.join(sf_dir, table)
     try:
         if _os.path.isdir(path):
             total = 0
@@ -2348,6 +2348,11 @@ def _events_bytes(sf_dir):
         return _os.path.getsize(path)
     except OSError:
         return None
+
+
+def _events_bytes(sf_dir):
+    return _source_bytes(sf_dir, "events.parquet")
+
 
 def _p_stream_rollup(spark, sf_dir):
     """Hourly rollup computed INCREMENTALLY by Structured Streaming
@@ -2993,7 +2998,9 @@ def _p_stream_neardup(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
     out = tempfile.mkdtemp(prefix="rgsnd_out")
     ck = tempfile.mkdtemp(prefix="rgsnd_ck")
-    streaming_neardup_dedup(stream, out, ck, hash_fn="md5")
+    streaming_neardup_dedup(stream, out, ck, hash_fn="md5",
+                            source_bytes=_source_bytes(
+                                sf_dir, "documents.parquet"))
     return spark.read.parquet(out) \
         .select("doc_id", "source").orderBy("doc_id")
 

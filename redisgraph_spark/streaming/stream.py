@@ -262,7 +262,8 @@ def streaming_neardup_dedup(doc_stream: DataFrame, out_path: str,
                             n: int = 3, hash_fn: str = "xxhash64",
                             id_col: str = "doc_id",
                             text_col: str = "text",
-                            sig_path: str | None = None) -> None:
+                            sig_path: str | None = None,
+                            source_bytes: int | None = None) -> None:
     """Streaming NEAR-duplicate gate — the incremental-corpus pattern
     (`pipeline.dedup.minhash_lsh_incremental`) run continuously: each
     micro-batch is MinHash-banded and probed against the accumulated
@@ -291,6 +292,21 @@ def streaming_neardup_dedup(doc_stream: DataFrame, out_path: str,
     signatures into its own batch directory; duplicates are harmless
     for the drop rule (identical pairs; self-pairs drop on
     doc_a < doc_b).
+
+    ``source_bytes`` (the stream source's on-disk size) gates the
+    batch path's small-input policy for the foreachBatch body
+    (``session.tune_for_input``'s gate and formula): below
+    ``SPARK_GRAFT_ADAPTIVE_MIN_BYTES`` the signature and survivor
+    writes run with adaptive execution off and shuffle partitions
+    sized to the input (~1 per 2 MB, floor 8, never above the session
+    setting) — AQE's per-stage job materialization otherwise turns
+    each tiny batch write into 4–8 scheduled jobs of 1–3 tasks, pure
+    scheduling floor. At or above the gate — including the gate-open
+    cluster-scale setting of 0 — the session conf is untouched. The
+    conf is set on the driving session BEFORE the stream starts (the
+    micro-batch session clone snapshots it) and restored after the
+    drain; ``_DRAIN_LOCK`` serializes overlapping drains exactly as in
+    ``run_to_memory``.
     """
     from redisgraph_spark.pipeline.dedup import (minhash_lsh_incremental,
                                                  minhash_signatures)
@@ -368,7 +384,24 @@ def streaming_neardup_dedup(doc_stream: DataFrame, out_path: str,
             .write.mode("append").parquet(out_path)
         sc.setJobDescription(None)
 
-    q = doc_stream.writeStream.foreachBatch(handle) \
-        .option("checkpointLocation", checkpoint) \
-        .trigger(availableNow=True).start()
-    q.awaitTermination()
+    with _DRAIN_LOCK:
+        prev_sp = prev_aqe = None
+        if source_bytes is not None:
+            from redisgraph_spark.session import _ADAPTIVE_MIN_BYTES
+            if source_bytes < _ADAPTIVE_MIN_BYTES:
+                prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+                prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+                sp = min(int(prev_sp),
+                         max(8, int(source_bytes) // (2 * 1024 * 1024) + 1))
+                spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            q = doc_stream.writeStream.foreachBatch(handle) \
+                .option("checkpointLocation", checkpoint) \
+                .trigger(availableNow=True).start()
+            q.awaitTermination()
+        finally:
+            if prev_sp is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            if prev_aqe is not None:
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

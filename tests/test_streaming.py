@@ -242,3 +242,65 @@ def test_streaming_neardup_survives_restart(spark, tmp_path):
     # must be dropped; doc 3 is novel and survives
     assert kept == {1, 3}
     assert spark.read.parquet(sig).count() >= 2
+
+
+def test_streaming_neardup_small_input_policy(spark, tmp_path):
+    """source_bytes below the adaptive gate runs the foreachBatch body
+    with AQE off + input-sized shuffle partitions (AQE's per-stage job
+    materialization otherwise turns each tiny batch write into 4-8
+    scheduled jobs), and restores BOTH confs after the drain; at/above
+    the gate the conf is untouched (cluster-scale path). Results must
+    be identical either way."""
+    import os
+    from redisgraph_spark.session import _ADAPTIVE_MIN_BYTES
+    from redisgraph_spark.streaming.stream import streaming_neardup_dedup
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows = [(i, base + ("" if i % 3 else " extra tail words here"))
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = tmp_path / "src"
+    os.makedirs(src)
+    docs.coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    def run(tag, source_bytes):
+        stream = spark.readStream.schema(docs.schema) \
+            .option("recursiveFileLookup", "true").parquet(str(src))
+        out = str(tmp_path / f"out_{tag}")
+        streaming_neardup_dedup(stream, out, str(tmp_path / f"ck_{tag}"),
+                                source_bytes=source_bytes)
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    conf = spark.conf
+    calls = []
+    orig_set = conf.set
+    conf.set = lambda k, v: (calls.append((k, str(v))), orig_set(k, v))
+    try:
+        prev_sp = conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = conf.get("spark.sql.adaptive.enabled")
+        kept_sized = run("sized", 5 * 1024 * 1024)
+        sized = [v for k, v in calls
+                 if k == "spark.sql.shuffle.partitions"]
+        expect = min(int(prev_sp), max(8, 5 * 1024 * 1024
+                                       // (2 * 1024 * 1024) + 1))
+        assert sized == [str(expect), prev_sp]    # applied, restored
+        aqe = [v for k, v in calls
+               if k == "spark.sql.adaptive.enabled"]
+        assert aqe == ["false", prev_aqe]
+        assert conf.get("spark.sql.shuffle.partitions") == prev_sp
+        assert conf.get("spark.sql.adaptive.enabled") == prev_aqe
+        # at/above the gate (incl. gate-open = 0): untouched
+        calls.clear()
+        kept_gate = run("gate", _ADAPTIVE_MIN_BYTES)
+        assert not [c for c in calls if c[0] in
+                    ("spark.sql.shuffle.partitions",
+                     "spark.sql.adaptive.enabled")]
+        # None (unknown size): untouched
+        calls.clear()
+        kept_none = run("none", None)
+        assert not [c for c in calls if c[0] in
+                    ("spark.sql.shuffle.partitions",
+                     "spark.sql.adaptive.enabled")]
+        assert kept_sized == kept_gate == kept_none
+    finally:
+        conf.set = orig_set

@@ -25,7 +25,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     qs = entrymod.queries()
-    outdir = os.path.join(os.getcwd(), "plans", "r10")
+    outdir = os.path.join(os.getcwd(), "plans",
+                          os.environ.get("SPARK_GRAFT_PLANS_DIR", "r10"))
     os.makedirs(outdir, exist_ok=True)
     for name in entries:
         df = qs[name](spark, sf_dir)
