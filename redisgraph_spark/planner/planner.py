@@ -725,7 +725,48 @@ class CypherPlanner:
                          [("stat", "string"), ("value", "long")])
 
     # ----------------------------------------------------------------- MATCH
+    def _check_pattern_kinds(self, ctx: Ctx,
+                             paths: list[A.PatternPath],
+                             optional: bool = False) -> None:
+        """Variable-kind conflicts are provable from the pattern AST
+        alone — check the WHOLE clause before building any traversal
+        (the reference validates patterns in a pre-pass,
+        ast_validations.c). Planning left-to-right only hit the
+        conflict after constructing every preceding traversal: a
+        clause like `()-[*]-()-[r]-(), (), ()-[*]-(r)` spent ~19 min
+        of driver-side unbounded-var-len plan construction before
+        raising the error this pre-pass finds in microseconds. Raises
+        the SAME errors the per-element binders raise (planner.py
+        `_bind_node`/`_single_hop`/`_var_len_hop` kind checks), only
+        earlier; the reused-edge and every other validation stay with
+        the binders. OPTIONAL MATCH compiles its paths into a FRESH
+        sub-context (outer variables join back by equality and
+        null-extend — TCK Path1 `nodes()` on null path binds a scalar
+        in node position legally), so there the check covers only
+        within-clause conflicts."""
+        kinds = {} if optional else \
+            {n: v.kind for n, v in ctx.vars.items()}
+        for path in paths:
+            for el in path.elements:
+                var = getattr(el, "var", None)
+                if var is None:
+                    continue
+                if isinstance(el, A.NodePattern):
+                    if kinds.setdefault(var, "node") != "node":
+                        raise PlanError(f"Variable `{var}` is not a node")
+                elif isinstance(el, A.RelPattern):
+                    if el.min_hops is None:
+                        if kinds.setdefault(var, "edge") != "edge":
+                            raise PlanError(
+                                f"Variable `{var}` is not an edge")
+                    else:
+                        # var-len var binds a hop list: the binder
+                        # (`_var_len_hop`) overwrites the kind to
+                        # "scalar" without a check — mirror exactly
+                        kinds[var] = "scalar"
+
     def _clause_match(self, ctx: Ctx, clause: A.MatchClause) -> None:
+        self._check_pattern_kinds(ctx, clause.paths, clause.optional)
         if clause.optional:
             self._optional_match(ctx, clause)
             return
