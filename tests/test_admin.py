@@ -3,6 +3,8 @@ bulk loader, persistence."""
 
 import tempfile
 
+import pytest
+
 
 def test_plan_cache_hits(social):
     q = "MATCH (p:person) RETURN count(*) AS c"
@@ -172,6 +174,7 @@ def test_fulltext_phrase_positional(spark):
     assert got == [1]
 
 
+@pytest.mark.slow
 def test_fulltext_or_not_field(spark):
     from redisgraph_spark.functions.fulltext import query_index
     docs, idx = _ft_fixture(spark)
@@ -261,6 +264,7 @@ def test_correlated_call_over_1000_tuples(social):
     assert got[0]["n"] == 0
 
 
+@pytest.mark.slow
 def test_correlated_call_chunked_loop(social):
     """Non-simple terms (prefix search) force the generic per-tuple
     loop, which past 256 tuples runs in checkpointed chunks — bounded
@@ -335,6 +339,7 @@ def test_save_load_roundtrip(spark, social):
     assert n == 10
 
 
+@pytest.mark.slow
 def test_pagerank_procedure(social):
     got = social.query(
         "CALL algo.pageRank('person', 'friend') YIELD node, score "
@@ -442,6 +447,7 @@ def test_cypher_prefix_inline_params(social):
     assert got[0]["n"] == 6
 
 
+@pytest.mark.slow
 def test_set_type_conflict_demotes(spark):
     from redisgraph_spark import Graph
     nodes = {"L": spark.createDataFrame(
@@ -458,6 +464,7 @@ def test_set_type_conflict_demotes(spark):
     assert g2.query("MATCH (n:L) RETURN n.v AS v").collect()[0]["v"] == 2.5
 
 
+@pytest.mark.slow
 def test_create_index_ddl(social):
     """CREATE INDEX ON :L(p) — reference cmd_query.c:60-75; the index
     re-lays the label table sorted on the key and is cataloged."""
@@ -531,6 +538,7 @@ def test_graph_catalog_registry(spark, social):
         cat.delete("scratch")
 
 
+@pytest.mark.slow
 def test_fulltext_metamorphic_laws(spark):
     """Algebraic laws of the query grammar: AND = intersection,
     OR = union, phrase ⊆ AND of its words, negation = set minus."""

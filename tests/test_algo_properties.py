@@ -15,7 +15,8 @@ def _random_edges(seed: int, n: int = 18, m: int = 40):
                  for _ in range(m)})
 
 
-@pytest.mark.parametrize("seed", [1, 7, 23])
+@pytest.mark.parametrize("seed", [
+    1, 7, pytest.param(23, marks=pytest.mark.slow)])
 def test_kcore_invariant_and_maximality(spark, seed):
     """The returned 3-core (a) has min undirected degree ≥ 3 inside
     the core and (b) equals the classic sequential-peel result."""
@@ -45,7 +46,8 @@ def test_kcore_invariant_and_maximality(spark, seed):
         assert len(nbrs[v] & alive) >= 3
 
 
-@pytest.mark.parametrize("seed", [2, 11, 31])
+@pytest.mark.parametrize("seed", [
+    2, 11, pytest.param(31, marks=pytest.mark.slow)])
 def test_sssp_matches_bellman_ford_reference(spark, seed):
     """Distances and hop counts equal a pure-Python Bellman-Ford over
     paths of ≤ max_hops edges (weights drawn from small ints so float
@@ -83,7 +85,8 @@ def test_sssp_matches_bellman_ford_reference(spark, seed):
     assert got == best
 
 
-@pytest.mark.parametrize("seed", [3, 13])
+@pytest.mark.parametrize("seed", [
+    pytest.param(3, marks=pytest.mark.slow), 13])
 def test_node_similarity_matches_bruteforce(spark, seed):
     """Jaccard pairs equal the all-pairs brute force (no hub cap)."""
     from redisgraph_spark.algorithms.centrality import node_similarity
@@ -114,7 +117,8 @@ def test_node_similarity_matches_bruteforce(spark, seed):
     assert got == exp
 
 
-@pytest.mark.parametrize("seed", [5, 17])
+@pytest.mark.parametrize("seed", [
+    pytest.param(5, marks=pytest.mark.slow), 17])
 def test_closeness_matches_bfs_reference(spark, seed):
     """reached / closeness / harmonic equal a pure-Python BFS from
     every source."""

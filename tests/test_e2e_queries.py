@@ -404,6 +404,7 @@ def test_optional_match_empty_and_disconnected(social):
 class TestShortestPathExpr:
     """shortestPath() in expression position (path_funcs.c:119-179)."""
 
+    @pytest.mark.slow
     def test_return_position(self, social):
         # Roi -> Ori is 2 hops (Roi->Alon->Ori)
         got = rows(social.query(
@@ -411,12 +412,14 @@ class TestShortestPathExpr:
             "RETURN length(shortestPath((a)-[:friend*..5]->(b))) AS l"))
         assert got == [(2,)]
 
+    @pytest.mark.slow
     def test_unreachable_is_null(self, social):
         got = rows(social.query(
             "MATCH (a:person {name: 'Ori'}), (b:person {name: 'Roi'}) "
             "RETURN length(shortestPath((a)-[:friend*..5]->(b))) AS l"))
         assert got == [(None,)]
 
+    @pytest.mark.slow
     def test_where_position_multi_target(self, social):
         # every person Roi can reach in exactly 2 friend hops
         got = rows(social.query(
@@ -435,6 +438,7 @@ class TestShortestPathExpr:
             "RETURN count(p) AS k"))
         assert got == [(4,)]
 
+    @pytest.mark.slow
     def test_bound_dst_constraints_applied(self, social):
         # labels/props on an already-bound destination must constrain
         # the match (they were silently dropped before)
@@ -495,6 +499,7 @@ def test_algo_kcore(spark):
         g.query("CALL algo.kCore(0) YIELD node RETURN node")
 
 
+@pytest.mark.slow
 def test_algo_sssp(spark):
     """Weighted vs hop-count shortest paths differ: 1→2→3 costs 1+1=2
     while the direct 1→3 edge costs 5 — SSSP must take the 2-hop path;
@@ -563,6 +568,7 @@ def test_algo_hits(spark):
         g.query("CALL algo.HITS(0) YIELD node RETURN node")
 
 
+@pytest.mark.slow
 def test_personalized_pagerank(spark):
     """Chain 1→2→3: teleport mass concentrates on the source side —
     source 1 outranks everything; node 3 (dangling) returns its mass

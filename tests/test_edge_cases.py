@@ -441,6 +441,7 @@ def test_tostring_rejects_lists(spark):
                 "RETURN [x IN l | tostring(x)] AS r").collect()
 
 
+@pytest.mark.slow
 def test_unbounded_hops_cap_and_exhaustion(spark):
     """[*] deeper than MAX_UNBOUNDED_HOPS: default cap truncates with a
     warning; config -1 iterates the frontier to exhaustion."""

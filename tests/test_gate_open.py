@@ -18,6 +18,7 @@ SPARK_GRAFT_GATE_OPEN_FULL=1 (the per-round recorded artifact; see
 COVERAGE.md).
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -35,6 +36,7 @@ SAMPLE = [
 ]
 
 
+@pytest.mark.slow
 def test_gate_open_contract():
     names = [] if os.environ.get("SPARK_GRAFT_GATE_OPEN_FULL") \
         else SAMPLE

@@ -2,6 +2,8 @@
 tests/flow/reversepattern/): a pattern and its mirror must return
 identical results; equivalent formulations must agree."""
 
+import pytest
+
 from tests.conftest import rows
 
 
@@ -97,6 +99,7 @@ def test_rel_endpoint_hints_preserve_results(spark):
         assert rows(hinted.query(q)) == rows(plain.query(q)), q
 
 
+@pytest.mark.slow
 def test_ternary_partition_law_fuzzed(social):
     """For ANY predicate P: rows(P) + rows(NOT P) + rows(P IS NULL)
     = all rows — the three-valued-logic partition. Fuzzed over
@@ -153,6 +156,7 @@ def test_ternary_partition_law_fuzzed(social):
     assert checked >= 10
 
 
+@pytest.mark.slow
 def test_cascade_equals_prefix_union_random_graphs(spark):
     """The single-cascade bounded var-len plan (absorbing stop-states)
     must return EXACTLY the prefix-union plan's multiset of rows on

@@ -58,7 +58,8 @@ def _state_graph(g):
     return sorted((r["k"], r["v"], r["s"]) for r in rows)
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33])
+@pytest.mark.parametrize("seed", [
+    11, pytest.param(22, marks=pytest.mark.slow), 33])
 def test_mutation_scripts_match_duckdb(spark, seed):
     from redisgraph_spark import Graph
     rng = random.Random(seed)

@@ -26,6 +26,7 @@ def test_create_standalone(g):
     assert ("c", 30) in got and len(got) == 3
 
 
+@pytest.mark.slow
 def test_create_edge_between_matched(g):
     g.query("MATCH (a:L {name: 'a'}), (b:L {name: 'b'}) "
             "CREATE (b)-[:R {w: 5}]->(a)")
@@ -167,6 +168,7 @@ def test_remove_property(g):
 
 
 # ------------------------------------------------- per-row MERGE on paths
+@pytest.mark.slow
 def test_merge_path_per_row_partial_exists(g):
     # a->b exists (edge 100); second row must create only a->b2... i.e.
     # whole-pattern semantics per row
@@ -194,6 +196,7 @@ def test_merge_path_creates_unbound_node(g):
     assert got == [("a", "rex")]
 
 
+@pytest.mark.slow
 def test_merge_path_on_create_on_match(g):
     g.query("MATCH (a:L {name: 'a'}), (b:L {name: 'b'}) "
             "MERGE (a)-[r:R2 {w: 1}]->(b) ON CREATE SET r.made = 'yes'")

@@ -66,6 +66,7 @@ def test_cosine_topk_exact(spark):
         assert -1.0 <= r["cosine"] <= 1.0
 
 
+@pytest.mark.slow
 def test_cosine_topk_lsh_recall_on_clusters(spark):
     """LSH must find true neighbors when neighbor structure exists
     (clustered vectors — random data has no meaningful neighbors)."""
@@ -396,6 +397,7 @@ def test_cosine_topk_np_matches_exact(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_wcc_star_contraction_equivalence(spark):
     """Large-star/small-star WCC (diameter-independent rounds) agrees
     with min-label propagation on random graphs and on a long chain
@@ -422,6 +424,7 @@ def test_wcc_star_contraction_equivalence(spark):
         assert a == b
 
 
+@pytest.mark.slow
 def test_jaccard_verify_matches_exact(docs):
     """jaccard_verify over all-pairs candidates equals the exact pair
     generator, and duplicate candidate rows do not inflate the
